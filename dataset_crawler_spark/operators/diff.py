@@ -1,0 +1,171 @@
+"""Change-capture core: partition-parallel snapshot comparison.
+
+Re-expresses the reference's per-type incremental diff
+(/root/reference/src/main/java/database_operations/CrawlOperations.java:715-827
+and the value-level diff :507-593) as ONE distributed plan over the whole
+snapshot — no per-dataset loops, no per-resource point queries.
+
+Faithful semantics (pinned, also encoded in oracle/crawler_oracle.py):
+
+- ``added``   = live − known           (CrawlOperations.java:763, 774-777)
+- ``deleted`` = known − live − tombstoned   (:785-792)
+- update candidates = (known ∩ live) − tombstoned  (:797-801); a candidate is
+  ``updated`` iff its span fingerprint changed (:436-456 gate), with span-level
+  ops from the per-kind occurrence diff (:507-593).
+- a tombstoned doc reappearing in live emits NO lineage (reference behavior:
+  it is removed from both the added set and the update candidates,
+  :775-776 + :801). Pass ``resurrect=True`` for the saner extension where it
+  re-enters as ``added`` — off by default to preserve exact parity.
+
+Span identity = (kind, text, media_ref); occurrences of identical spans are
+matched in ascending ``offset`` order (deterministic twin of the reference's
+any-to-any hash matching for multi-valued properties, :535-563). Unmatched
+existing occurrences → span op ``deleted``; unmatched live → ``added``.
+
+Scale notes (100 TB frontier):
+- one full-outer shuffle on ``doc_id`` (both sides hash-partitioned by the
+  join key; AQE handles skew) — the fingerprint gate keeps the expensive
+  span explode/join to the changed minority (~10-30% of docs per round).
+- everything is built-in columnar expressions (fingerprints via
+  ``transform``/``aggregate``, occurrence matching via window + sort-merge
+  join) — zero Python on executors, full WholeStageCodegen coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataset_crawler_spark.functions.hashing import NULL_SENTINEL, doc_fingerprint
+from dataset_crawler_spark.schemas import LOG_ADDED, LOG_DELETED, LOG_UPDATED
+
+def _empty_span_ops():
+    return F.array().cast("array<struct<kind:string,offset:int,op:string>>")
+
+
+def _with_fp(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    return df.withColumn("_fp", doc_fingerprint(F.col(spans_col)))
+
+
+def _lineage_row(op_col, span_ops_col):
+    return [
+        F.col("doc_id"),
+        F.col("crawl_id"),
+        op_col.alias("op"),
+        span_ops_col.alias("span_ops"),
+        F.spark_partition_id().alias("partition_id"),
+    ]
+
+
+def span_ops_for_changed(changed: DataFrame) -> DataFrame:
+    """Per-kind occurrence diff for docs whose fingerprint changed.
+
+    ``changed``: (doc_id, prev_spans, live_spans). Returns
+    (doc_id, span_ops) with span_ops sorted by (offset, op, kind).
+    """
+    def side(col: str):
+        s = changed.select("doc_id", F.explode(col).alias("s")).select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.coalesce(F.col("s.text"), F.lit(NULL_SENTINEL)).alias("text"),
+            F.coalesce(F.col("s.media_ref"), F.lit(NULL_SENTINEL)).alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+        w = Window.partitionBy("doc_id", "kind", "text", "media_ref").orderBy("offset")
+        return s.withColumn("occ", F.row_number().over(w))
+
+    prev_s = side("prev_spans").withColumnRenamed("offset", "prev_offset")
+    live_s = side("live_spans").withColumnRenamed("offset", "live_offset")
+    j = prev_s.join(live_s, ["doc_id", "kind", "text", "media_ref", "occ"], "full_outer")
+    ops = j.where(F.col("prev_offset").isNull() | F.col("live_offset").isNull()).select(
+        "doc_id",
+        F.col("kind"),
+        F.coalesce("live_offset", "prev_offset").alias("offset"),
+        F.when(F.col("prev_offset").isNull(), F.lit(LOG_ADDED))
+        .otherwise(F.lit(LOG_DELETED))
+        .alias("op"),
+    )
+    collected = ops.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("offset", "op", "kind"))).alias("_raw")
+    )
+    return collected.select(
+        "doc_id",
+        F.transform(
+            "_raw", lambda x: F.struct(x["kind"].alias("kind"), x["offset"].alias("offset"), x["op"].alias("op"))
+        ).alias("span_ops"),
+    )
+
+
+def snapshot_diff(
+    state: DataFrame, live: DataFrame, crawl_id: int, resurrect: bool = False
+) -> DataFrame:
+    """Diff the engine state (as of round crawl_id-1) against the live fetch.
+
+    ``state``: (doc_id, spans, last_op) — every doc ever seen, including
+    tombstones (last_op = 'deleted').  ``live``: (doc_id, spans).
+    Returns the LINEAGE DataFrame (schemas.LINEAGE).
+    """
+    prev = _with_fp(state).select(
+        "doc_id", F.col("spans").alias("prev_spans"), "last_op", F.col("_fp").alias("prev_fp")
+    )
+    cur = _with_fp(live).select(
+        "doc_id", F.col("spans").alias("live_spans"), F.col("_fp").alias("live_fp")
+    )
+    j = prev.join(cur, "doc_id", "full_outer").withColumn("crawl_id", F.lit(crawl_id).cast("int"))
+    in_prev = F.col("prev_fp").isNotNull()
+    in_live = F.col("live_fp").isNotNull()
+    tombstoned = F.col("last_op") == LOG_DELETED
+
+    added_cond = ~in_prev & in_live
+    if resurrect:
+        added_cond = added_cond | (in_prev & in_live & tombstoned)
+    added = j.where(added_cond).select(*_lineage_row(F.lit(LOG_ADDED), _empty_span_ops()))
+    deleted = j.where(in_prev & ~in_live & ~tombstoned).select(
+        *_lineage_row(F.lit(LOG_DELETED), _empty_span_ops())
+    )
+
+    changed = j.where(
+        in_prev & in_live & ~tombstoned & (F.col("prev_fp") != F.col("live_fp"))
+    ).select("doc_id", "crawl_id", "prev_spans", "live_spans")
+    ops = span_ops_for_changed(changed)
+    updated = (
+        changed.join(ops, "doc_id", "left")
+        .select(
+            *_lineage_row(F.lit(LOG_UPDATED), F.coalesce(F.col("span_ops"), _empty_span_ops()))
+        )
+    )
+    return added.unionByName(deleted).unionByName(updated)
+
+
+def apply_diff(state: DataFrame, live: DataFrame, lineage: DataFrame, crawl_id: int) -> DataFrame:
+    """Fold one round's lineage into the state table (append-only semantics).
+
+    Returns the new state: (doc_id, spans, last_op, last_crawl_id). Docs with
+    no lineage this round carry forward unchanged — including tombstones
+    (matching the reference, where untouched rows simply keep their last log,
+    crawl_utils/Properties.java:41-59 fold).
+    """
+    ops = lineage.select("doc_id", F.col("op").alias("_op"))
+    cur = live.select("doc_id", F.col("spans").alias("_live_spans"))
+    out = (
+        state.join(ops, "doc_id", "full_outer")
+        .join(cur, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_op").isin(LOG_ADDED, LOG_UPDATED), F.col("_live_spans"))
+            .otherwise(F.col("spans"))
+            .alias("spans"),
+            F.coalesce(F.col("_op"), F.col("last_op")).alias("last_op"),
+            F.when(F.col("_op").isNotNull(), F.lit(crawl_id).cast("int"))
+            .otherwise(F.col("last_crawl_id"))
+            .alias("last_crawl_id"),
+        )
+    )
+    return out
+
+
+def current_docs(state: DataFrame) -> DataFrame:
+    """The visible snapshot: docs whose last state is not deleted — the net
+    W1/W3 fold (entities/Resource.java:43-52 consumed negated at
+    DatasetRepresentation.java:44)."""
+    return state.where(F.col("last_op") != LOG_DELETED).select("doc_id", "spans")
