@@ -1,0 +1,105 @@
+"""URL canonicalization + hashing (north_star: "canonicalized+hashed URLs").
+
+Extends the reference's only URL normalization — ``getBaseURI`` strips after
+the last ``#`` else last ``/`` (crawl_utils/Properties.java:62-72) — to a full
+canonicalizer, implemented as a vectorized pandas UDF (Arrow batches, no
+per-row Spark Python):
+
+1. lowercase scheme + host
+2. strip fragment
+3. drop default ports (:80 http, :443 https)
+4. sort query parameters (stable '&' split)
+5. strip trailing slash from non-root paths
+
+``base_uri`` (the faithful reference twin) stays a pure built-in expression.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$"
+
+
+def base_uri(colname: str) -> Column:
+    """Faithful twin of Properties.getBaseURI (Properties.java:62-72):
+    strip after last '#'; else keep through the last '/'; else identity."""
+    return F.expr(
+        f"CASE WHEN contains({colname}, '#') THEN substring_index({colname}, '#', 1) "
+        f"WHEN contains({colname}, '/') THEN "
+        f"  substring({colname}, 1, length({colname}) - length(substring_index({colname}, '/', -1))) "
+        f"ELSE {colname} END"
+    )
+
+
+def _canon_series(s: pd.Series) -> pd.Series:
+    parts = s.str.extract(_URL_RE)
+    scheme = parts[0].str.lower()
+    host = parts[1].str.lower()
+    port = parts[2]
+    path = parts[3].fillna("")
+    query = parts[4].fillna("")
+
+    default_port = ((scheme == "http") & (port == ":80")) | (
+        (scheme == "https") & (port == ":443")
+    )
+    port = port.where(~default_port, "").fillna("")
+
+    # strip trailing slash off non-root paths (vectorized)
+    path = path.where(~(path.str.endswith("/") & (path.str.len() > 1)), path.str[:-1])
+    path = path.where(path != "", "/")
+
+    # sort query params — only rows that actually have >1 param leave the
+    # vectorized path (batch-level .map, still inside one Arrow batch)
+    multi = query.str.contains("&", regex=False)
+    if multi.any():
+        sorted_q = query[multi].map(lambda q: "?" + "&".join(sorted(q[1:].split("&"))))
+        query = query.copy()
+        query[multi] = sorted_q
+
+    out = scheme + "://" + host + port + path + query
+    # unparseable urls pass through unchanged (reference: identity fallback)
+    return out.where(parts[0].notna(), s)
+
+
+@pandas_udf("string")
+def canonicalize_url(urls: pd.Series) -> pd.Series:
+    return _canon_series(urls)
+
+
+def canonicalize_url_py(url: str) -> str:
+    """Pure-Python twin for the crawler oracle."""
+    import re
+
+    m = re.match(_URL_RE, url)
+    if not m:
+        return url
+    scheme, host, port, path, query, _frag = m.groups()
+    scheme, host = scheme.lower(), host.lower()
+    port = port or ""
+    if (scheme == "http" and port == ":80") or (scheme == "https" and port == ":443"):
+        port = ""
+    path = path or ""
+    if path.endswith("/") and len(path) > 1:
+        path = path[:-1]
+    if path == "":
+        path = "/"
+    query = query or ""
+    if "&" in query:
+        query = "?" + "&".join(sorted(query[1:].split("&")))
+    return f"{scheme}://{host}{port}{path}{query}"
+
+
+def host_of(col: Column | str) -> Column:
+    """Host extraction as a pure built-in expression (stays in codegen)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+
+
+def url_hash64(col: Column | str) -> Column:
+    """Engine-internal 64-bit URL id (xxhash64 — JVM-side, fast path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c)
