@@ -65,9 +65,17 @@ def _canon_series(s: pd.Series) -> pd.Series:
     return out.where(parts[0].notna(), s)
 
 
-@pandas_udf("string")
-def canonicalize_url(urls: pd.Series) -> pd.Series:
-    return _canon_series(urls)
+_canon_udf = None
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Vectorized canonicalizer as a Column expression (UDF built lazily —
+    pandas_udf return-type parsing needs an active SparkSession)."""
+    global _canon_udf
+    if _canon_udf is None:
+        _canon_udf = pandas_udf(_canon_series, "string")
+    c = F.col(col) if isinstance(col, str) else col
+    return _canon_udf(c)
 
 
 def canonicalize_url_py(url: str) -> str:

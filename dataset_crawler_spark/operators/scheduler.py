@@ -1,0 +1,140 @@
+"""Per-host politeness priority queue — the fetch scheduler.
+
+Replaces the reference's implicit scheduling — seed-file order over datasets
+(IncrementalDatasetCrawler.java:154), lexicographic TreeMap order over types
+(CrawlOperations.java:730), per-request timeout + ``max_res_instances`` caps
+(DataCrawler.java:235-249) — with an explicit, deterministic, distributed
+scheduler:
+
+- candidate URLs are canonicalized + deduped, filtered through the seen-set
+  (Bloom pre-filter + exact anti-join confirmation: the filter answers
+  "definitely new" for the vast majority; only probable-seen URLs reach the
+  exact anti-join, so the expensive join sees ~ε·N + true-seen rows — the
+  SURVEY.md §4 anti-join-behind-bloom plan),
+- gated by the hosts dimension (availability + robots.txt path prefixes),
+- then budgeted per host with a **two-phase salted top-k** (north_rule skew
+  handling): phase 1 ranks within (host, salt) — a giant host's URLs spread
+  over ``n_salt`` shuffle partitions, each keeping at most ``budget`` rows —
+  phase 2 re-ranks the surviving ≤ n_salt·budget rows per host. Correct
+  because the global per-host top-B is a subset of the union of per-salt
+  top-Bs. AQE skew-join handles the residue.
+
+Deterministic total order (pinned, same in oracle/scheduler twin —
+SURVEY.md §2.10 T2): within a host, (priority DESC, seed_rank ASC, url ASC);
+global emission order (seed_rank ASC, host ASC, rank_in_host ASC).
+
+Fetch pacing: rank r within a host ⇒ ``scheduled_offset_ms = (r-1) ·
+crawl_delay_ms`` — the distributed twin of the reference's single-threaded
+per-request pacing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataset_crawler_spark.functions.urls import canonicalize_url, host_of
+from dataset_crawler_spark.operators import seen as SN
+
+DEFAULT_N_SALT = 16
+
+
+def canonical_candidates(frontier: DataFrame) -> DataFrame:
+    """Canonicalize + dedup one round's pending frontier.
+
+    Duplicate canonical URLs collapse to (min seed_rank, max priority) — both
+    deterministic aggregates, so dedup order never matters.
+    """
+    cand = (
+        frontier.where(F.col("state") == "pending")
+        .withColumn("url_c", canonicalize_url(F.col("url")))
+        .groupBy("url_c")
+        .agg(
+            F.min("seed_rank").alias("seed_rank"),
+            F.max("priority").alias("priority"),
+            F.min("discovered_crawl_id").alias("discovered_crawl_id"),
+        )
+        .withColumn("host", host_of("url_c"))
+    )
+    return cand
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    bloom_state: DataFrame | None,
+    bloom_params: SN.BloomParams | None,
+    seen_urls: DataFrame | None,
+) -> DataFrame:
+    """Exact unseen filter with Bloom fast path.
+
+    ``seen_urls``: (url_c) exact table of fetched URLs. Bloom-negative rows
+    pass immediately (zero false negatives ⇒ provably unseen); bloom-positive
+    rows are confirmed by anti-join against the exact table.
+    """
+    if bloom_state is None or bloom_params is None:
+        if seen_urls is None:
+            return candidates
+        return candidates.join(seen_urls, "url_c", "left_anti")
+    probed = SN.bloom_probe_cogroup(candidates, "url_c", bloom_state, bloom_params)
+    fresh = probed.where(~F.col("seen")).drop("seen")
+    if seen_urls is None:
+        return fresh
+    maybe = probed.where(F.col("seen")).drop("seen")
+    confirmed_new = maybe.join(seen_urls, "url_c", "left_anti")
+    return fresh.unionByName(confirmed_new)
+
+
+def robots_gate(candidates: DataFrame, hosts: DataFrame) -> DataFrame:
+    """Availability + robots.txt prefix exclusion; hosts dim is broadcast."""
+    h = F.broadcast(hosts.select("host", "robots_disallow", "is_available", "crawl_delay_ms",
+                                 "max_fetch_per_round"))
+    path = F.regexp_extract(F.col("url_c"), r"^[a-z]+://[^/]+(/[^?#]*)", 1)
+    joined = candidates.join(h, "host", "inner").withColumn("_path", path)
+    blocked = F.exists(
+        F.coalesce(F.col("robots_disallow"), F.array().cast("array<string>")),
+        lambda p: F.col("_path").startswith(p),
+    )
+    return joined.where(F.col("is_available") & ~blocked).drop("_path", "robots_disallow",
+                                                               "is_available")
+
+
+def politeness_topk(candidates: DataFrame, n_salt: int = DEFAULT_N_SALT) -> DataFrame:
+    """Two-phase salted per-host budget top-k (see module docstring)."""
+    order = [F.col("priority").desc(), F.col("seed_rank").asc(), F.col("url_c").asc()]
+    salt = F.pmod(F.xxhash64("url_c"), F.lit(n_salt)).cast("int")
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    pre = (
+        candidates.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= F.col("max_fetch_per_round"))
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        pre.withColumn("rank_in_host", F.row_number().over(w2))
+        .where(F.col("rank_in_host") <= F.col("max_fetch_per_round"))
+        .withColumn(
+            "scheduled_offset_ms",
+            ((F.col("rank_in_host") - 1) * F.col("crawl_delay_ms")).cast("long"),
+        )
+        .drop("max_fetch_per_round")
+    )
+
+
+def schedule_round(
+    frontier: DataFrame,
+    hosts: DataFrame,
+    bloom_state: DataFrame | None = None,
+    bloom_params: SN.BloomParams | None = None,
+    seen_urls: DataFrame | None = None,
+    n_salt: int = DEFAULT_N_SALT,
+) -> DataFrame:
+    """Full scheduling pipeline for one crawl round.
+
+    Returns (url_c, host, seed_rank, priority, discovered_crawl_id,
+    crawl_delay_ms, rank_in_host, scheduled_offset_ms).
+    """
+    cand = canonical_candidates(frontier)
+    cand = filter_unseen(cand, bloom_state, bloom_params, seen_urls)
+    cand = robots_gate(cand, hosts)
+    return politeness_topk(cand, n_salt=n_salt)

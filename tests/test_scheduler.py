@@ -1,0 +1,102 @@
+"""Exact crawl-order + URL-seen-set match vs the scheduler oracle
+(BASELINE.json metric; SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataset_crawler_spark import datagen
+from dataset_crawler_spark.functions.urls import canonicalize_url_py
+from dataset_crawler_spark.operators import scheduler as SCH
+from dataset_crawler_spark.operators import seen as SN
+from dataset_crawler_spark.oracle.scheduler_oracle import schedule_round_py
+
+N_URLS = 3000
+N_HOSTS = 25
+
+
+def _key(row):
+    return (row["seed_rank"], row["host"], row["rank_in_host"])
+
+
+def _collect_schedule(df):
+    rows = [r.asDict() for r in df.collect()]
+    rows.sort(key=_key)
+    return [
+        (r["url_c"], r["host"], r["seed_rank"], r["rank_in_host"], r["scheduled_offset_ms"])
+        for r in rows
+    ]
+
+
+def _oracle_schedule(seen=None):
+    rows = schedule_round_py(
+        datagen.frontier_py(N_URLS, n_hosts=N_HOSTS), datagen.hosts_py(N_HOSTS), seen
+    )
+    return [
+        (r["url_c"], r["host"], r["seed_rank"], r["rank_in_host"], r["scheduled_offset_ms"])
+        for r in rows
+    ]
+
+
+def test_canonicalizer_parity(spark):
+    f = datagen.frontier(spark, 500, n_hosts=N_HOSTS)
+    got = {
+        r.url: r.url_c
+        for r in f.select("url", SCH.canonicalize_url(F.col("url")).alias("url_c")).collect()
+    }
+    for url, url_c in got.items():
+        assert url_c == canonicalize_url_py(url), url
+    # dirty variants collapse: canonical forms dedupe the synthetic variants
+    assert any(u != c for u, c in got.items()), "fixtures must include dirty URLs"
+
+
+def test_schedule_matches_oracle_no_seen(spark):
+    f = datagen.frontier(spark, N_URLS, n_hosts=N_HOSTS)
+    h = datagen.hosts(spark, N_HOSTS)
+    got = _collect_schedule(SCH.schedule_round(f, h))
+    want = _oracle_schedule()
+    assert got == want
+
+
+def test_schedule_matches_oracle_with_seen_set(spark):
+    f = datagen.frontier(spark, N_URLS, n_hosts=N_HOSTS)
+    h = datagen.hosts(spark, N_HOSTS)
+    # mark a deterministic slice of canonical urls as already fetched
+    seen_py = {
+        canonicalize_url_py(r["url"])
+        for r in datagen.frontier_py(N_URLS, n_hosts=N_HOSTS)
+        if r["seed_rank"] % 3 == 0
+    }
+    seen_df = spark.createDataFrame([(u,) for u in sorted(seen_py)], "url_c string")
+    params = SN.BloomParams.for_capacity(len(seen_py), fp_rate=0.01, n_shards=8)
+    bloom = SN.bloom_build(seen_df, "url_c", params).cache()
+
+    got = _collect_schedule(
+        SCH.schedule_round(f, h, bloom_state=bloom, bloom_params=params, seen_urls=seen_df)
+    )
+    want = _oracle_schedule(seen=seen_py)
+    assert got == want
+    # URL-seen-set match: nothing scheduled is in the seen set
+    assert not ({u for u, *_ in got} & seen_py)
+
+
+def test_salting_invariance(spark):
+    """The salted two-phase top-k must give identical results at any salt width."""
+    f = datagen.frontier(spark, N_URLS, n_hosts=N_HOSTS)
+    h = datagen.hosts(spark, N_HOSTS)
+    a = _collect_schedule(SCH.schedule_round(f, h, n_salt=1))
+    b = _collect_schedule(SCH.schedule_round(f, h, n_salt=64))
+    assert a == b
+
+
+def test_budget_respected(spark):
+    f = datagen.frontier(spark, N_URLS, n_hosts=N_HOSTS)
+    h = datagen.hosts(spark, N_HOSTS)
+    sched = SCH.schedule_round(f, h)
+    over = (
+        sched.groupBy("host")
+        .agg(F.count("*").alias("n"), F.first("crawl_delay_ms").alias("d"))
+        .join(h.select("host", "max_fetch_per_round"), "host")
+        .where(F.col("n") > F.col("max_fetch_per_round"))
+    )
+    assert over.count() == 0
