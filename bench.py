@@ -1,0 +1,154 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "urls_scheduled_deduped_per_sec", "value": N, "unit": "urls/sec",
+     "queries": {...per-stage seconds...}, "sf": 0.1}
+
+The headline metric is BASELINE.json's north metric: frontier URLs pushed
+through canonicalize → bloom-seen dedup → robots gate → salted politeness
+top-k, per second. Analytic + training-data queries are timed alongside (the
+``queries`` map) so regressions in any operator family show up per round.
+
+Scale knobs follow FIXTURES.md: sf0.1 ⇒ 1M frontier URLs over 2k hosts
+(top host ~10%), 100k interleaved docs for the diff stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataset_crawler_spark import datagen  # noqa: E402
+from dataset_crawler_spark.operators import diff as D  # noqa: E402
+from dataset_crawler_spark.operators import scheduler as SCH  # noqa: E402
+from dataset_crawler_spark.operators import seen as SN  # noqa: E402
+from dataset_crawler_spark.plans import queries as QL  # noqa: E402
+from dataset_crawler_spark.session import get_spark  # noqa: E402
+
+ANALYTIC_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "w1_last_state_fold",
+    "a4_fingerprint_xor",
+    "dedup_minhash_lsh",
+    "text_fingerprint",
+    "sim_cosine_topk",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _force(df) -> int:
+    return df.count()
+
+
+def bench_crawl_round(spark, sf: float) -> tuple[dict, float]:
+    """North-metric stage: one full scheduling round at bench scale."""
+    n_urls = max(int(10_000_000 * sf), 10_000)
+    n_hosts = max(int(20_000 * sf), 50)
+    times: dict[str, float] = {}
+
+    frontier = datagen.frontier(spark, n_urls, n_hosts=n_hosts)
+    hosts = datagen.hosts(spark, n_hosts)
+
+    # seen set: every third URL was fetched in prior rounds
+    t0 = time.time()
+    from pyspark.sql import functions as F
+
+    seen_urls = (
+        frontier.where(F.xxhash64("url") % 3 == 0)
+        .select(SCH.canonicalize_url(F.col("url")).alias("url_c"))
+        .distinct()
+    )
+    params = SN.BloomParams.for_capacity(n_urls // 3 + 1, fp_rate=0.01, n_shards=32)
+    bloom = SN.bloom_build(seen_urls, "url_c", params).cache()
+    bloom.count()
+    seen_urls = seen_urls.cache()
+    n_seen = seen_urls.count()
+    times["bloom_build_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    sched = SCH.schedule_round(
+        frontier, hosts, bloom_state=bloom, bloom_params=params, seen_urls=seen_urls
+    )
+    n_sched = _force(sched)
+    dt = time.time() - t0
+    times["schedule_round_sec"] = round(dt, 3)
+    urls_per_sec = n_urls / dt
+
+    times["_n_urls"] = n_urls
+    times["_n_seen"] = n_seen
+    times["_n_scheduled"] = n_sched
+    return times, urls_per_sec
+
+
+def bench_diff(spark, sf: float) -> dict:
+    n_docs = max(int(1_000_000 * sf), 5_000)
+    t0 = time.time()
+    live0 = datagen.documents_for_round(spark, n_docs, 0)
+    from dataset_crawler_spark.streaming.rounds import STATE_SCHEMA
+
+    state0 = spark.createDataFrame([], STATE_SCHEMA)
+    lin0 = D.snapshot_diff(state0, live0, 0)
+    state1 = D.apply_diff(state0, live0, lin0, 0).cache()
+    state1.count()
+    t_bulk = time.time() - t0
+
+    t0 = time.time()
+    live1 = datagen.documents_for_round(spark, n_docs, 1)
+    lin1 = D.snapshot_diff(state1, live1, 1)
+    _force(lin1)
+    t_incr = time.time() - t0
+    state1.unpersist()
+    return {
+        "diff_bulk_round_sec": round(t_bulk, 3),
+        "diff_incr_round_sec": round(t_incr, 3),
+        "_n_docs": n_docs,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_of(sf_dir)
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=int(cpus))
+
+    queries: dict[str, float] = {}
+
+    crawl_times, urls_per_sec = bench_crawl_round(spark, sf)
+    queries.update(crawl_times)
+    queries.update(bench_diff(spark, sf))
+
+    qmap = QL.queries()
+    for name in ANALYTIC_QUERIES:
+        t0 = time.time()
+        _force(qmap[name](spark, sf_dir))
+        queries[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "urls_scheduled_deduped_per_sec",
+        "value": round(urls_per_sec, 1),
+        "unit": "urls/sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
