@@ -1,0 +1,68 @@
+"""Structured Streaming operators (SURVEY.md §2.10 → Spark streams).
+
+The reference's ``multiple_run`` loop is a poll-sleep batch cycle
+(App.java:31-58). Its streaming restatement: the frontier/metrics tables are
+file streams consumed with ``Trigger.AvailableNow`` micro-batches — each
+trigger ≈ one crawl round — with watermarked windowed aggregation for
+late-arriving fetch results (the reference has no watermark concept; failures
+are simply retried next round, DataCrawler.java:53-56).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FETCH_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("fetched_at", T.TimestampType()),
+        T.StructField("status", T.StringType()),  # success|error|timeout
+        T.StructField("bytes", T.LongType()),
+    ]
+)
+
+
+def read_fetch_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of fetch events (one parquet drop per round)."""
+    return spark.readStream.schema(FETCH_EVENT_SCHEMA).parquet(path)
+
+
+def windowed_host_metrics(stream: DataFrame, window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
+    """Per-host tumbling-window fetch metrics with late-data watermark —
+    the streaming twin of the crawl_operations_log rollup (CrawlerLogs.java:30-48)."""
+    return (
+        stream.withWatermark("fetched_at", watermark)
+        .groupBy(F.window("fetched_at", window).alias("w"), F.col("host"))
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias("n_ok"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "n_fetches",
+            "n_ok",
+            "total_bytes",
+        )
+    )
+
+
+def run_available_now(metrics: DataFrame, out_path: str, checkpoint: str) -> None:
+    """Drain everything currently in the source as micro-batches (≈ rounds),
+    then stop — the engine's batch-streaming bridge. Append mode: windows are
+    emitted once their watermark passes; with AvailableNow + finite input the
+    final batch flushes closed windows."""
+    q = (
+        metrics.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

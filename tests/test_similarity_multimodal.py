@@ -1,0 +1,67 @@
+"""ANN similarity search + multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataset_crawler_spark import datagen
+from dataset_crawler_spark.operators.multimodal import extract_media_meta, synth_media_table
+from dataset_crawler_spark.operators.similarity import brute_force_topk, lsh_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+
+
+def test_brute_force_topk_exact(spark):
+    e = _emb(spark)
+    q = e.where(F.col("vec_id") < 3)
+    got = brute_force_topk(q, e, k=5)
+    assert got.groupBy("query_id").count().where("count != 5").count() == 0
+    # rank 1 has the max cosine per query
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos))
+    for q_id, rs in by_q.items():
+        rs.sort()
+        assert all(rs[i][1] >= rs[i + 1][1] - 1e-12 for i in range(len(rs) - 1))
+
+
+def test_lsh_topk_recall(spark):
+    e = _emb(spark).cache()
+    dim = len(e.first().embedding)
+    q = e.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, e, k=3)
+    # synthetic corpus has weak neighbors (max cos ≈ 0.44): short signatures +
+    # many tables keep per-table collision probability workable
+    approx = lsh_topk(q, e, k=3, dim=dim, n_bits=4, n_tables=16)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_lsh_deterministic(spark):
+    e = _emb(spark)
+    q = e.where(F.col("vec_id") < 5)
+    dim = len(e.first().embedding)
+    a = sorted(map(tuple, lsh_topk(q, e, 3, dim).collect()))
+    b = sorted(map(tuple, lsh_topk(q, e, 3, dim).collect()))
+    assert a == b
+
+
+def test_multimodal_plumbing(spark):
+    docs = datagen.documents_for_round(spark, 200, 0, n_hosts=10)
+    media = synth_media_table(docs)
+    n_media = media.count()
+    assert n_media > 0
+    meta = extract_media_meta(media)
+    rows = meta.collect()
+    assert len(rows) == n_media
+    assert all(r.width >= 64 and r.height >= 64 and r.feature_hash is not None for r in rows)
+    # deterministic across runs
+    again = {r.media_ref: (r.width, r.height, r.duration_ms) for r in extract_media_meta(media).collect()}
+    assert {r.media_ref: (r.width, r.height, r.duration_ms) for r in rows} == again

@@ -1,0 +1,53 @@
+"""Seed-list, config, and N-Triples sources (S1/S2/S8)."""
+
+from __future__ import annotations
+
+from dataset_crawler_spark.sources.ntriples import dump_to_documents, read_ntriples
+from dataset_crawler_spark.sources.seeds import read_config, read_seed_list
+
+SEEDS = """1\thttp://data.example.org/sparql\tfirst dataset
+bad line without tabs
+2\thttp://other.example.org/sparql\tsecond dataset
+3\thttp://third.example.org/sparql\tthird
+"""
+
+NT = """<http://ex.org/r1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/TypeA> .
+<http://ex.org/r1> <http://ex.org/p/name> "Alice" .
+<http://ex.org/r1> <http://ex.org/p/knows> <http://ex.org/r2> .
+<http://ex.org/r2> <http://ex.org/p/name> "Bob"@en .
+<http://ex.org/r2> <http://ex.org/p/age> "42"^^<http://www.w3.org/2001/XMLSchema#int> .
+not a triple
+"""
+
+
+def test_seed_list_order_and_malformed_filter(spark, tmp_path):
+    p = tmp_path / "seeds.tsv"
+    p.write_text(SEEDS)
+    rows = read_seed_list(spark, str(p)).collect()
+    assert [r.seed_rank for r in rows] == [0, 1, 2]
+    assert [r.seed_id for r in rows] == ["1", "2", "3"]
+    assert rows[0].url == "http://data.example.org/sparql"
+
+
+def test_read_config(tmp_path):
+    p = tmp_path / "crawl.ini"
+    p.write_text("timeout=100000\n# comment\nmax_res_instances = 5000\n\n")
+    cfg = read_config(str(p))
+    assert cfg == {"timeout": "100000", "max_res_instances": "5000"}
+
+
+def test_ntriples_parse_and_group(spark, tmp_path):
+    p = tmp_path / "dump.nt"
+    p.write_text(NT)
+    triples = read_ntriples(spark, str(p)).collect()
+    assert len(triples) == 5  # malformed line dropped
+    docs = {r.doc_id: r.spans for r in dump_to_documents(spark, str(p)).collect()}
+    assert set(docs) == {"http://ex.org/r1", "http://ex.org/r2"}
+    r1 = [(s.kind, s.text, s.media_ref, s.offset) for s in docs["http://ex.org/r1"]]
+    assert r1 == [
+        ("rdf:type", "http://ex.org/TypeA", None, 0),
+        ("http://ex.org/p/name", "Alice", None, 1),
+        ("http://ex.org/p/knows", None, "http://ex.org/r2", 2),
+    ]
+    r2 = [(s.kind, s.text) for s in docs["http://ex.org/r2"]]
+    assert r2 == [("http://ex.org/p/name", "Bob"), ("http://ex.org/p/age", "42")]
