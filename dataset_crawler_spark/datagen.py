@@ -243,6 +243,31 @@ def documents_for_round_py(
     return rows
 
 
+def documents_for_round_local(
+    spark: SparkSession, n_docs: int, crawl_round: int, n_hosts: int = 50
+) -> DataFrame:
+    """LocalRelation twin of :func:`documents_for_round` for small inputs.
+
+    Same rows (pinned by tests/test_datagen.py parity), but built driver-side
+    via the pure-Python generator: the columnar generator's md5 expression
+    tree costs Catalyst+Janino a near-constant ~seconds per query regardless
+    of row count — a LocalRelation keeps small-fixture plans tiny. Use the
+    columnar twin for bench-scale data, this one below ~10^4 rows."""
+    from pyspark.sql import types as T
+
+    from dataset_crawler_spark.schemas import SPAN
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("spans", T.ArrayType(SPAN)),
+        ]
+    )
+    return spark.createDataFrame(
+        documents_for_round_py(n_docs, crawl_round, n_hosts=n_hosts), schema
+    )
+
+
 # --------------------------------------------------------------------------
 # Frontier + hosts (FIXTURES.md §3-§4)
 # --------------------------------------------------------------------------

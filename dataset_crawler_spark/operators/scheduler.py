@@ -59,29 +59,61 @@ def canonical_candidates(frontier: DataFrame) -> DataFrame:
     return cand
 
 
+#: filters whose total bitset fits comfortably on every executor are probed
+#: broadcast-side (one Arrow pass, no candidate shuffle); larger filters use
+#: the cogroup path where each shard stays on one node. 512 MB ≈ 4·10^8 URLs
+#: @1% FP per executor — beyond that, shard-local probing wins.
+BLOOM_BROADCAST_MAX_BYTES = 512 * 1024 * 1024
+
+
 def filter_unseen(
     candidates: DataFrame,
     bloom_state: DataFrame | None,
     bloom_params: SN.BloomParams | None,
     seen_urls: DataFrame | None,
+    probe_strategy: str = "auto",
 ) -> DataFrame:
     """Exact unseen filter with Bloom fast path.
 
     ``seen_urls``: (url_c) exact table of fetched URLs. Bloom-negative rows
     pass immediately (zero false negatives ⇒ provably unseen); bloom-positive
     rows are confirmed by anti-join against the exact table.
+
+    ``probe_strategy``: ``broadcast`` (whole filter to every executor, no
+    candidate shuffle), ``cogroup`` (shuffle candidates by shard — the
+    10^10-URL path), or ``auto`` (by total filter size vs
+    :data:`BLOOM_BROADCAST_MAX_BYTES`).
     """
     if bloom_state is None or bloom_params is None:
         if seen_urls is None:
             return candidates
         return candidates.join(seen_urls, "url_c", "left_anti")
-    probed = SN.bloom_probe_cogroup(candidates, "url_c", bloom_state, bloom_params)
-    fresh = probed.where(~F.col("seen")).drop("seen")
+    if probe_strategy == "auto":
+        total_bytes = bloom_params.n_shards * bloom_params.n_bits_per_shard // 8
+        probe_strategy = "broadcast" if total_bytes <= BLOOM_BROADCAST_MAX_BYTES else "cogroup"
+    probe = SN.bloom_probe_scalar if probe_strategy == "broadcast" else SN.bloom_probe_cogroup
+    probed = probe(candidates, "url_c", bloom_state, bloom_params)
     if seen_urls is None:
-        return fresh
-    maybe = probed.where(F.col("seen")).drop("seen")
-    confirmed_new = maybe.join(seen_urls, "url_c", "left_anti")
-    return fresh.unionByName(confirmed_new)
+        return probed.where(~F.col("seen")).drop("seen")
+    # Exact confirm as ONE conditional anti-join: keep a candidate unless
+    # (bloom says maybe-seen AND the exact seen table contains it). seen=false
+    # rows satisfy the condition for no right row and pass straight through --
+    # bloom's zero false negatives make that sound; seen=true rows are dropped
+    # exactly when the exact table confirms. Single pass: the naive fresh/maybe
+    # split+union consumes `probed` twice, and Catalyst pushes each branch's
+    # filter through the dedup aggregate (`seen` is a function of the grouping
+    # key), re-running scan+canonicalize+agg+probe once per branch (measured
+    # 2x the round cost; a persist() barrier fixes that but pays a full
+    # columnar cache write instead).
+    # 10^10-scale note: this shuffles all candidates into the join; store the
+    # exact seen table bucketed by url_c and the big side needs no sort/shuffle
+    # beyond this one exchange. The split+union variant only shuffles
+    # bloom-positive rows but needs the persist barrier.
+    s = seen_urls.select(F.col("url_c").alias("_seen_url"))
+    return (
+        probed.join(s, (F.col("url_c") == F.col("_seen_url")) & F.col("seen"), "left_anti")
+        .drop("seen")
+    )
 
 
 def robots_gate(candidates: DataFrame, hosts: DataFrame) -> DataFrame:
@@ -128,6 +160,7 @@ def schedule_round(
     bloom_params: SN.BloomParams | None = None,
     seen_urls: DataFrame | None = None,
     n_salt: int = DEFAULT_N_SALT,
+    probe_strategy: str = "auto",
 ) -> DataFrame:
     """Full scheduling pipeline for one crawl round.
 
@@ -135,6 +168,6 @@ def schedule_round(
     crawl_delay_ms, rank_in_host, scheduled_offset_ms).
     """
     cand = canonical_candidates(frontier)
-    cand = filter_unseen(cand, bloom_state, bloom_params, seen_urls)
+    cand = filter_unseen(cand, bloom_state, bloom_params, seen_urls, probe_strategy)
     cand = robots_gate(cand, hosts)
     return politeness_topk(cand, n_salt=n_salt)

@@ -154,6 +154,43 @@ def bloom_probe_broadcast(
     return hashed.mapInPandas(probe, out_schema)
 
 
+def bloom_probe_scalar(
+    candidates: DataFrame, url_col: str, state: DataFrame, params: BloomParams
+) -> DataFrame:
+    """Broadcast probe as a scalar Arrow UDF over the 64-bit hash ONLY.
+
+    The fastest probe when the filter fits on executors: ships one long
+    column to Python and gets one boolean back — no pass-through of the
+    candidate's string columns through Arrow (5-10× less transfer than
+    ``mapInPandas``), no shuffle. Shard choice happens inside numpy
+    (``h % n_shards`` == the builder's ``pmod(xxhash64, n_shards)``).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    spark = candidates.sparkSession
+    shard_bits = [None] * params.n_shards
+    for r in state.collect():
+        shard_bits[int(r["shard"])] = np.frombuffer(r["bits"], dtype=np.uint8)
+    empty = np.zeros(params.n_bits_per_shard // 8, dtype=np.uint8)
+    shard_mat = np.stack([b if b is not None else empty for b in shard_bits])
+    bc = spark.sparkContext.broadcast(shard_mat)
+    n_bits, n_hashes, n_shards = params.n_bits_per_shard, params.n_hashes, params.n_shards
+
+    def check(h: pd.Series) -> pd.Series:
+        hs = h.to_numpy(np.int64)
+        # numpy % on signed ints is floored — identical to JVM pmod()
+        shards = hs % np.int64(n_shards)
+        hv = hs.astype(np.uint64)
+        mat = bc.value
+        pos = _bloom_positions(hv, n_bits, n_hashes)
+        byte = mat[shards[:, None], pos >> 3]
+        mask = np.uint8(1) << (pos & 7).astype(np.uint8)
+        return pd.Series(((byte & mask) != 0).all(axis=1))
+
+    seen_udf = pandas_udf(check, "boolean")
+    return candidates.withColumn("seen", seen_udf(F.xxhash64(F.col(url_col))))
+
+
 def bloom_probe_cogroup(
     candidates: DataFrame, url_col: str, state: DataFrame, params: BloomParams
 ) -> DataFrame:

@@ -41,7 +41,7 @@ def run_engine_rounds(spark, rounds, resurrect=False):
     all_lineage, all_versions = [], []
     per_round = []
     for rnd in rounds:
-        live = datagen.documents_for_round(spark, N_DOCS, rnd, n_hosts=N_HOSTS)
+        live = datagen.documents_for_round_local(spark, N_DOCS, rnd, n_hosts=N_HOSTS)
         lineage = D.snapshot_diff(state, live, rnd, resurrect=resurrect).cache()
         per_round.append(collect_lineage(lineage))
         all_lineage.append(lineage)
@@ -88,7 +88,7 @@ def test_final_state_span_sequences_match(spark):
 
 
 def test_diff_self_is_empty(spark):
-    live = datagen.documents_for_round(spark, N_DOCS, 0, n_hosts=N_HOSTS)
+    live = datagen.documents_for_round_local(spark, N_DOCS, 0, n_hosts=N_HOSTS)
     state0 = D.apply_diff(
         empty_state(spark), live, D.snapshot_diff(empty_state(spark), live, 0), 0
     )

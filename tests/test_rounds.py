@@ -11,7 +11,7 @@ N_HOSTS = 15
 
 
 def _docs(spark, rnd):
-    return datagen.documents_for_round(spark, N_DOCS, rnd, n_hosts=N_HOSTS)
+    return datagen.documents_for_round_local(spark, N_DOCS, rnd, n_hosts=N_HOSTS)
 
 
 def _visible(engine, as_of=None):

@@ -39,15 +39,24 @@ def _oracle_schedule(seen=None):
 
 
 def test_canonicalizer_parity(spark):
+    """All three canonicalizer twins (native codegen / pandas UDF / pure
+    Python) agree on the dirty-URL corpus."""
+    from dataset_crawler_spark.functions.urls import canonicalize_url_pandas
+
     f = datagen.frontier(spark, 500, n_hosts=N_HOSTS)
     got = {
-        r.url: r.url_c
-        for r in f.select("url", SCH.canonicalize_url(F.col("url")).alias("url_c")).collect()
+        (r.url): (r.url_c, r.url_p)
+        for r in f.select(
+            "url",
+            SCH.canonicalize_url(F.col("url")).alias("url_c"),
+            canonicalize_url_pandas(F.col("url")).alias("url_p"),
+        ).collect()
     }
-    for url, url_c in got.items():
-        assert url_c == canonicalize_url_py(url), url
+    for url, (url_c, url_p) in got.items():
+        want = canonicalize_url_py(url)
+        assert url_c == want == url_p, url
     # dirty variants collapse: canonical forms dedupe the synthetic variants
-    assert any(u != c for u, c in got.items()), "fixtures must include dirty URLs"
+    assert any(u != c for u, (c, _) in got.items()), "fixtures must include dirty URLs"
 
 
 def test_schedule_matches_oracle_no_seen(spark):
