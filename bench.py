@@ -142,8 +142,17 @@ def bench_crawl_round(spark, sf: float) -> tuple[dict, float]:
 
 def bench_diff(spark, sf: float) -> dict:
     n_docs = max(int(1_000_000 * sf), 5_000)
+    docs = {}
+    for rnd in (0, 1):
+        d = os.path.join(CACHE_ROOT, f"docs_{n_docs}_r{rnd}")
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            datagen.documents_for_round(spark, n_docs, rnd, partitions=64).write.mode(
+                "overwrite"
+            ).parquet(d)
+        docs[rnd] = spark.read.parquet(d)
+
     t0 = time.time()
-    live0 = datagen.documents_for_round(spark, n_docs, 0)
+    live0 = docs[0]
     from dataset_crawler_spark.streaming.rounds import STATE_SCHEMA
 
     state0 = spark.createDataFrame([], STATE_SCHEMA)
@@ -153,7 +162,7 @@ def bench_diff(spark, sf: float) -> dict:
     t_bulk = time.time() - t0
 
     t0 = time.time()
-    live1 = datagen.documents_for_round(spark, n_docs, 1)
+    live1 = docs[1]
     lin1 = D.snapshot_diff(state1, live1, 1)
     _force(lin1)
     t_incr = time.time() - t0

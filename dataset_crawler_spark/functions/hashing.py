@@ -98,6 +98,19 @@ def doc_fingerprint(spans: Column) -> Column:
     )
 
 
+def doc_fingerprint_fast(spans: Column) -> Column:
+    """Engine-internal order-sensitive fingerprint: ``xxhash64(to_json(spans))``.
+
+    One JVM hash per document instead of one md5+conv per span — the diff's
+    change gate only needs *equality* semantics (fingerprint equal ⇒ skip the
+    span diff), not cross-engine reproducibility, so the fast hash is correct
+    here; :func:`doc_fingerprint` (h60-based) remains the cross-engine twin
+    used by DuckDB-checked queries. to_json preserves span order and
+    distinguishes null from empty fields, so fingerprint equality ⇒
+    span-sequence equality up to a 2^-64 collision."""
+    return F.xxhash64(F.to_json(spans))
+
+
 def doc_fingerprint_py(spans: list[tuple]) -> int:
     """Pure-Python twin of :func:`doc_fingerprint`; spans are
     (kind, text, media_ref, offset) tuples."""

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dataset_crawler_spark.functions.hashing import NULL_SENTINEL, doc_fingerprint
+from dataset_crawler_spark.functions.hashing import NULL_SENTINEL, doc_fingerprint_fast
 from dataset_crawler_spark.schemas import LOG_ADDED, LOG_DELETED, LOG_UPDATED
 
 def _empty_span_ops():
@@ -44,7 +44,7 @@ def _empty_span_ops():
 
 
 def _with_fp(df: DataFrame, spans_col: str = "spans") -> DataFrame:
-    return df.withColumn("_fp", doc_fingerprint(F.col(spans_col)))
+    return df.withColumn("_fp", doc_fingerprint_fast(F.col(spans_col)))
 
 
 def _lineage_row(op_col, span_ops_col):

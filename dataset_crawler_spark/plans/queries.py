@@ -422,6 +422,46 @@ def j14_equivalence_self_join(spark, sf_dir):
     )
 
 
+@register(
+    "j2_history_6way",
+    """
+    SELECT r_name, n_name, o_orderpriority,
+           COUNT(*) AS n_li, ROUND(SUM(l_extendedprice), 2) AS volume
+    FROM region
+      JOIN nation   ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+    WHERE s_nationkey = c_nationkey
+    GROUP BY r_name, n_name, o_orderpriority
+    """,
+)
+def j2_history_6way(spark, sf_dir):
+    # 6-way chained equi join (J2: full namespace-history reconstruction,
+    # CrawlDBOperations.java:1079-1084). Catalyst broadcasts the dims
+    # (region/nation/supplier) and shuffle-joins the fact chain.
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        r.join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+        .groupBy("r_name", "n_name", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_li"),
+            F.round(F.sum("l_extendedprice"), 2).alias("volume"),
+        )
+    )
+
+
 # ==========================================================================
 # §2.4 Aggregations   (A1, A3, A4, A5, A6, A7)
 # ==========================================================================
@@ -1079,6 +1119,22 @@ def mm_decode_stub_meta(spark, sf_dir):
 # stateful filter bytes and the interleaved-document diff aren't ANSI-SQL.
 # ==========================================================================
 
+@register("engine_sim_lsh_topk", None)
+def engine_sim_lsh_topk(spark, sf_dir):
+    """Approximate nearest neighbors via random-hyperplane LSH (the 10^9-vector
+    scale path: banded signature hash-join, exact cosine re-rank of candidates
+    only). Hyperplanes are numpy-side, so no ANSI-SQL twin — recall vs the
+    brute-force oracle is pinned by tests/test_similarity_multimodal.py."""
+    from dataset_crawler_spark.operators import similarity as SIM
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(e.select("embedding").first()[0])
+    q = e.where(F.col("vec_id") < 5)
+    return SIM.lsh_topk(q, e, k=3, dim=dim).select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
+    )
+
+
 @register("engine_bloom_seen_stats", None)
 def engine_bloom_seen_stats(spark, sf_dir):
     """Build a sharded Bloom filter over half the doc URLs, probe all; emit
@@ -1115,8 +1171,8 @@ def engine_interleaved_lineage(spark, sf_dir):
     from dataset_crawler_spark.streaming.rounds import STATE_SCHEMA
 
     n_docs = 300
-    live0 = datagen.documents_for_round(spark, n_docs, 0)
-    live1 = datagen.documents_for_round(spark, n_docs, 1)
+    live0 = datagen.documents_for_round_local(spark, n_docs, 0)
+    live1 = datagen.documents_for_round_local(spark, n_docs, 1)
     state0 = spark.createDataFrame([], STATE_SCHEMA)
     lin0 = D.snapshot_diff(state0, live0, 0)
     state1 = D.apply_diff(state0, live0, lin0, 0)
