@@ -97,13 +97,23 @@ def span_ops_for_changed(changed: DataFrame) -> DataFrame:
 
 
 def snapshot_diff(
-    state: DataFrame, live: DataFrame, crawl_id: int, resurrect: bool = False
+    state: DataFrame,
+    live: DataFrame,
+    crawl_id: int,
+    resurrect: bool = False,
+    partial: bool = False,
 ) -> DataFrame:
     """Diff the engine state (as of round crawl_id-1) against the live fetch.
 
     ``state``: (doc_id, spans, last_op) — every doc ever seen, including
     tombstones (last_op = 'deleted').  ``live``: (doc_id, spans).
     Returns the LINEAGE DataFrame (schemas.LINEAGE).
+
+    ``partial=True`` declares ``live`` an incremental fetch (discovery mode:
+    only newly scheduled URLs were fetched), so a state doc absent from
+    ``live`` means "not refetched this round", NOT "gone" — the deleted
+    branch is suppressed. With ``partial=False`` ``live`` is a full snapshot
+    (the reference's per-round semantics) and absence ⇒ deleted.
     """
     prev = _with_fp(state).select(
         "doc_id", F.col("spans").alias("prev_spans"), "last_op", F.col("_fp").alias("prev_fp")
@@ -120,7 +130,10 @@ def snapshot_diff(
     if resurrect:
         added_cond = added_cond | (in_prev & in_live & tombstoned)
     added = j.where(added_cond).select(*_lineage_row(F.lit(LOG_ADDED), _empty_span_ops()))
-    deleted = j.where(in_prev & ~in_live & ~tombstoned).select(
+    deleted_cond = in_prev & ~in_live & ~tombstoned
+    if partial:
+        deleted_cond = F.lit(False)
+    deleted = j.where(deleted_cond).select(
         *_lineage_row(F.lit(LOG_DELETED), _empty_span_ops())
     )
 

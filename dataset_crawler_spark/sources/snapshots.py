@@ -99,8 +99,14 @@ class SnapshotStore:
         ]
         if not pairs:
             raise FileNotFoundError(f"no committed data for table {table!r} (as_of={as_of})")
-        dfs = None
-        for r, p in pairs:
-            part = self.spark.read.parquet(p).withColumn("crawl_id", F.lit(r).cast("int"))
-            dfs = part if dfs is None else dfs.unionByName(part)
-        return dfs
+        # One partition-discovered scan over the committed partition dirs
+        # (NOT a per-round union — after R rounds that is an R-way union plan
+        # Catalyst re-optimizes on every action). ``basePath`` makes Spark
+        # parse crawl_id back out of the directory names as a partition
+        # column, so crawl_id range predicates prune at the file level —
+        # the Iceberg-snapshot read path shape (CrawlLoadData.java:36-229).
+        return (
+            self.spark.read.option("basePath", base)
+            .parquet(*[p for _, p in pairs])
+            .withColumn("crawl_id", F.col("crawl_id").cast("int"))
+        )

@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dataset_crawler_spark.operators import diff as D
+from dataset_crawler_spark.operators import scheduler as SCH
+from dataset_crawler_spark.operators import seen as SN
 from dataset_crawler_spark.operators import state as S
 from dataset_crawler_spark.schemas import SPAN
 from dataset_crawler_spark.sources.snapshots import SnapshotStore
@@ -71,13 +73,17 @@ class CrawlEngine:
 
     # -- one round ----------------------------------------------------------
 
-    def run_round(self, live: DataFrame, crawl_id: int, description: str = "") -> dict:
+    def run_round(
+        self, live: DataFrame, crawl_id: int, description: str = "", partial: bool = False
+    ) -> dict:
         """Ingest one fetched snapshot: diff vs state, write lineage +
         versions + metrics, commit. Returns the round stats dict."""
         t0 = time.time()
         prev_round = crawl_id - 1 if crawl_id > 0 else None
         state = self.state_as_of(prev_round)
-        lineage = D.snapshot_diff(state, live, crawl_id, resurrect=self.resurrect).cache()
+        lineage = D.snapshot_diff(
+            state, live, crawl_id, resurrect=self.resurrect, partial=partial
+        ).cache()
         versions = S.versions_from_round(live, lineage, crawl_id)
 
         op_counts = {
@@ -99,6 +105,97 @@ class CrawlEngine:
         self.store.append("metrics", metrics, crawl_id)
         self.store.commit_round(crawl_id, description, stats)
         lineage.unpersist()
+        return stats
+
+
+    # -- full lifecycle: schedule → fetch → diff → commit --------------------
+
+    def seen_urls_as_of(self, as_of: int | None) -> DataFrame | None:
+        """Exact table of canonical URLs fetched in committed rounds ≤ as_of."""
+        if as_of is None or not self.store.committed_rounds():
+            return None
+        try:
+            return self.store.read("fetched", as_of=as_of).select("url_c").distinct()
+        except FileNotFoundError:
+            return None
+
+    def bloom_as_of(self, as_of: int | None) -> DataFrame | None:
+        """Latest committed merged bloom shards ≤ as_of (None before round 0)."""
+        if as_of is None or not self.store.committed_rounds():
+            return None
+        try:
+            b = self.store.read("bloom", as_of=as_of)
+        except FileNotFoundError:
+            return None
+        latest = b.agg(F.max("crawl_id")).first()[0]
+        return b.where(F.col("crawl_id") == latest).drop("crawl_id")
+
+    def crawl_round(
+        self,
+        frontier: DataFrame,
+        hosts: DataFrame,
+        fetch_fn: FetchFn,
+        crawl_id: int,
+        bloom_params: SN.BloomParams | None = None,
+        description: str = "",
+        mode: str = "discover",
+    ) -> dict:
+        """One complete crawl round (the reference's single_run iteration,
+        IncrementalDatasetCrawler.java:121-185, distributed):
+
+        1. schedule: canonicalize → seen filter (incremental bloom + exact
+           fetched table) → robots gate → salted politeness top-k;
+        2. fetch the scheduled URLs (``fetch_fn`` — simulated or HTTP);
+        3. diff the fetched snapshot vs state, write lineage/versions/metrics;
+        4. extend the seen state: append this round's fetched URLs and the
+           OR-merged bloom shards (bloom_merge — the filter is never rebuilt
+           from scratch, matching the 10^10-URL incremental design);
+        5. commit the round manifest (atomic — crash before this point leaves
+           a replayable round).
+
+        ``mode="discover"``: frontier is a discovery queue — already-fetched
+        URLs are seen-filtered out and the partial diff only ever adds (the
+        10^10-frontier growth regime). ``mode="full"``: the reference's
+        re-crawl semantics — every frontier URL is eligible (no seen skip),
+        the fetched set is a full snapshot, and the diff emits
+        added/updated/deleted exactly like CrawlOperations.java:715-827.
+        """
+        if mode not in ("discover", "full"):
+            raise ValueError(f"unknown crawl mode {mode!r}")
+        prev_round = crawl_id - 1 if crawl_id > 0 else None
+        discover = mode == "discover"
+        seen = self.seen_urls_as_of(prev_round) if discover else None
+        bloom_state = (
+            self.bloom_as_of(prev_round) if (bloom_params is not None and discover) else None
+        )
+
+        sched = SCH.schedule_round(
+            frontier,
+            hosts,
+            bloom_state=bloom_state,
+            bloom_params=bloom_params if bloom_state is not None else None,
+            seen_urls=seen,
+        ).cache()
+        n_scheduled = sched.count()
+        live = fetch_fn(self.spark, sched).cache()
+        n_fetched = live.count()
+
+        fetched = live.select(F.col("doc_id").alias("url_c"))
+        self.store.append("fetched", fetched, crawl_id)
+        if bloom_params is not None:
+            new_shards = SN.bloom_build(fetched, "url_c", bloom_params)
+            merged = (
+                SN.bloom_merge(bloom_state, new_shards)
+                if bloom_state is not None
+                else new_shards
+            )
+            self.store.append("bloom", merged, crawl_id)
+
+        stats = self.run_round(live, crawl_id, description=description, partial=discover)
+        stats["scheduled"] = int(n_scheduled)
+        stats["fetched"] = int(n_fetched)
+        sched.unpersist()
+        live.unpersist()
         return stats
 
 
