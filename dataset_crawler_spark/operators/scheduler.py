@@ -84,6 +84,17 @@ def filter_unseen(
     10^10-URL path), or ``auto`` (by total filter size vs
     :data:`BLOOM_BROADCAST_MAX_BYTES`).
     """
+    if probe_strategy == "cuckoo":
+        # deletion-capable seen filter: tombstoned URLs were cuckoo_delete'd
+        # from the state, so they probe unseen and become re-fetchable
+        # (north_star resurrect mode). bloom_params.n_shards carries the
+        # shard count; bloom_state is the cuckoo shard table.
+        if bloom_state is None or bloom_params is None:
+            if seen_urls is None:
+                return candidates
+            return candidates.join(seen_urls, "url_c", "left_anti")
+        probed = SN.cuckoo_probe(candidates, "url_c", bloom_state, bloom_params.n_shards)
+        return _confirm_unseen(probed, seen_urls)
     if bloom_state is None or bloom_params is None:
         if seen_urls is None:
             return candidates
@@ -93,22 +104,27 @@ def filter_unseen(
         probe_strategy = "broadcast" if total_bytes <= BLOOM_BROADCAST_MAX_BYTES else "cogroup"
     probe = SN.bloom_probe_scalar if probe_strategy == "broadcast" else SN.bloom_probe_cogroup
     probed = probe(candidates, "url_c", bloom_state, bloom_params)
+    return _confirm_unseen(probed, seen_urls)
+
+
+def _confirm_unseen(probed: DataFrame, seen_urls: DataFrame | None) -> DataFrame:
+    """Exact confirm as ONE conditional anti-join: keep a candidate unless
+    (filter says maybe-seen AND the exact seen table contains it). seen=false
+    rows satisfy the condition for no right row and pass straight through —
+    the filter's zero false negatives make that sound; seen=true rows are
+    dropped exactly when the exact table confirms. Single pass: the naive
+    fresh/maybe split+union consumes `probed` twice, and Catalyst pushes each
+    branch's filter through the dedup aggregate (`seen` is a function of the
+    grouping key), re-running scan+canonicalize+agg+probe once per branch
+    (measured 2x the round cost; a persist() barrier fixes that but pays a
+    full columnar cache write instead).
+
+    10^10-scale note: this shuffles all candidates into the join; store the
+    exact seen table bucketed by url_c and the big side needs no sort/shuffle
+    beyond this one exchange. The split+union variant only shuffles
+    filter-positive rows but needs the persist barrier."""
     if seen_urls is None:
         return probed.where(~F.col("seen")).drop("seen")
-    # Exact confirm as ONE conditional anti-join: keep a candidate unless
-    # (bloom says maybe-seen AND the exact seen table contains it). seen=false
-    # rows satisfy the condition for no right row and pass straight through --
-    # bloom's zero false negatives make that sound; seen=true rows are dropped
-    # exactly when the exact table confirms. Single pass: the naive fresh/maybe
-    # split+union consumes `probed` twice, and Catalyst pushes each branch's
-    # filter through the dedup aggregate (`seen` is a function of the grouping
-    # key), re-running scan+canonicalize+agg+probe once per branch (measured
-    # 2x the round cost; a persist() barrier fixes that but pays a full
-    # columnar cache write instead).
-    # 10^10-scale note: this shuffles all candidates into the join; store the
-    # exact seen table bucketed by url_c and the big side needs no sort/shuffle
-    # beyond this one exchange. The split+union variant only shuffles
-    # bloom-positive rows but needs the persist barrier.
     s = seen_urls.select(F.col("url_c").alias("_seen_url"))
     return (
         probed.join(s, (F.col("url_c") == F.col("_seen_url")) & F.col("seen"), "left_anti")

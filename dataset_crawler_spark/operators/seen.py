@@ -316,6 +316,38 @@ def cuckoo_build(urls: DataFrame, url_col: str, n_shards: int, n_buckets: int) -
     return hashed.groupBy("shard").applyInPandas(build, CUCKOO_STATE_SCHEMA)
 
 
+def cuckoo_insert(state: DataFrame, urls: DataFrame, url_col: str, n_shards: int) -> DataFrame:
+    """Insert URLs into an EXISTING cuckoo state (incremental rounds — the
+    filter is never rebuilt). Idempotent set semantics per fingerprint."""
+    hashed = _with_shard_hash(urls, url_col, n_shards).select("shard", "_h")
+
+    def insert(st: pd.DataFrame, ins: pd.DataFrame) -> pd.DataFrame:
+        if len(st) == 0:
+            return pd.DataFrame(columns=["shard", "n_buckets", "bits"])
+        n_buckets = int(st["n_buckets"].iloc[0])
+        t = _CuckooTable(
+            n_buckets,
+            np.frombuffer(st["bits"].iloc[0], dtype=np.uint16).reshape(n_buckets, _SLOTS).copy(),
+        )
+        if len(ins):
+            t.insert_many(ins["_h"].to_numpy(np.uint64))
+        return pd.DataFrame(
+            {"shard": [int(st["shard"].iloc[0])], "n_buckets": [n_buckets], "bits": [t.t.tobytes()]}
+        )
+
+    return (
+        state.groupBy("shard").cogroup(hashed.groupBy("shard")).applyInPandas(insert, CUCKOO_STATE_SCHEMA)
+    )
+
+
+def cuckoo_empty(spark, n_shards: int, n_buckets: int) -> DataFrame:
+    """All-empty shard tables — the round-0 state cuckoo_insert grows from."""
+    empty = _CuckooTable(n_buckets).t.tobytes()
+    return spark.createDataFrame(
+        [(s, n_buckets, bytearray(empty)) for s in range(n_shards)], CUCKOO_STATE_SCHEMA
+    )
+
+
 def cuckoo_delete(state: DataFrame, urls: DataFrame, url_col: str, n_shards: int) -> DataFrame:
     """Remove URLs from the filter (tombstone resurrection support)."""
     hashed = _with_shard_hash(urls, url_col, n_shards).select("shard", "_h")

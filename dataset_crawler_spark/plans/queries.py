@@ -423,6 +423,55 @@ def j14_equivalence_self_join(spark, sf_dir):
 
 
 @register(
+    "k2_upsert_merge",
+    """
+    WITH delta AS (
+      SELECT o_custkey AS c_custkey, ROUND(SUM(o_totalprice), 2) AS new_bal
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 25
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, 0.0 AS new_bal
+      FROM customer WHERE c_custkey % 997 = 0
+    )
+    SELECT c.c_custkey, 'updated' AS src, d.new_bal AS bal
+      FROM customer c JOIN delta d USING (c_custkey)
+    UNION ALL
+    SELECT d.c_custkey, 'inserted' AS src, d.new_bal AS bal
+      FROM delta d ANTI JOIN customer c USING (c_custkey)
+    UNION ALL
+    SELECT c.c_custkey, 'kept' AS src, ROUND(c.c_acctbal, 2) AS bal
+      FROM customer c ANTI JOIN delta d USING (c_custkey)
+    """,
+)
+def k2_upsert_merge(spark, sf_dir):
+    # K2 upsert sink: UPDATE-if-exists-else-INSERT (CrawlDBOperations.java:36-80
+    # + existence check :1341-1364) as MERGE semantics — join for updates,
+    # anti-join for inserts, anti-join for carry-over; on Iceberg this is one
+    # MERGE INTO, here the explicit anti-join+union twin.
+    c = _t(spark, sf_dir, "customer")
+    upd = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("new_bal"), F.count("*").alias("_n"))
+        .where(F.col("_n") >= 25)
+        .drop("_n")
+    )
+    ins = c.where(F.col("c_custkey") % 997 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"), F.lit(0.0).alias("new_bal")
+    )
+    delta = upd.unionByName(ins)
+    updated = c.join(delta, "c_custkey").select(
+        "c_custkey", F.lit("updated").alias("src"), F.col("new_bal").alias("bal")
+    )
+    inserted = delta.join(c, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("inserted").alias("src"), F.col("new_bal").alias("bal")
+    )
+    kept = c.join(delta, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("kept").alias("src"), F.round("c_acctbal", 2).alias("bal")
+    )
+    return updated.unionByName(inserted).unionByName(kept)
+
+
+@register(
     "j2_history_6way",
     """
     SELECT r_name, n_name, o_orderpriority,

@@ -111,13 +111,29 @@ class CrawlEngine:
     # -- full lifecycle: schedule → fetch → diff → commit --------------------
 
     def seen_urls_as_of(self, as_of: int | None) -> DataFrame | None:
-        """Exact table of canonical URLs fetched in committed rounds ≤ as_of."""
+        """Exact table of canonical URLs fetched in committed rounds ≤ as_of.
+
+        In resurrect mode, tombstoned docs (last lineage op = deleted) are
+        excluded — their URLs become re-fetchable, the exact-table twin of the
+        cuckoo deletion (north_star: "tombstoned URLs re-admitted")."""
         if as_of is None or not self.store.committed_rounds():
             return None
         try:
-            return self.store.read("fetched", as_of=as_of).select("url_c").distinct()
+            fetched = self.store.read("fetched", as_of=as_of).select("url_c").distinct()
         except FileNotFoundError:
             return None
+        if not self.resurrect:
+            return fetched
+        try:
+            lin = self.store.read("lineage", as_of=as_of)
+        except FileNotFoundError:
+            return fetched
+        tomb = (
+            S.last_state(lin, as_of)
+            .where(F.col("last_op") == "deleted")
+            .select(F.col("doc_id").alias("url_c"))
+        )
+        return fetched.join(tomb, "url_c", "left_anti")
 
     def bloom_as_of(self, as_of: int | None) -> DataFrame | None:
         """Latest committed merged bloom shards ≤ as_of (None before round 0)."""
@@ -130,6 +146,18 @@ class CrawlEngine:
         latest = b.agg(F.max("crawl_id")).first()[0]
         return b.where(F.col("crawl_id") == latest).drop("crawl_id")
 
+    def cuckoo_as_of(self, as_of: int | None) -> DataFrame | None:
+        """Latest committed cuckoo shard table ≤ as_of (deletion-capable twin
+        of :meth:`bloom_as_of`)."""
+        if as_of is None or not self.store.committed_rounds():
+            return None
+        try:
+            c = self.store.read("cuckoo", as_of=as_of)
+        except FileNotFoundError:
+            return None
+        latest = c.agg(F.max("crawl_id")).first()[0]
+        return c.where(F.col("crawl_id") == latest).drop("crawl_id")
+
     def crawl_round(
         self,
         frontier: DataFrame,
@@ -139,6 +167,8 @@ class CrawlEngine:
         bloom_params: SN.BloomParams | None = None,
         description: str = "",
         mode: str = "discover",
+        seen_filter: str = "bloom",
+        cuckoo_buckets: int = 1 << 12,
     ) -> dict:
         """One complete crawl round (the reference's single_run iteration,
         IncrementalDatasetCrawler.java:121-185, distributed):
@@ -159,22 +189,36 @@ class CrawlEngine:
         re-crawl semantics — every frontier URL is eligible (no seen skip),
         the fetched set is a full snapshot, and the diff emits
         added/updated/deleted exactly like CrawlOperations.java:715-827.
+
+        ``seen_filter="bloom"`` (default) or ``"cuckoo"`` — the cuckoo state
+        supports deletion: with ``resurrect=True``, URLs tombstoned in a round
+        are cuckoo_delete'd (and excluded from the exact table), so if they
+        reappear in the frontier they are re-fetched and re-added. The cuckoo
+        state is written after the round commit; a crash in between just
+        falls back to the previous round's filter (over-scheduling a few
+        URLs, which the idempotent diff absorbs).
         """
         if mode not in ("discover", "full"):
             raise ValueError(f"unknown crawl mode {mode!r}")
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown seen_filter {seen_filter!r}")
         prev_round = crawl_id - 1 if crawl_id > 0 else None
         discover = mode == "discover"
+        cuckoo = seen_filter == "cuckoo"
         seen = self.seen_urls_as_of(prev_round) if discover else None
-        bloom_state = (
-            self.bloom_as_of(prev_round) if (bloom_params is not None and discover) else None
-        )
+        filter_state = None
+        if discover and bloom_params is not None:
+            filter_state = (
+                self.cuckoo_as_of(prev_round) if cuckoo else self.bloom_as_of(prev_round)
+            )
 
         sched = SCH.schedule_round(
             frontier,
             hosts,
-            bloom_state=bloom_state,
-            bloom_params=bloom_params if bloom_state is not None else None,
+            bloom_state=filter_state,
+            bloom_params=bloom_params if filter_state is not None else None,
             seen_urls=seen,
+            probe_strategy="cuckoo" if (cuckoo and filter_state is not None) else "auto",
         ).cache()
         n_scheduled = sched.count()
         live = fetch_fn(self.spark, sched).cache()
@@ -182,11 +226,12 @@ class CrawlEngine:
 
         fetched = live.select(F.col("doc_id").alias("url_c"))
         self.store.append("fetched", fetched, crawl_id)
-        if bloom_params is not None:
+        if bloom_params is not None and not cuckoo:
+            prev_bloom = self.bloom_as_of(prev_round)
             new_shards = SN.bloom_build(fetched, "url_c", bloom_params)
             merged = (
-                SN.bloom_merge(bloom_state, new_shards)
-                if bloom_state is not None
+                SN.bloom_merge(prev_bloom, new_shards)
+                if prev_bloom is not None
                 else new_shards
             )
             self.store.append("bloom", merged, crawl_id)
@@ -194,6 +239,21 @@ class CrawlEngine:
         stats = self.run_round(live, crawl_id, description=description, partial=discover)
         stats["scheduled"] = int(n_scheduled)
         stats["fetched"] = int(n_fetched)
+
+        if bloom_params is not None and cuckoo:
+            prev_ck = self.cuckoo_as_of(prev_round) or SN.cuckoo_empty(
+                self.spark, bloom_params.n_shards, cuckoo_buckets
+            )
+            ck = SN.cuckoo_insert(prev_ck, fetched, "url_c", bloom_params.n_shards)
+            if self.resurrect:
+                tomb = (
+                    self.store.read("lineage", as_of=crawl_id)
+                    .where((F.col("crawl_id") == crawl_id) & (F.col("op") == "deleted"))
+                    .select(F.col("doc_id").alias("url_c"))
+                )
+                ck = SN.cuckoo_delete(ck, tomb, "url_c", bloom_params.n_shards)
+            self.store.append("cuckoo", ck, crawl_id)
+
         sched.unpersist()
         live.unpersist()
         return stats

@@ -52,6 +52,54 @@ def windowed_host_metrics(stream: DataFrame, window: str = "1 minute", watermark
     )
 
 
+ADMITTED_SCHEMA = "host string, url string, fetched_at timestamp, cum_admitted long"
+
+
+def stateful_host_budget(stream: DataFrame, budget: int) -> DataFrame:
+    """Custom stateful operator: per-host cumulative fetch budget ACROSS
+    micro-batches (``applyInPandasWithState``).
+
+    The batch engine enforces the per-round budget inside one round
+    (politeness_topk); the streaming twin must remember how much of a host's
+    budget earlier micro-batches consumed — state Spark's built-in windowed
+    aggs can't express. Per host: admit events in ``fetched_at`` order until
+    the cumulative count reaches ``budget``, carrying the count in group
+    state; later batches resume from the persisted count (checkpointed, so a
+    restarted query continues exactly).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def gate(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        (host,) = key
+        used = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if used >= budget or len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("fetched_at", kind="mergesort")
+            take = min(budget - used, len(pdf))
+            out = pdf.iloc[:take]
+            used += take
+            yield pd.DataFrame(
+                {
+                    "host": out["host"],
+                    "url": out["url"],
+                    "fetched_at": out["fetched_at"],
+                    "cum_admitted": range(used - take + 1, used + 1),
+                }
+            )
+        state.update((used,))
+
+    return stream.groupBy("host").applyInPandasWithState(
+        gate,
+        outputStructType=ADMITTED_SCHEMA,
+        stateStructType="used long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(metrics: DataFrame, out_path: str, checkpoint: str) -> None:
     """Drain everything currently in the source as micro-batches (≈ rounds),
     then stop — the engine's batch-streaming bridge. Append mode: windows are

@@ -121,6 +121,60 @@ def test_full_mode_matches_reference_oracle(spark, tmp_path):
     assert got == oracle.visible_docs()
 
 
+def test_cuckoo_resurrection_refetches_tombstoned(spark, tmp_path):
+    """North_star resurrect mode: deleted docs are cuckoo_delete'd from the
+    seen state, so when they reappear in the frontier they get re-fetched and
+    re-added — while alive already-fetched docs stay blocked."""
+    eng = CrawlEngine(spark, str(tmp_path / "store"), resurrect=True)
+    hosts = _open_hosts(spark)
+    params = SN.BloomParams.for_capacity(N_DOCS, fp_rate=0.01, n_shards=4)
+
+    # rounds 0 and 1 in FULL mode (reference re-crawl): round 1 deletes the
+    # m∈[8,16) docs and the m∈[16,18) tombstone-resurrect docs
+    for rnd in (0, 1):
+        eng.crawl_round(
+            _live_frontier(spark, rnd), hosts, simulated_fetcher(_corpus(spark, rnd)),
+            rnd, bloom_params=params, mode="full", seen_filter="cuckoo",
+        )
+    deleted_r1 = {
+        r.doc_id
+        for r in eng.store.read("lineage", as_of=1)
+        .where("crawl_id = 1 AND op = 'deleted'")
+        .collect()
+    }
+    assert deleted_r1, "fixture must delete docs in round 1"
+
+    # round 2 DISCOVER over the full URL universe: everything alive is seen;
+    # only the resurrected docs (present again in corpus r2) must re-fetch
+    corpus2 = _corpus(spark, 2)
+    s2 = eng.crawl_round(
+        _frontier(spark), hosts, simulated_fetcher(corpus2), 2,
+        bloom_params=params, mode="discover", seen_filter="cuckoo",
+    )
+    fetched2 = {
+        r.url_c
+        for r in eng.store.read("fetched", as_of=2).where("crawl_id = 2").collect()
+    }
+    corpus2_ids = {r.doc_id for r in corpus2.select("doc_id").collect()}
+    resurrected = deleted_r1 & corpus2_ids
+    assert resurrected, "fixture must resurrect tombstoned docs in round 2"
+    # every resurrected doc whose frontier row canonicalizes to the clean URL
+    # gets refetched (the d==5 dirty variant keeps its sorted query string and
+    # is a different canonical URL, so it can't hit the corpus doc_id)
+    from dataset_crawler_spark.functions.hashing import h60_py
+
+    reachable = {
+        u for u in resurrected if h60_py(f"d|{int(u.rsplit('/', 1)[1])}") % 6 != 5
+    }
+    assert reachable and reachable <= fetched2
+    # nothing alive-and-already-fetched is refetched
+    alive_fetched = {
+        r.url_c for r in eng.store.read("fetched", as_of=1).collect()
+    } - deleted_r1
+    assert not (fetched2 & alive_fetched)
+    assert s2["added"] == s2["fetched"]  # resurrections come back as added
+
+
 def test_politeness_budget_enforced_in_lifecycle(spark, tmp_path):
     eng = CrawlEngine(spark, str(tmp_path / "store"))
     frontier = _frontier(spark)

@@ -51,3 +51,55 @@ def test_ntriples_parse_and_group(spark, tmp_path):
     ]
     r2 = [(s.kind, s.text) for s in docs["http://ex.org/r2"]]
     assert r2 == [("http://ex.org/p/name", "Bob"), ("http://ex.org/p/age", "42")]
+
+
+ROBOTS = """# global rules
+User-agent: *
+Disallow: /private
+Disallow: /tmp/
+Crawl-delay: 2.5
+
+User-agent: evilbot
+Disallow: /
+"""
+
+ROBOTS_NAMED = """User-agent: goodbot
+User-agent: *
+Disallow: /x
+"""
+
+
+def test_robots_parse_and_hosts_dim(spark):
+    from dataset_crawler_spark.sources.robots import (
+        hosts_dim_from_robots,
+        parse_robots_py,
+    )
+
+    assert parse_robots_py(ROBOTS) == (["/private", "/tmp/"], 2500)
+    assert parse_robots_py(ROBOTS, agent="evilbot") == (["/"], None)
+    assert parse_robots_py(ROBOTS_NAMED, agent="goodbot") == (["/x"], None)
+    assert parse_robots_py("") == ([], None)
+
+    df = spark.createDataFrame(
+        [("a.org", ROBOTS), ("b.org", None)], "host string, robots_txt string"
+    )
+    got = {r.host: r for r in hosts_dim_from_robots(df, default_delay_ms=500).collect()}
+    assert got["a.org"].robots_disallow == ["/private", "/tmp/"]
+    assert got["a.org"].crawl_delay_ms == 2500
+    assert got["b.org"].robots_disallow == []
+    assert got["b.org"].crawl_delay_ms == 500
+    assert all(r.is_available for r in got.values())
+
+    # end-to-end: the parsed dimension drives the scheduler's robots gate
+    from dataset_crawler_spark.operators.scheduler import robots_gate
+
+    cand = spark.createDataFrame(
+        [
+            ("https://a.org/private/x", "a.org"),
+            ("https://a.org/ok", "a.org"),
+            ("https://b.org/private/x", "b.org"),
+        ],
+        "url_c string, host string",
+    )
+    kept = {r.url_c for r in robots_gate(cand, hosts_dim_from_robots(df)).collect()}
+    assert kept == {"https://a.org/ok", "https://b.org/private/x"}

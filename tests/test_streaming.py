@@ -37,3 +37,65 @@ def test_windowed_metrics_available_now(spark, tmp_path):
     assert got[(0, "hostA")] == (2, 1, 100)
     assert got[(0, "hostB")] == (1, 1, 300)
     assert got[(1, "hostA")] == (1, 1, 200)
+
+
+def test_stateful_host_budget_across_batches(spark, tmp_path):
+    """The applyInPandasWithState gate must carry per-host admitted counts
+    across micro-batches: 4 admitted in batch 1 + budget 5 ⇒ only 1 more in
+    batch 2, regardless of how many arrive."""
+    from dataset_crawler_spark.streaming.stream import stateful_host_budget
+
+    src = tmp_path / "events"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def drop(n_file, rows):
+        spark.createDataFrame(rows, FETCH_EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"batch{n_file}"))
+
+    batch1 = [(f"a{i}", "hostA", t0 + dt.timedelta(seconds=i), "success", 1) for i in range(4)]
+    batch1 += [(f"b{i}", "hostB", t0 + dt.timedelta(seconds=i), "success", 1) for i in range(2)]
+    drop(1, batch1)
+
+    stream = spark.readStream.schema(FETCH_EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/batch*")
+    admitted = stateful_host_budget(stream, budget=5)
+    q = (
+        admitted.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch2 = [(f"a{i}", "hostA", t0 + dt.timedelta(minutes=1, seconds=i), "success", 1)
+              for i in range(3)]
+    drop(2, batch2)
+    q = (
+        stateful_host_budget(
+            spark.readStream.schema(FETCH_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/batch*"),
+            budget=5,
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))  # same checkpoint: state resumes
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    res = spark.read.parquet(str(out))
+    by_host = {r["host"]: r["n"] for r in res.groupBy("host").count().withColumnRenamed("count", "n").collect()}
+    assert by_host["hostA"] == 5  # 4 from batch 1 + exactly 1 from batch 2
+    assert by_host["hostB"] == 2
+    cums = sorted(r.cum_admitted for r in res.where("host = 'hostA'").collect())
+    assert cums == [1, 2, 3, 4, 5]
