@@ -113,6 +113,51 @@ def test_reconstruction_equals_incremental_state(spark):
     assert got1 == o1.visible_docs()
 
 
+def test_span_ops_narrow_explode_parity(spark):
+    """The narrow array-expression span diff and the explode/shuffle span
+    diff must be byte-identical — including docs above NARROW_DIFF_MAX_SPANS
+    (the hybrid threshold), duplicate spans, and out-of-order offsets."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for d in range(30):
+        n = rng.choice([3, 9, 40, 300])  # 300 > NARROW_DIFF_MAX_SPANS
+        base = [
+            ("text" if i % 3 else "link",
+             f"tok{rng.randrange(5)}" if i % 3 else None,
+             None if i % 3 else f"https://t/{rng.randrange(5)}",
+             i)
+            for i in range(n)
+        ]
+        live = [s for s in base if rng.random() > 0.2]
+        live += [("text", f"new{i}", None, n + i) for i in range(rng.randrange(3))]
+        rng.shuffle(live)  # out-of-order arrays must not change occ ranks
+        live = [(k, t, m, i) for i, (k, t, m, _) in enumerate(live)]
+        rng.shuffle(live)
+        rows.append((f"d{d}", base, live))
+    changed = spark.createDataFrame(
+        rows,
+        "doc_id string, prev_spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, live_spans array<struct<kind:string,"
+        "text:string,media_ref:string,offset:int>>",
+    )
+    via_explode = {
+        r.doc_id: [(o.kind, o.offset, o.op) for o in r.span_ops]
+        for r in D.span_ops_for_changed(changed).collect()
+    }
+    via_narrow = {
+        r.doc_id: [(o.kind, o.offset, o.op) for o in r.span_ops]
+        for r in changed.select(
+            "doc_id",
+            D.span_ops_narrow(F.col("prev_spans"), F.col("live_spans")).alias("span_ops"),
+        ).collect()
+    }
+    for d, ops in via_narrow.items():
+        assert ops == via_explode.get(d, []), d
+    assert any(len(v) > 0 for v in via_narrow.values())
+
+
 def test_tombstone_resurrection_semantics(spark):
     """Faithful mode: resurrected docs emit no lineage and stay invisible."""
     _, engine_rounds, _, _ = run_engine_rounds(spark, [0, 1, 2], resurrect=False)
