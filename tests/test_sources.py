@@ -53,6 +53,36 @@ def test_ntriples_parse_and_group(spark, tmp_path):
     assert r2 == [("http://ex.org/p/name", "Bob"), ("http://ex.org/p/age", "42")]
 
 
+CKAN = """{"id":"ds1","name":"dbpedia","title":"DBpedia","notes":"RDF of wikipedia",
+ "tags":[{"name":"lod"},{"name":"publication"}],"groups":[{"name":"lodcloud"}],
+ "resources":[{"url":"http://dbpedia.org/dump.nt","format":"ntriples","description":"dump"},
+              {"url":"http://dbpedia.org/sparql","format":"api/sparql","description":"SPARQL endpoint"}]}"""
+
+CKAN_NO_EP = """{"id":"ds2","name":"csvonly","title":"CSV only","notes":null,
+ "tags":[],"groups":[{"name":"gov"}],
+ "resources":[{"url":"http://x.org/data.csv","format":"CSV","description":"csv file"}]}"""
+
+
+def test_ckan_metadata(spark):
+    from dataset_crawler_spark.sources.ckan import (
+        parse_ckan_packages,
+        publication_content_filter,
+    )
+
+    df = spark.createDataFrame([(CKAN,), (CKAN_NO_EP,), ("not json",)], "payload string")
+    rows = {r.dataset_id: r for r in parse_ckan_packages(df).collect() if r.dataset_id}
+    assert rows["ds1"].endpoint_url == "http://dbpedia.org/sparql"
+    assert rows["ds1"].has_sparql_endpoint
+    assert rows["ds1"].tags == ["lod", "publication"]
+    assert rows["ds2"].endpoint_url is None and not rows["ds2"].has_sparql_endpoint
+    # malformed JSON degrades to null metadata, not an error
+    assert len(rows) == 2
+
+    parsed = parse_ckan_packages(df).where("dataset_id is not null")
+    kept = {r.dataset_id for r in publication_content_filter(parsed, "publication").collect()}
+    assert kept == {"ds1"}
+
+
 ROBOTS = """# global rules
 User-agent: *
 Disallow: /private
