@@ -64,6 +64,73 @@ def with_lsh_signature(df: DataFrame, dim: int, n_bits: int = 16, seed: int = 42
     return df.withColumn("sig", sig(F.col("embedding")))
 
 
+def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, ties → lowest
+    centroid id). ``centroids``: (centroid_id, c_emb) — small, broadcast."""
+    cos = cosine_col(F.col("embedding"), F.col("c_emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("centroid_id"))
+    return (
+        corpus.join(F.broadcast(centroids), how="cross")
+        .select("vec_id", "embedding", "centroid_id", cos.alias("_cos"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic coarse centroids: the ``n_centroids`` corpus vectors with
+    the lowest ``xxhash64(vec_id)`` — a seedless uniform sample (no RNG, no
+    wall clock; identical at any parallelism). A k-means refinement can drop
+    in without changing the probe path."""
+    w = Window.orderBy(F.xxhash64(F.col("vec_id").cast("string")), F.col("vec_id"))
+    return (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_centroids)
+        .select(
+            (F.col("_rn") - 1).alias("centroid_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index: assign corpus vectors to
+    coarse centroids (one pass, centroid table broadcast), probe only the
+    ``n_probe`` centroids nearest each query, exact cosine re-rank inside the
+    probed cells. At 10^9 vectors the candidate join is a hash join on
+    ``centroid_id`` over ~n_probe/n_centroids of the corpus — no all-pairs
+    product, and the partition-by-centroid layout makes cells co-located."""
+    cents = ivf_centroids(corpus, n_centroids)
+    assigned = ivf_assign(corpus, cents).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb_v"), "centroid_id"
+    )
+    qcos = cosine_col(F.col("q_emb"), F.col("c_emb"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("_qc").desc(), F.col("centroid_id"))
+    probes = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .join(F.broadcast(cents), how="cross")
+        .select("query_id", "q_emb", "centroid_id", qcos.alias("_qc"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+    cos = cosine_col(F.col("q_emb"), F.col("c_emb_v"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        probes.join(assigned, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

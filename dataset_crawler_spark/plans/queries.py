@@ -1184,6 +1184,21 @@ def engine_sim_lsh_topk(spark, sf_dir):
     )
 
 
+@register("engine_sim_ivf_topk", None)
+def engine_sim_ivf_topk(spark, sf_dir):
+    """ANN via inverted-file index (deterministic coarse centroids, probe
+    n_probe cells, exact re-rank inside cells). Probing all cells equals
+    brute force exactly (pinned in tests); no ANSI-SQL twin for the
+    argmax-assignment step, so rows-only here."""
+    from dataset_crawler_spark.operators import similarity as SIM
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < 5)
+    return SIM.ivf_topk(q, e, k=3, n_centroids=8, n_probe=4).select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
+    )
+
+
 @register("engine_bloom_seen_stats", None)
 def engine_bloom_seen_stats(spark, sf_dir):
     """Build a sharded Bloom filter over half the doc URLs, probe all; emit

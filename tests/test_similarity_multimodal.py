@@ -53,6 +53,31 @@ def test_lsh_deterministic(spark):
     assert a == b
 
 
+def test_ivf_topk_recall_and_determinism(spark):
+    from dataset_crawler_spark.operators.similarity import ivf_topk
+
+    e = _emb(spark).cache()
+    q = e.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, e, k=3)
+    # probe half the cells: recall must be high even on this weak-neighbor corpus
+    approx = ivf_topk(q, e, k=3, n_centroids=8, n_probe=4)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # probing ALL cells must equal brute force exactly
+    full = ivf_topk(q, e, k=3, n_centroids=8, n_probe=8)
+    fu = {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()}
+    exr = {(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()}
+    assert fu == exr
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in approx.collect())
+    b = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(q, e, k=3, n_centroids=8, n_probe=4).collect()
+    )
+    assert a == b
+
+
 def test_multimodal_plumbing(spark):
     docs = datagen.documents_for_round(spark, 200, 0, n_hosts=10)
     media = synth_media_table(docs)
