@@ -8,7 +8,8 @@ canonicalizer:
 2. strip fragment
 3. drop default ports (:80 http, :443 https)
 4. sort query parameters (stable '&' split)
-5. strip trailing slash from non-root paths
+5. strip trailing slashes from non-root paths (all of them — the
+   canonical form must be a fixed point: canon(canon(u)) == canon(u))
 
 Three twin implementations of the SAME spec (parity-tested):
 
@@ -58,8 +59,8 @@ def _canon_series(s: pd.Series) -> pd.Series:
     )
     port = port.where(~default_port, "").fillna("")
 
-    # strip trailing slash off non-root paths (vectorized)
-    path = path.where(~(path.str.endswith("/") & (path.str.len() > 1)), path.str[:-1])
+    # strip ALL trailing slashes off non-root paths (vectorized, idempotent)
+    path = path.str.replace(r"/+$", "", regex=True)
     path = path.where(path != "", "/")
 
     # sort query params — only rows that actually have >1 param leave the
@@ -112,9 +113,7 @@ def canonicalize_url(col: Column | str) -> Column:
         ((scheme == "http") & (port == ":80")) | ((scheme == "https") & (port == ":443")),
         F.lit(""),
     ).otherwise(port)
-    path = F.when(
-        path.endswith("/") & (F.length(path) > 1), path.substr(F.lit(1), F.length(path) - 1)
-    ).otherwise(path)
+    path = F.regexp_replace(path, "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.when(
         query.contains("&"),
@@ -140,9 +139,7 @@ def canonicalize_url_py(url: str) -> str:
     port = port or ""
     if (scheme == "http" and port == ":80") or (scheme == "https" and port == ":443"):
         port = ""
-    path = path or ""
-    if path.endswith("/") and len(path) > 1:
-        path = path[:-1]
+    path = (path or "").rstrip("/")
     if path == "":
         path = "/"
     query = query or ""

@@ -59,6 +59,45 @@ def test_canonicalizer_parity(spark):
     assert any(u != c for u, (c, _) in got.items()), "fixtures must include dirty URLs"
 
 
+def test_canonicalizer_properties_hypothesis(spark):
+    """Property corpus (seeded generator — deterministic across runs): the
+    native canonicalizer equals the pure-Python twin and is idempotent —
+    canon(canon(u)) == canon(u) — over adversarial URL shapes. This corpus
+    found a real spec bug: single-slash stripping wasn't a fixed point for
+    paths ending in '//'."""
+    import random
+
+    rng = random.Random(7)
+    schemes = ["http", "https", "HTTP", "ftp", "a+b-c"]
+    ports = ["", ":80", ":443", ":8080", ":0"]
+    frags = ["", "#frag", "#a#b"]
+
+    def rand_text(chars, lo, hi):
+        return "".join(rng.choice(chars) for _ in range(rng.randint(lo, hi)))
+
+    corpus = set()
+    for _ in range(150):
+        path = rand_text("abc/._~%0", 0, 14)
+        q = rand_text("ab=&1", 0, 10)
+        corpus.add(
+            f"{rng.choice(schemes)}://{rand_text('abXY09.-', 1, 12)}{rng.choice(ports)}"
+            f"{'/' + path if path else ''}{'?' + q if q else ''}{rng.choice(frags)}"
+        )
+    corpus |= {"", "nota url", "http://", "https://h", "https://h/?", "https://h/??a=1",
+               "https://h:443", "https://h:443/", "x://y/z//", "https://H/A//B///c/"}
+    corpus = sorted(corpus)
+    df = spark.createDataFrame([(u,) for u in corpus if u], "url string")
+    rows = df.select(
+        "url",
+        SCH.canonicalize_url(F.col("url")).alias("c1"),
+        SCH.canonicalize_url(SCH.canonicalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == canonicalize_url_py(r.url), repr(r.url)
+        assert r.c2 == canonicalize_url_py(canonicalize_url_py(r.url)), repr(r.url)
+        assert r.c2 == r.c1, f"not idempotent: {r.url!r} -> {r.c1!r} -> {r.c2!r}"
+
+
 def test_schedule_matches_oracle_no_seen(spark):
     f = datagen.frontier(spark, N_URLS, n_hosts=N_HOSTS)
     h = datagen.hosts(spark, N_HOSTS)
