@@ -137,6 +137,17 @@ def test_salting_invariance(spark):
     assert a == b
 
 
+def test_partitioning_invariance(spark):
+    """Determinism under parallelism (north_rule): the schedule is identical
+    whatever the input partitioning — the single-JVM proxy for running on N
+    vs 4N executors."""
+    f = datagen.frontier(spark, N_URLS, n_hosts=N_HOSTS)
+    h = datagen.hosts(spark, N_HOSTS)
+    a = _collect_schedule(SCH.schedule_round(f.repartition(2), h))
+    b = _collect_schedule(SCH.schedule_round(f.repartition(23), h))
+    assert a == b
+
+
 def test_budget_respected(spark):
     f = datagen.frontier(spark, N_URLS, n_hosts=N_HOSTS)
     h = datagen.hosts(spark, N_HOSTS)
