@@ -153,9 +153,10 @@ def bench_diff(spark, sf: float) -> dict:
 
     t0 = time.time()
     live0 = docs[0]
+    from dataset_crawler_spark.schemas import empty_df
     from dataset_crawler_spark.streaming.rounds import STATE_SCHEMA
 
-    state0 = spark.createDataFrame([], STATE_SCHEMA)
+    state0 = empty_df(spark, STATE_SCHEMA)
     lin0 = D.snapshot_diff(state0, live0, 0)
     state1 = D.apply_diff(state0, live0, lin0, 0).cache()
     state1.count()

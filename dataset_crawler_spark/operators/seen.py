@@ -305,25 +305,61 @@ def cuckoo_capacity_buckets(n_urls_per_shard: int) -> int:
 
 
 def cuckoo_build(urls: DataFrame, url_col: str, n_shards: int, n_buckets: int) -> DataFrame:
+    """Build cuckoo shard tables. Emits a row for EVERY shard 0..n_shards-1
+    (empty shards get an all-empty table) so downstream ``cuckoo_insert``
+    always finds its shard's state — the zero-false-negative contract must
+    hold for any composition, not just shards that happened to receive URLs."""
+
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         t = _CuckooTable(n_buckets)
-        t.insert_many(pdf["_h"].to_numpy(np.uint64))
+        hs = pdf["_h"].dropna()
+        if len(hs):  # the marker row carries a null hash — shard exists, no insert
+            t.insert_many(hs.to_numpy(np.uint64))
         return pd.DataFrame(
             {"shard": [int(pdf["shard"].iloc[0])], "n_buckets": [n_buckets], "bits": [t.t.tobytes()]}
         )
 
-    hashed = _with_shard_hash(urls, url_col, n_shards)
-    return hashed.groupBy("shard").applyInPandas(build, CUCKOO_STATE_SCHEMA)
+    spark = urls.sparkSession
+    hashed = _with_shard_hash(urls, url_col, n_shards).select("shard", "_h")
+    markers = spark.range(n_shards).select(
+        F.col("id").cast("int").alias("shard"), F.lit(None).cast("long").alias("_h")
+    )
+    return hashed.unionByName(markers).groupBy("shard").applyInPandas(build, CUCKOO_STATE_SCHEMA)
 
 
-def cuckoo_insert(state: DataFrame, urls: DataFrame, url_col: str, n_shards: int) -> DataFrame:
+def cuckoo_insert(
+    state: DataFrame,
+    urls: DataFrame,
+    url_col: str,
+    n_shards: int,
+    n_buckets_if_missing: int | None = None,
+) -> DataFrame:
     """Insert URLs into an EXISTING cuckoo state (incremental rounds — the
-    filter is never rebuilt). Idempotent set semantics per fingerprint."""
+    filter is never rebuilt). Idempotent set semantics per fingerprint.
+
+    A shard with pending inserts but no state row would silently lose those
+    URLs (a false-negative factory). ``cuckoo_build``/``cuckoo_empty`` emit
+    every shard, so this shouldn't happen; if it does, a fresh table of
+    ``n_buckets_if_missing`` buckets is grown in place — or, when that
+    fallback isn't provided, the job fails loudly instead of dropping URLs."""
     hashed = _with_shard_hash(urls, url_col, n_shards).select("shard", "_h")
 
     def insert(st: pd.DataFrame, ins: pd.DataFrame) -> pd.DataFrame:
         if len(st) == 0:
-            return pd.DataFrame(columns=["shard", "n_buckets", "bits"])
+            if len(ins) == 0:
+                return pd.DataFrame(columns=["shard", "n_buckets", "bits"])
+            if n_buckets_if_missing is None:
+                raise ValueError(
+                    f"cuckoo_insert: shard {int(ins['shard'].iloc[0])} has inserts but no "
+                    "state row and no n_buckets_if_missing fallback — refusing to drop URLs"
+                )
+            st = pd.DataFrame(
+                {
+                    "shard": [int(ins["shard"].iloc[0])],
+                    "n_buckets": [n_buckets_if_missing],
+                    "bits": [_CuckooTable(n_buckets_if_missing).t.tobytes()],
+                }
+            )
         n_buckets = int(st["n_buckets"].iloc[0])
         t = _CuckooTable(
             n_buckets,
@@ -349,7 +385,15 @@ def cuckoo_empty(spark, n_shards: int, n_buckets: int) -> DataFrame:
 
 
 def cuckoo_delete(state: DataFrame, urls: DataFrame, url_col: str, n_shards: int) -> DataFrame:
-    """Remove URLs from the filter (tombstone resurrection support)."""
+    """Remove URLs from the filter (tombstone resurrection support).
+
+    Caveat (inherent to cuckoo filters, not this implementation): two URLs in
+    the same shard can share a 16-bit fingerprint + bucket; deleting one then
+    clears the slot for BOTH, so the survivor probes unseen afterwards. In the
+    engine composition that only causes a benign refetch (the idempotent diff
+    absorbs it); compositions that need a hard zero-false-negative guarantee
+    after deletes must confirm against the exact seen table, as
+    ``scheduler._confirm_unseen`` does."""
     hashed = _with_shard_hash(urls, url_col, n_shards).select("shard", "_h")
 
     def delete(st: pd.DataFrame, dels: pd.DataFrame) -> pd.DataFrame:

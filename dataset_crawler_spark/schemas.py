@@ -9,7 +9,22 @@ entities/Resource.java:12 — insertion-ordered value list → ``offset``).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def empty_df(spark, schema: T.StructType):
+    """A statically-empty DataFrame with ``schema``.
+
+    Built from ``range(0)`` + typed null casts so the optimizer folds it to an
+    empty ``LocalRelation`` — which lets plan-shape checks (e.g. the diff
+    bootstrap fast path, operators/diff.py) prove emptiness WITHOUT running a
+    job. ``createDataFrame([], schema)`` would instead produce a LogicalRDD
+    whose emptiness is invisible to Catalyst.
+    """
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
 
 # One span ≈ one resource_value row (property_uri → kind, value → text) or one
 # media attachment; ``offset`` pins the order the reference kept implicitly in

@@ -27,7 +27,7 @@ from dataset_crawler_spark.operators import diff as D
 from dataset_crawler_spark.operators import scheduler as SCH
 from dataset_crawler_spark.operators import seen as SN
 from dataset_crawler_spark.operators import state as S
-from dataset_crawler_spark.schemas import SPAN
+from dataset_crawler_spark.schemas import SPAN, empty_df
 from dataset_crawler_spark.sources.snapshots import SnapshotStore
 
 STATE_SCHEMA = T.StructType(
@@ -52,7 +52,9 @@ class CrawlEngine:
     # -- state --------------------------------------------------------------
 
     def _empty_state(self) -> DataFrame:
-        return self.spark.createDataFrame([], STATE_SCHEMA)
+        # LocalRelation-backed: snapshot_diff statically detects the empty
+        # round-0 state and takes the bootstrap fast path (operators/diff.py)
+        return empty_df(self.spark, STATE_SCHEMA)
 
     def state_as_of(self, as_of: int | None) -> DataFrame:
         if as_of is None or not self.store.committed_rounds():
@@ -241,10 +243,13 @@ class CrawlEngine:
         stats["fetched"] = int(n_fetched)
 
         if bloom_params is not None and cuckoo:
-            prev_ck = self.cuckoo_as_of(prev_round) or SN.cuckoo_empty(
-                self.spark, bloom_params.n_shards, cuckoo_buckets
+            prev_ck = self.cuckoo_as_of(prev_round)
+            if prev_ck is None:  # explicit: DataFrame must never be truth-tested
+                prev_ck = SN.cuckoo_empty(self.spark, bloom_params.n_shards, cuckoo_buckets)
+            ck = SN.cuckoo_insert(
+                prev_ck, fetched, "url_c", bloom_params.n_shards,
+                n_buckets_if_missing=cuckoo_buckets,
             )
-            ck = SN.cuckoo_insert(prev_ck, fetched, "url_c", bloom_params.n_shards)
             if self.resurrect:
                 tomb = (
                     self.store.read("lineage", as_of=crawl_id)

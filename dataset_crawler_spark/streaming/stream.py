@@ -74,10 +74,13 @@ def stateful_host_budget(stream: DataFrame, budget: int) -> DataFrame:
 
         (host,) = key
         used = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if used >= budget or len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("fetched_at", kind="mergesort")
+        # One group's micro-batch rows can arrive split across several Arrow
+        # chunks; concatenate before sorting so admission at the budget
+        # boundary is globally fetched_at-ordered within the batch (per-host
+        # batch volume is politeness-bounded, so this stays small).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks and used < budget:
+            pdf = pd.concat(chunks).sort_values("fetched_at", kind="mergesort")
             take = min(budget - used, len(pdf))
             out = pdf.iloc[:take]
             used += take
