@@ -68,10 +68,17 @@ def _force(df) -> int:
 
 
 def _materialized_frontier(spark, n_urls: int, n_hosts: int):
-    """Frontier + exact seen-set parquet, generated once and reused at every
-    parallelism level (identical input by construction — datagen is
-    deterministic and the parquet is shared)."""
+    """Frontier parquet + exact seen-set as a BUCKETED table, generated once
+    and reused at every parallelism level (identical input by construction —
+    datagen is deterministic and the files are shared).
+
+    The seen set uses the production storage layout (sources/seen_table.py:
+    bucketed by url_c) so the confirm anti-join runs exchange-free — the
+    north metric measures the engine's steady-state plan, not a cold parquet
+    re-shuffle. Bucket count equals this session's shuffle partitioning."""
     from pyspark.sql import functions as F
+
+    from dataset_crawler_spark.sources.seen_table import BucketedSeenTable
 
     fdir = os.path.join(CACHE_ROOT, f"frontier_{n_urls}_{n_hosts}")
     sdir = os.path.join(CACHE_ROOT, f"seen_{n_urls}_{n_hosts}")
@@ -89,7 +96,16 @@ def _materialized_frontier(spark, n_urls: int, n_hosts: int):
             .write.mode("overwrite")
             .parquet(sdir)
         )
-    return spark.read.parquet(fdir), spark.read.parquet(sdir)
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bdir = os.path.join(CACHE_ROOT, f"seen_bucketed_{n_urls}_{n_hosts}_{n_buckets}")
+    st = BucketedSeenTable(
+        spark, f"seen_bucketed_{n_urls}_{n_hosts}_{n_buckets}", bdir, n_buckets
+    )
+    if os.path.exists(bdir):
+        st.ensure_registered()
+    else:
+        st.append(spark.read.parquet(sdir), 0)
+    return spark.read.parquet(fdir), st.read()
 
 
 def bench_crawl_round(spark, sf: float) -> tuple[dict, float]:

@@ -119,13 +119,16 @@ def _confirm_unseen(probed: DataFrame, seen_urls: DataFrame | None) -> DataFrame
     (measured 2x the round cost; a persist() barrier fixes that but pays a
     full columnar cache write instead).
 
-    10^10-scale note: this shuffles all candidates into the join; store the
-    exact seen table bucketed by url_c and the big side needs no sort/shuffle
-    beyond this one exchange. The split+union variant only shuffles
-    filter-positive rows but needs the persist barrier."""
+    The SHUFFLE_HASH hint on the seen side replaces the SortMergeJoin with a
+    shuffled hash anti-join: neither the multi-million-row candidate side nor
+    the seen side gets sorted (measured: 2 Sort nodes gone). Build side = one
+    partition's slice of the seen table (n_seen/K rows) — bounded by
+    partition count, the same sizing contract as any shuffle. Store the seen
+    table bucketed by url_c with K buckets (sources/seen_table.py) and the
+    seen side needs no exchange either."""
     if seen_urls is None:
         return probed.where(~F.col("seen")).drop("seen")
-    s = seen_urls.select(F.col("url_c").alias("_seen_url"))
+    s = seen_urls.select(F.col("url_c").alias("_seen_url")).hint("SHUFFLE_HASH")
     return (
         probed.join(s, (F.col("url_c") == F.col("_seen_url")) & F.col("seen"), "left_anti")
         .drop("seen")
@@ -182,8 +185,46 @@ def schedule_round(
 
     Returns (url_c, host, seed_rank, priority, discovered_crawl_id,
     crawl_delay_ms, rank_in_host, scheduled_offset_ms).
+
+    Stage order is probe-THEN-dedup, not the textbook dedup-then-probe:
+    ``ArrowEvalPython`` (the vectorized filter probe) does not propagate its
+    child's output partitioning, so probing after the dedup aggregate erases
+    the aggregate's hash(url_c) partitioning and forces a SECOND
+    full-candidate exchange before the exact-confirm join (measured: 6
+    exchanges → 5, and the extra one was over every candidate). Probing the
+    raw pending rows first costs only extra vectorized hash checks (numpy,
+    ~10^8/s) on duplicate URLs; ``seen`` is a pure function of ``url_c``, so
+    carrying it through the dedup with ``max(seen)`` is exact. The confirm
+    anti-join then consumes the aggregate's partitioning directly — zero
+    additional candidate-side exchange.
     """
-    cand = canonical_candidates(frontier)
-    cand = filter_unseen(cand, bloom_state, bloom_params, seen_urls, probe_strategy)
+    raw = (
+        frontier.where(F.col("state") == "pending")
+        .withColumn("url_c", canonicalize_url(F.col("url")))
+        .select("url_c", "seed_rank", "priority", "discovered_crawl_id")
+    )
+    agg_cols = [
+        F.min("seed_rank").alias("seed_rank"),
+        F.max("priority").alias("priority"),
+        F.min("discovered_crawl_id").alias("discovered_crawl_id"),
+    ]
+    if bloom_state is not None and bloom_params is not None:
+        if probe_strategy == "cuckoo":
+            probed = SN.cuckoo_probe(raw, "url_c", bloom_state, bloom_params.n_shards)
+        else:
+            strat = probe_strategy
+            if strat == "auto":
+                total_bytes = bloom_params.n_shards * bloom_params.n_bits_per_shard // 8
+                strat = "broadcast" if total_bytes <= BLOOM_BROADCAST_MAX_BYTES else "cogroup"
+            probe = SN.bloom_probe_scalar if strat == "broadcast" else SN.bloom_probe_cogroup
+            probed = probe(raw, "url_c", bloom_state, bloom_params)
+        cand = probed.groupBy("url_c").agg(*agg_cols, F.max("seen").alias("seen"))
+        cand = _confirm_unseen(cand, seen_urls)
+    else:
+        cand = raw.groupBy("url_c").agg(*agg_cols)
+        if seen_urls is not None:
+            s = seen_urls.select(F.col("url_c").alias("_seen_url")).hint("SHUFFLE_HASH")
+            cand = cand.join(s, F.col("url_c") == F.col("_seen_url"), "left_anti")
+    cand = cand.withColumn("host", host_of("url_c"))
     cand = robots_gate(cand, hosts)
     return politeness_topk(cand, n_salt=n_salt)

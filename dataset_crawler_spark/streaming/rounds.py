@@ -40,14 +40,32 @@ STATE_SCHEMA = T.StructType(
 )
 
 #: fetch_fn(spark, scheduled_urls: DataFrame[url_c,...]) -> DataFrame[doc_id, spans]
+#: or, status-aware, DataFrame[doc_id, spans, status, message] where status ∈
+#: {success, error, exception, time_out} (CrawlerLogs.java:30-48 vocabulary);
+#: non-success rows are logged + retryable, excluded from the diff.
 FetchFn = Callable[[SparkSession, DataFrame], DataFrame]
+
+#: per-operation status vocabulary (database_operations/CrawlerLogs.java:30-48)
+OP_SUCCESS, OP_ERROR, OP_EXCEPTION, OP_TIMEOUT = "success", "error", "exception", "time_out"
 
 
 class CrawlEngine:
-    def __init__(self, spark: SparkSession, store_root: str, resurrect: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        resurrect: bool = False,
+        seen_index=None,
+    ):
+        """``seen_index``: optional :class:`sources.seen_table.BucketedSeenTable`
+        — a bucketed-by-url_c performance index over the committed ``fetched``
+        partitions. When set, each round appends to it and the scheduler's
+        exact-confirm anti-join reads it exchange-free (the 10^10-URL layout);
+        the store's ``fetched`` table remains the source of truth for resume."""
         self.spark = spark
         self.store = SnapshotStore(store_root, spark)
         self.resurrect = resurrect
+        self.seen_index = seen_index
 
     # -- state --------------------------------------------------------------
 
@@ -120,10 +138,13 @@ class CrawlEngine:
         cuckoo deletion (north_star: "tombstoned URLs re-admitted")."""
         if as_of is None or not self.store.committed_rounds():
             return None
-        try:
-            fetched = self.store.read("fetched", as_of=as_of).select("url_c").distinct()
-        except FileNotFoundError:
-            return None
+        if self.seen_index is not None and self.seen_index.exists():
+            fetched = self.seen_index.read(as_of=as_of)
+        else:
+            try:
+                fetched = self.store.read("fetched", as_of=as_of).select("url_c").distinct()
+            except FileNotFoundError:
+                return None
         if not self.resurrect:
             return fetched
         try:
@@ -223,11 +244,54 @@ class CrawlEngine:
             probe_strategy="cuckoo" if (cuckoo and filter_state is not None) else "auto",
         ).cache()
         n_scheduled = sched.count()
-        live = fetch_fn(self.spark, sched).cache()
+        live_raw = fetch_fn(self.spark, sched).cache()
+
+        # Per-operation status log (K4 depth — CrawlerLogs.java:30-48 records
+        # success/error/exception/time_out per request; 2M rows in the
+        # reference's production dump). One row per SCHEDULED URL: a
+        # status-aware fetcher reports its own outcomes; a legacy (doc_id,
+        # spans)-only fetcher gets success for returned docs and error for
+        # scheduled-but-missing ones. Scheduling metadata (seed_rank,
+        # priority, discovered_crawl_id) rides along so failures can re-enter
+        # the frontier with decayed priority (retry_frontier, T5).
+        status_aware = "status" in live_raw.columns
+        if status_aware:
+            outcome = live_raw.select(
+                F.col("doc_id").alias("url_c"),
+                F.col("status").alias("_status"),
+                (F.col("message") if "message" in live_raw.columns else F.lit(None).cast("string")).alias("_message"),
+            )
+            live = live_raw.where(F.col("status") == OP_SUCCESS).select("doc_id", "spans")
+        else:
+            outcome = live_raw.select(
+                F.col("doc_id").alias("url_c"),
+                F.lit(OP_SUCCESS).alias("_status"),
+                F.lit(None).cast("string").alias("_message"),
+            )
+            live = live_raw
+        live = live.cache()
         n_fetched = live.count()
+        ops_log = (
+            sched.select("url_c", "host", "seed_rank", "priority", "discovered_crawl_id")
+            .join(outcome, "url_c", "left")
+            .select(
+                F.lit(crawl_id).cast("int").alias("crawl_id"),
+                F.lit("fetch").alias("stage"),
+                "url_c",
+                "host",
+                F.coalesce(F.col("_status"), F.lit(OP_ERROR)).alias("status"),
+                F.coalesce(F.col("_message"), F.lit("no document returned")).alias("message"),
+                "seed_rank",
+                "priority",
+                "discovered_crawl_id",
+            )
+        )
+        self.store.append("ops_log", ops_log, crawl_id)
 
         fetched = live.select(F.col("doc_id").alias("url_c"))
         self.store.append("fetched", fetched, crawl_id)
+        if self.seen_index is not None:
+            self.seen_index.append(fetched, crawl_id)
         if bloom_params is not None and not cuckoo:
             prev_bloom = self.bloom_as_of(prev_round)
             new_shards = SN.bloom_build(fetched, "url_c", bloom_params)
@@ -241,6 +305,7 @@ class CrawlEngine:
         stats = self.run_round(live, crawl_id, description=description, partial=discover)
         stats["scheduled"] = int(n_scheduled)
         stats["fetched"] = int(n_fetched)
+        stats["failed"] = int(n_scheduled) - int(n_fetched)
 
         if bloom_params is not None and cuckoo:
             prev_ck = self.cuckoo_as_of(prev_round)
@@ -260,18 +325,78 @@ class CrawlEngine:
             self.store.append("cuckoo", ck, crawl_id)
 
         sched.unpersist()
+        live_raw.unpersist()
         live.unpersist()
         return stats
+
+    # -- failure retry (T5) + operation log reads ----------------------------
+
+    def ops_log_as_of(self, as_of: int | None = None) -> DataFrame:
+        """Per-operation status rows ≤ as_of (the crawl_operations_log twin)."""
+        return self.store.read("ops_log", as_of=as_of)
+
+    def retry_frontier(self, crawl_id: int, decay: float = 0.5) -> DataFrame:
+        """Failed fetches of round ``crawl_id`` as pending frontier rows with
+        priority decayed by ``decay`` — the reference retries failures on the
+        next polling run (DataCrawler.java:53-56, App.java:31-58); here the
+        failure set is read back from the ops log and re-queued explicitly so
+        retry pressure decays instead of starving fresh URLs."""
+        failed = self.ops_log_as_of(crawl_id).where(
+            (F.col("crawl_id") == crawl_id) & (F.col("status") != OP_SUCCESS)
+        )
+        return failed.select(
+            F.col("url_c").alias("url"),
+            "host",
+            (F.col("priority") * decay).alias("priority"),
+            "discovered_crawl_id",
+            "seed_rank",
+            F.lit("pending").alias("state"),
+        )
+
+    # -- dataset-metadata dimension (K2 engine path) -------------------------
+
+    def upsert_datasets(self, meta: DataFrame, crawl_id: int) -> None:
+        """Maintain the dataset-metadata dimension across rounds — the engine
+        twin of the reference's per-round metadata upsert
+        (CrawlDBOperations.java:36-80 UPDATE-else-INSERT, existence probe
+        :1341-1364). Log-structured: append this round's rows (e.g. from
+        sources/ckan.parse_ckan_packages); reads fold last-version-wins, so an
+        existing dataset_id is updated and a new one inserted — MERGE
+        semantics without a mutable table (Iceberg MERGE INTO on a cluster).
+        """
+        self.store.append(
+            "datasets", meta.withColumn("crawl_id", F.lit(crawl_id).cast("int")), crawl_id
+        )
+
+    def datasets_as_of(self, as_of: int | None = None) -> DataFrame:
+        """Current dataset dimension: one row per dataset_id, latest version
+        ≤ as_of (max_by over crawl_id — same fold as state reconstruction)."""
+        d = self.store.read("datasets", as_of=as_of)
+        attrs = [c for c in d.columns if c not in ("dataset_id", "crawl_id")]
+        folded = d.groupBy("dataset_id").agg(
+            *[F.max_by(c, "crawl_id").alias(c) for c in attrs],
+            F.max("crawl_id").alias("last_crawl_id"),
+        )
+        return folded
 
 
 def simulated_fetcher(corpus: DataFrame) -> FetchFn:
     """A deterministic stand-in for the HTTP fetch stage: scheduled URLs are
-    joined against a given corpus (doc_id == canonical url). The production
-    fetcher has the same signature with a ``mapInPandas`` HTTP stage."""
+    joined against a given corpus (doc_id == canonical url). Status-aware:
+    scheduled URLs absent from the corpus come back as ``error`` rows (the
+    404 path), so the ops log and retry machinery see real failures. The
+    production fetcher has the same signature with a ``mapInPandas`` HTTP
+    stage emitting success/error/exception/time_out per request."""
 
     def fetch(spark: SparkSession, scheduled: DataFrame) -> DataFrame:
-        return corpus.join(
-            scheduled.select(F.col("url_c").alias("doc_id")), "doc_id", "left_semi"
+        s = scheduled.select(F.col("url_c").alias("doc_id"))
+        j = s.join(corpus, "doc_id", "left")
+        ok = F.col("spans").isNotNull()
+        return j.select(
+            "doc_id",
+            "spans",
+            F.when(ok, F.lit(OP_SUCCESS)).otherwise(F.lit(OP_ERROR)).alias("status"),
+            F.when(ok, F.lit("fetched")).otherwise(F.lit("404: not in corpus")).alias("message"),
         )
 
     return fetch

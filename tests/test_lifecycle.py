@@ -175,6 +175,134 @@ def test_cuckoo_resurrection_refetches_tombstoned(spark, tmp_path):
     assert s2["added"] == s2["fetched"]  # resurrections come back as added
 
 
+def test_bucketed_seen_index_matches_store_path(spark, tmp_path):
+    """The bucketed seen index (sources/seen_table.py) is a pure storage
+    layout: discover rounds with and without it must schedule/fetch identical
+    URL sets, and the confirm anti-join must consume the index as a bucketed
+    scan (no seen-side exchange — the 10^10-URL plan shape)."""
+    from dataset_crawler_spark.operators import scheduler as SCH
+    from dataset_crawler_spark.sources.seen_table import BucketedSeenTable
+
+    frontier = _frontier(spark)
+    hosts = _open_hosts(spark)
+    params = SN.BloomParams.for_capacity(N_DOCS, fp_rate=0.01, n_shards=8)
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    name = f"seen_idx_{abs(hash(str(tmp_path))) % 10**8}"
+    idx = BucketedSeenTable(spark, name, str(tmp_path / "seen_idx"), n_buckets)
+    plain = CrawlEngine(spark, str(tmp_path / "plain"))
+    fast = CrawlEngine(spark, str(tmp_path / "fast"), seen_index=idx)
+    try:
+        for rnd in (0, 1):
+            corpus = _corpus(spark, rnd)
+            sp = plain.crawl_round(frontier, hosts, simulated_fetcher(corpus), rnd,
+                                   bloom_params=params, mode="discover")
+            sf = fast.crawl_round(frontier, hosts, simulated_fetcher(corpus), rnd,
+                                  bloom_params=params, mode="discover")
+            keys = ("scheduled", "fetched", "added", "updated", "deleted")
+            assert {k: sp[k] for k in keys} == {k: sf[k] for k in keys}, f"round {rnd}"
+        a = {r.url_c for r in plain.store.read("fetched").collect()}
+        b = {r.url_c for r in fast.store.read("fetched").collect()}
+        assert a == b
+
+        # plan shape: the confirm join reads the index as a bucketed scan
+        sched = SCH.schedule_round(
+            frontier, hosts,
+            bloom_state=fast.bloom_as_of(1), bloom_params=params,
+            seen_urls=fast.seen_urls_as_of(1),
+        )
+        sched.count()
+        plan = sched._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ops_log_records_failures_and_retry_requeues(spark, tmp_path):
+    """K4 depth: every scheduled URL gets one per-operation status row
+    (success/error/exception/time_out — CrawlerLogs.java:30-48 vocabulary),
+    and failed fetches re-enter the frontier with decayed priority (T5) and
+    succeed on the next round."""
+    from dataset_crawler_spark.streaming.rounds import OP_ERROR, OP_SUCCESS, OP_TIMEOUT
+
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    frontier = _frontier(spark)
+    hosts = _open_hosts(spark)
+    full = _corpus(spark, 0)
+    # half the corpus is unreachable in round 0 → 404-style errors
+    partial = full.where(F.xxhash64("doc_id") % 2 == 0)
+
+    base = simulated_fetcher(partial)
+
+    def flaky(spark_, scheduled):
+        # additionally mark one deterministic slice of the failures time_out
+        out = base(spark_, scheduled)
+        return out.withColumn(
+            "status",
+            F.when(
+                (F.col("status") == OP_ERROR) & (F.xxhash64("doc_id") % 3 == 0),
+                F.lit(OP_TIMEOUT),
+            ).otherwise(F.col("status")),
+        )
+
+    s0 = eng.crawl_round(frontier, hosts, flaky, 0, mode="discover")
+    ops = eng.ops_log_as_of(0)
+    assert ops.count() == s0["scheduled"]  # one row per scheduled URL
+    by_status = {r.status: r.n for r in ops.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert by_status.get(OP_SUCCESS, 0) == s0["fetched"]
+    assert s0["failed"] == s0["scheduled"] - s0["fetched"] > 0
+    assert by_status.get(OP_TIMEOUT, 0) > 0  # custom statuses flow through
+
+    retry = eng.retry_frontier(0, decay=0.5).cache()
+    failed_urls = {r.url_c for r in ops.where(F.col("status") != OP_SUCCESS).collect()}
+    assert {r.url for r in retry.collect()} == failed_urls
+    # decayed priority: strictly below the scheduled priority for every URL
+    sched_prio = {r.url_c: r.priority for r in ops.collect()}
+    for r in retry.collect():
+        assert r.priority == sched_prio[r.url] * 0.5
+
+    # round 1: retry frontier against the fully-reachable corpus — the
+    # reachable failures (docs that exist in the full corpus) now succeed
+    s1 = eng.crawl_round(retry, hosts, simulated_fetcher(full), 1, mode="discover")
+    fetched1 = {
+        r.url_c for r in eng.store.read("fetched", as_of=1).where("crawl_id = 1").collect()
+    }
+    corpus_ids = {r.doc_id for r in full.select("doc_id").collect()}
+    assert fetched1 == failed_urls & corpus_ids
+    assert s1["failed"] == len(failed_urls - corpus_ids)
+    retry.unpersist()
+
+
+def test_dataset_dimension_upserts_across_rounds(spark, tmp_path):
+    """K2 engine path: the datasets dimension is maintained round-over-round
+    with MERGE semantics (update-if-exists-else-insert,
+    CrawlDBOperations.java:36-80) and is time-travelable."""
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    meta0 = spark.createDataFrame(
+        [("ds1", "Title One", "https://a.example.org/sparql"),
+         ("ds2", "Title Two", None)],
+        "dataset_id string, title string, endpoint_url string",
+    )
+    eng.upsert_datasets(meta0, 0)
+    eng.store.commit_round(0)
+    meta1 = spark.createDataFrame(
+        [("ds2", "Title Two v2", "https://b.example.org/sparql"),  # update
+         ("ds3", "Title Three", None)],  # insert
+        "dataset_id string, title string, endpoint_url string",
+    )
+    eng.upsert_datasets(meta1, 1)
+    eng.store.commit_round(1)
+
+    dim = {r.dataset_id: (r.title, r.endpoint_url, r.last_crawl_id)
+           for r in eng.datasets_as_of(1).collect()}
+    assert dim == {
+        "ds1": ("Title One", "https://a.example.org/sparql", 0),   # carried
+        "ds2": ("Title Two v2", "https://b.example.org/sparql", 1),  # updated
+        "ds3": ("Title Three", None, 1),                            # inserted
+    }
+    dim0 = {r.dataset_id: r.title for r in eng.datasets_as_of(0).collect()}
+    assert dim0 == {"ds1": "Title One", "ds2": "Title Two"}  # as-of read
+
+
 def test_politeness_budget_enforced_in_lifecycle(spark, tmp_path):
     eng = CrawlEngine(spark, str(tmp_path / "store"))
     frontier = _frontier(spark)
