@@ -13,9 +13,16 @@ Span mapping (matches the engine's interleaved schema):
 - offset    = triple order within the subject (ascending file position) —
   the twin of the reference's insertion-ordered ArrayList (Resource.java:12)
 
-Line-order determinism: ``offset`` derives from the file line number
-(monotonically increasing within each input split and tie-broken by the
-parsed triple, so identical files give identical offsets at any parallelism).
+Line-order determinism, including MULTI-file dumps: the span sort key is
+``(file_path, line_no)`` where ``line_no`` is ``monotonically_increasing_id``
+— not a true line number, but provably file-order-preserving WITHIN one file
+(splits of a file are packed into partitions in ascending byte order, and the
+id is (partition << 33) + row-in-partition). Ordering by ``file_path`` first
+removes the cross-file interleaving a bare id would allow when several files
+land in one scan (files ingest in lexicographic path order), and because
+offsets are re-based per document, the arbitrary id VALUES never surface —
+only their order does, which is identical at any parallelism. No window, no
+shuffle: the key rides along into the per-document fold.
 """
 
 from __future__ import annotations
@@ -30,18 +37,26 @@ _TRIPLE_RE = r'^\s*<([^>]+)>\s+<([^>]+)>\s+(.*?)\s*\.\s*$'
 
 
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
-    """Parse an N-Triples file → (subject, predicate, obj_iri, obj_lit, line_no)."""
+    """Parse N-Triples file(s) → (file_path, line_no, subject, predicate,
+    obj_iri, obj_lit). ``(file_path, line_no)`` is the deterministic triple
+    order key (see module docstring); ``line_no`` is an opaque ordering id,
+    not a literal line number."""
     raw = spark.read.text(path).select(
-        F.monotonically_increasing_id().alias("line_no"), "value"
+        F.col("_metadata.file_path").alias("file_path"),
+        F.monotonically_increasing_id().alias("line_no"),
+        "value",
     )
     s = F.regexp_extract("value", _TRIPLE_RE, 1)
     p = F.regexp_extract("value", _TRIPLE_RE, 2)
     o = F.regexp_extract("value", _TRIPLE_RE, 3)
-    parsed = raw.select("line_no", s.alias("subject"), p.alias("predicate"), o.alias("obj"))
+    parsed = raw.select(
+        "file_path", "line_no", s.alias("subject"), p.alias("predicate"), o.alias("obj")
+    )
     parsed = parsed.where((F.length("subject") > 0) & (F.length("predicate") > 0))
     is_iri = F.col("obj").startswith("<") & F.col("obj").endswith(">")
     lit = F.regexp_extract("obj", r'^"(.*)"(?:\^\^<[^>]+>|@[A-Za-z-]+)?$', 1)
     return parsed.select(
+        "file_path",
         "line_no",
         "subject",
         "predicate",
@@ -55,6 +70,7 @@ def dump_to_documents(spark: SparkSession, path: str) -> DataFrame:
     t = read_ntriples(spark, path)
     spans_src = t.select(
         F.col("subject").alias("doc_id"),
+        "file_path",
         "line_no",
         F.when(F.col("predicate") == RDF_TYPE, F.lit("rdf:type"))
         .otherwise(F.col("predicate"))
@@ -64,10 +80,12 @@ def dump_to_documents(spark: SparkSession, path: str) -> DataFrame:
         .alias("text"),
         F.when(F.col("predicate") != RDF_TYPE, F.col("obj_iri")).alias("media_ref"),
     )
+    # lexicographic struct sort = (file_path, in-file order): multi-file dumps
+    # get stable cross-file ordering with no window/shuffle
     collected = spans_src.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("line_no", "kind", "text", "media_ref"))).alias(
-            "_raw"
-        )
+        F.sort_array(
+            F.collect_list(F.struct("file_path", "line_no", "kind", "text", "media_ref"))
+        ).alias("_raw")
     )
     # offsets re-based per document in file order (A8 fold)
     spans = F.transform(

@@ -53,6 +53,32 @@ def test_ntriples_parse_and_group(spark, tmp_path):
     assert r2 == [("http://ex.org/p/name", "Bob"), ("http://ex.org/p/age", "42")]
 
 
+def test_ntriples_multifile_offsets_pinned(spark, tmp_path):
+    """A subject spread over several dump files gets span offsets in
+    (lexicographic file path, in-file line) order — pinned, so cross-file
+    interleaving by partition id (the failure mode of a bare
+    monotonically_increasing_id sort key) would break this exactly."""
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "part_a.nt").write_text(
+        '<http://ex.org/r1> <http://ex.org/p/x> "a1" .\n'
+        '<http://ex.org/r1> <http://ex.org/p/x> "a2" .\n'
+        '<http://ex.org/r2> <http://ex.org/p/x> "a3" .\n'
+    )
+    (d / "part_b.nt").write_text(
+        '<http://ex.org/r1> <http://ex.org/p/x> "b1" .\n'
+        '<http://ex.org/r2> <http://ex.org/p/x> "b2" .\n'
+        '<http://ex.org/r1> <http://ex.org/p/x> "b3" .\n'
+    )
+    docs = {r.doc_id: r.spans for r in dump_to_documents(spark, str(d)).collect()}
+    assert [(s.text, s.offset) for s in docs["http://ex.org/r1"]] == [
+        ("a1", 0), ("a2", 1), ("b1", 2), ("b3", 3)
+    ]
+    assert [(s.text, s.offset) for s in docs["http://ex.org/r2"]] == [
+        ("a3", 0), ("b2", 1)
+    ]
+
+
 CKAN = """{"id":"ds1","name":"dbpedia","title":"DBpedia","notes":"RDF of wikipedia",
  "tags":[{"name":"lod"},{"name":"publication"}],"groups":[{"name":"lodcloud"}],
  "resources":[{"url":"http://dbpedia.org/dump.nt","format":"ntriples","description":"dump"},

@@ -25,7 +25,10 @@ AUDIT = [
     "k2_upsert_merge",
     "w1_last_state_fold",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_signlsh",
     "sim_cosine_topk",
+    "engine_sim_ivf_topk",
     "crawl_politeness_topk",
 ]
 
@@ -57,6 +60,10 @@ def audit_one(spark, spark_noaqe, name, fn, sf_dir) -> str:
     counts = {
         "exchanges": len(re.findall(r"Exchange ", plan)),
         "broadcast_exchanges": len(re.findall(r"BroadcastExchange", plan)),
+        # single-partition funnels: only acceptable over provably-tiny inputs
+        # (e.g. the ≤n_centroids re-index window after a distributed
+        # TakeOrdered in ivf_centroids) — never over a corpus-sized stream
+        "single_partition_exchanges": len(re.findall(r"Exchange SinglePartition", plan)),
         "wholestage_codegen_spans": _codegen_subtrees(fn(spark_noaqe, sf_dir)),
         "python_arrow_stages": len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas", plan)),
         "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
@@ -76,6 +83,64 @@ def audit_one(spark, spark_noaqe, name, fn, sf_dir) -> str:
     return "\n".join(lines)
 
 
+def audit_schedule_pipeline(spark) -> str:
+    """The north-path plan: schedule_round over a synthetic frontier with the
+    bloom filter AND the bucketed seen table — the layout contract must show
+    up as a bucketed scan and the confirm join must add no exchange beyond
+    the dedup aggregate's."""
+    import tempfile
+
+    from dataset_crawler_spark import datagen
+    from dataset_crawler_spark.operators import scheduler as SCH
+    from dataset_crawler_spark.operators import seen as SN
+    from dataset_crawler_spark.sources.seen_table import BucketedSeenTable
+    from pyspark.sql import functions as F
+
+    n_urls, n_hosts = 40_000, 50
+    frontier = datagen.frontier(spark, n_urls, n_hosts=n_hosts, partitions=8)
+    hosts = datagen.hosts(spark, n_hosts)
+    seen = (
+        frontier.where(F.xxhash64("url") % 3 == 0)
+        .select(SCH.canonicalize_url(F.col("url")).alias("url_c"))
+        .distinct()
+    )
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loc = tempfile.mkdtemp(prefix="plan_audit_seen_")
+    st = BucketedSeenTable(spark, "plan_audit_seen", loc, n_buckets)
+    st.append(seen, 0)
+    params = SN.BloomParams.for_capacity(n_urls // 3 + 1, fp_rate=0.01, n_shards=8)
+    bloom = SN.bloom_build(st.read(), "url_c", params)
+    df = SCH.schedule_round(
+        frontier, hosts, bloom_state=bloom, bloom_params=params, seen_urls=st.read()
+    )
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    spark.sql("DROP TABLE IF EXISTS plan_audit_seen")
+    counts = {
+        "exchanges": len(re.findall(r"Exchange ", plan)),
+        "single_partition_exchanges": len(re.findall(r"Exchange SinglePartition", plan)),
+        "sorts": len(re.findall(r"\bSort ", plan)),
+        "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "shuffled_hash_joins": len(re.findall(r"ShuffledHashJoin", plan)),
+        "broadcast_hash_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "bucketed_seen_scan": "Bucketed: true" in plan and "SelectedBucketsCount" in plan,
+    }
+    lines = [
+        "### schedule_round (north path, bloom + bucketed seen)",
+        "",
+        "Expected shape: exchanges = dedup aggregate + two politeness windows",
+        "+ hosts broadcast ONLY; confirm anti-join = ShuffledHashJoin with the",
+        "seen side read as a bucketed scan (no exchange, no sort either side).",
+        "",
+        "| property | value |",
+        "|---|---|",
+    ]
+    for k, v in counts.items():
+        lines.append(f"| {k} | {v} |")
+    lines.append("")
+    return "\n".join(lines)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan_audit", cores=8, shuffle_partitions=8)
@@ -90,6 +155,8 @@ def main() -> None:
         "and Python/Arrow stages only where the operator is genuinely",
         "non-relational (bloom/cuckoo/LSH/span-diff).\n",
     ]
+    parts.append(audit_schedule_pipeline(spark))
+    print("audited schedule_round pipeline", flush=True)
     for name in AUDIT:
         parts.append(audit_one(spark, spark_noaqe, name, qmap[name], sf_dir))
         print(f"audited {name}", flush=True)
