@@ -84,27 +84,34 @@ def filter_unseen(
     10^10-URL path), or ``auto`` (by total filter size vs
     :data:`BLOOM_BROADCAST_MAX_BYTES`).
     """
-    if probe_strategy == "cuckoo":
-        # deletion-capable seen filter: tombstoned URLs were cuckoo_delete'd
-        # from the state, so they probe unseen and become re-fetchable
-        # (north_star resurrect mode). bloom_params.n_shards carries the
-        # shard count; bloom_state is the cuckoo shard table.
-        if bloom_state is None or bloom_params is None:
-            if seen_urls is None:
-                return candidates
-            return candidates.join(seen_urls, "url_c", "left_anti")
-        probed = SN.cuckoo_probe(candidates, "url_c", bloom_state, bloom_params.n_shards)
-        return _confirm_unseen(probed, seen_urls)
     if bloom_state is None or bloom_params is None:
         if seen_urls is None:
             return candidates
-        return candidates.join(seen_urls, "url_c", "left_anti")
+        return candidates.join(
+            seen_urls.select(F.col("url_c")).hint("SHUFFLE_HASH"), "url_c", "left_anti"
+        )
+    probed = _probe_filter(candidates, bloom_state, bloom_params, probe_strategy)
+    return _confirm_unseen(probed, seen_urls)
+
+
+def _probe_filter(
+    candidates: DataFrame,
+    bloom_state: DataFrame,
+    bloom_params: SN.BloomParams,
+    probe_strategy: str,
+) -> DataFrame:
+    """Attach the probabilistic ``seen`` column with the chosen physical
+    strategy. ``cuckoo``: deletion-capable filter — tombstoned URLs were
+    cuckoo_delete'd from the state, so they probe unseen and become
+    re-fetchable (north_star resurrect mode). Otherwise bloom, with ``auto``
+    picking broadcast vs cogroup by total filter size."""
+    if probe_strategy == "cuckoo":
+        return SN.cuckoo_probe(candidates, "url_c", bloom_state, bloom_params.n_shards)
     if probe_strategy == "auto":
         total_bytes = bloom_params.n_shards * bloom_params.n_bits_per_shard // 8
         probe_strategy = "broadcast" if total_bytes <= BLOOM_BROADCAST_MAX_BYTES else "cogroup"
     probe = SN.bloom_probe_scalar if probe_strategy == "broadcast" else SN.bloom_probe_cogroup
-    probed = probe(candidates, "url_c", bloom_state, bloom_params)
-    return _confirm_unseen(probed, seen_urls)
+    return probe(candidates, "url_c", bloom_state, bloom_params)
 
 
 def _confirm_unseen(probed: DataFrame, seen_urls: DataFrame | None) -> DataFrame:
@@ -209,15 +216,7 @@ def schedule_round(
         F.min("discovered_crawl_id").alias("discovered_crawl_id"),
     ]
     if bloom_state is not None and bloom_params is not None:
-        if probe_strategy == "cuckoo":
-            probed = SN.cuckoo_probe(raw, "url_c", bloom_state, bloom_params.n_shards)
-        else:
-            strat = probe_strategy
-            if strat == "auto":
-                total_bytes = bloom_params.n_shards * bloom_params.n_bits_per_shard // 8
-                strat = "broadcast" if total_bytes <= BLOOM_BROADCAST_MAX_BYTES else "cogroup"
-            probe = SN.bloom_probe_scalar if strat == "broadcast" else SN.bloom_probe_cogroup
-            probed = probe(raw, "url_c", bloom_state, bloom_params)
+        probed = _probe_filter(raw, bloom_state, bloom_params, probe_strategy)
         cand = probed.groupBy("url_c").agg(*agg_cols, F.max("seen").alias("seen"))
         cand = _confirm_unseen(cand, seen_urls)
     else:

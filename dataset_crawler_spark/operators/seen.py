@@ -310,21 +310,23 @@ def cuckoo_build(urls: DataFrame, url_col: str, n_shards: int, n_buckets: int) -
     always finds its shard's state — the zero-false-negative contract must
     hold for any composition, not just shards that happened to receive URLs."""
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(shards: pd.DataFrame, hs: pd.DataFrame) -> pd.DataFrame:
         t = _CuckooTable(n_buckets)
-        hs = pdf["_h"].dropna()
-        if len(hs):  # the marker row carries a null hash — shard exists, no insert
-            t.insert_many(hs.to_numpy(np.uint64))
+        if len(hs):
+            t.insert_many(hs["_h"].to_numpy(np.uint64))
         return pd.DataFrame(
-            {"shard": [int(pdf["shard"].iloc[0])], "n_buckets": [n_buckets], "bits": [t.t.tobytes()]}
+            {"shard": [int(shards["shard"].iloc[0])], "n_buckets": [n_buckets], "bits": [t.t.tobytes()]}
         )
 
     spark = urls.sparkSession
     hashed = _with_shard_hash(urls, url_col, n_shards).select("shard", "_h")
-    markers = spark.range(n_shards).select(
-        F.col("id").cast("int").alias("shard"), F.lit(None).cast("long").alias("_h")
+    # cogroup against the full shard range — NOT a null-marker union: a null
+    # in the hash column would flip the Arrow→pandas dtype to float64 and
+    # silently garble 64-bit hashes beyond 2^53
+    shards = spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+    return (
+        shards.groupBy("shard").cogroup(hashed.groupBy("shard")).applyInPandas(build, CUCKOO_STATE_SCHEMA)
     )
-    return hashed.unionByName(markers).groupBy("shard").applyInPandas(build, CUCKOO_STATE_SCHEMA)
 
 
 def cuckoo_insert(

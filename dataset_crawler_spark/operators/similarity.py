@@ -202,6 +202,43 @@ def signband_near_dup_pairs(
     )
 
 
+def signband_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, n_bands: int = 8, bits_per_band: int = 8
+) -> DataFrame:
+    """ANN top-k over sign-band candidates: hash-join per band, exact cosine
+    re-rank, top-k by (rounded cos desc, neighbor_id). Like
+    :func:`signband_near_dup_pairs` this is fully SQL-expressible, so the
+    DuckDB oracle checks the whole path (plans/queries.py sim_signlsh_topk);
+    queries with fewer than k band-mates return fewer rows — recall-bounded
+    like any LSH, never wrong. Ranking uses the ROUNDED cosine so the order
+    is bit-identical cross-engine."""
+    qs = signband_signatures(queries, n_bands, bits_per_band).select(
+        F.col("vec_id").alias("query_id"), "band", "sig"
+    )
+    cs = signband_signatures(corpus, n_bands, bits_per_band).select(
+        F.col("vec_id").alias("neighbor_id"), "band", "sig"
+    )
+    cand = (
+        qs.join(cs, ["band", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    eq = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_eq"))
+    ec = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_ec"))
+    scored = (
+        cand.join(eq, "query_id")
+        .join(ec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("_eq"), F.col("_ec")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -926,29 +926,36 @@ _MINHASH_BAND = 2  # 4 bands × 2 rows
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    # MinHash+LSH: shingle → k minhashes → banded bucket join
+    # MinHash+LSH: shingle → k minhashes → banded bucket join. The k hash
+    # streams are k parallel MIN aggregates over ONE pass of the shingle rows
+    # — not an explode(seeds) 8× row blowup: same hash work, 1/k the shuffle
+    # into the signature aggregate (the difference between one pass and k
+    # passes over 100 TB of shingles). The SQL twin keeps the textbook
+    # seed-explode formulation; results are identical by construction.
     sh = _shingles_df(spark, sf_dir)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("seed")
-    exploded = sh.select("doc_id", "s", seeds)
-    mh = (
-        exploded.withColumn(
-            "hv", h60(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("s")))
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("hv").alias("sig"))
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(h60(F.concat(F.lit(f"{seed}|"), F.col("s")))).alias(f"_s{seed}")
+            for seed in range(_MINHASH_K)
+        ]
     )
-    bands = (
-        mh.withColumn("band", (F.col("seed") / _MINHASH_BAND).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("seed", "sig"))),
-                    lambda x: x["sig"].cast("string"),
-                ),
-            ).alias("band_sig")
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).cast("long").alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"_s{seed}").cast("string")
+                        for seed in range(band * _MINHASH_BAND, (band + 1) * _MINHASH_BAND)
+                    ],
+                ).alias("band_sig"),
+            )
+            for band in range(_MINHASH_K // _MINHASH_BAND)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("_b")).select(
+        "doc_id", F.col("_b.band").alias("band"), F.col("_b.band_sig").alias("band_sig")
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -1059,6 +1066,43 @@ def dedup_embedding_signlsh(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return SIM.signband_near_dup_pairs(e, threshold=0.35, n_bands=8, bits_per_band=8)
+
+
+@register(
+    "sim_signlsh_topk",
+    """
+    WITH sig AS (
+      SELECT vec_id, band,
+             string_agg(CASE WHEN embedding[CAST(band*8 + i AS INT)] > 0
+                             THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+      FROM embeddings, range(8) rb(band), range(1, 9) ri(i)
+      GROUP BY vec_id, band),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sig q JOIN sig c ON q.band = c.band AND q.sig = c.sig AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]), 4) AS cos
+      FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+                JOIN embeddings ec ON ec.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def sim_signlsh_topk(spark, sf_dir):
+    # ANN top-k via sign-band LSH candidates + exact re-rank — unlike the
+    # hyperplane variant (engine_sim_lsh_topk, rows-only) this one's banding
+    # is ANSI-SQL-expressible, so candidates AND ranking are value-hash
+    # checked end-to-end against DuckDB.
+    from dataset_crawler_spark.operators import similarity as SIM
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < 5)
+    return SIM.signband_topk(q, e, k=3, n_bands=8, bits_per_band=8)
 
 
 @register(

@@ -192,6 +192,7 @@ class CrawlEngine:
         mode: str = "discover",
         seen_filter: str = "bloom",
         cuckoo_buckets: int = 1 << 12,
+        extra_ops: DataFrame | None = None,
     ) -> dict:
         """One complete crawl round (the reference's single_run iteration,
         IncrementalDatasetCrawler.java:121-185, distributed):
@@ -286,6 +287,11 @@ class CrawlEngine:
                 "discovered_crawl_id",
             )
         )
+        if extra_ops is not None:
+            # e.g. endpoint-probe status rows (sources/probe.py) — the round's
+            # ops_log partition is written once, so upstream stages hand their
+            # rows in rather than appending separately
+            ops_log = ops_log.unionByName(extra_ops)
         self.store.append("ops_log", ops_log, crawl_id)
 
         fetched = live.select(F.col("doc_id").alias("url_c"))

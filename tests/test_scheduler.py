@@ -128,6 +128,34 @@ def test_schedule_matches_oracle_with_seen_set(spark):
     assert not ({u for u, *_ in got} & seen_py)
 
 
+def test_probe_strategy_equivalence(spark):
+    """Every physical probe strategy (broadcast scalar UDF, cogrouped shard
+    probing, exact-table-only) must produce the identical schedule — the
+    choice is a physical-plan decision, never a semantic one."""
+    f = datagen.frontier(spark, N_URLS, n_hosts=N_HOSTS)
+    h = datagen.hosts(spark, N_HOSTS)
+    seen_py = {
+        canonicalize_url_py(r["url"])
+        for r in datagen.frontier_py(N_URLS, n_hosts=N_HOSTS)
+        if r["seed_rank"] % 3 == 0
+    }
+    seen_df = spark.createDataFrame([(u,) for u in sorted(seen_py)], "url_c string")
+    params = SN.BloomParams.for_capacity(len(seen_py), fp_rate=0.01, n_shards=8)
+    bloom = SN.bloom_build(seen_df, "url_c", params).cache()
+
+    results = [
+        _collect_schedule(
+            SCH.schedule_round(
+                f, h, bloom_state=bloom, bloom_params=params, seen_urls=seen_df,
+                probe_strategy=strat,
+            )
+        )
+        for strat in ("broadcast", "cogroup")
+    ]
+    results.append(_collect_schedule(SCH.schedule_round(f, h, seen_urls=seen_df)))
+    assert results[0] == results[1] == results[2]
+
+
 def test_salting_invariance(spark):
     """The salted two-phase top-k must give identical results at any salt width."""
     f = datagen.frontier(spark, N_URLS, n_hosts=N_HOSTS)

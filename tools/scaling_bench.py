@@ -46,24 +46,43 @@ def run(cpus: int, sf_dir: str, crawl_only: bool) -> dict:
     return json.loads(line)
 
 
+REPS = 2  # full sweep repetitions: per-width spread = the noise evidence
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    res = {}
-    for w in WIDTHS:
-        res[w] = run(w, sf_dir, crawl_only=(w != 32))
-        print(json.dumps({"width": w, "urls_per_sec": res[w]["value"]}), flush=True)
+    reps: dict[int, list[dict]] = {w: [] for w in WIDTHS}
+    for r in range(REPS):
+        for w in WIDTHS:
+            # full bench once (at 32, rep 0) for the per-stage table; crawl
+            # stage only everywhere else
+            reps[w].append(run(w, sf_dir, crawl_only=not (w == 32 and r == 0)))
+            print(
+                json.dumps({"rep": r, "width": w, "urls_per_sec": reps[w][-1]["value"]}),
+                flush=True,
+            )
+    # best-of-reps per width: on this noisy VM interference only ever slows a
+    # run down, so max is the least-biased steady-state estimator; the
+    # per-rep values are reported as the variance evidence
+    res = {w: max(reps[w], key=lambda x: x["value"]) for w in WIDTHS}
 
     eff = {
         f"{n}->{4 * n}": round(res[4 * n]["value"] / res[n]["value"] / 4.0, 3)
         for n in (2, 4, 8)
     }
-    headline = eff["2->8"]
+    # a >1.0 ratio can only be measurement noise / width-dependent constant
+    # overhead amortization — clamp the headline, report the raw pairs below
+    headline = min(1.0, eff["2->8"])
     n_urls = res[32]["queries"]["_n_urls"]
 
-    rows = "\n".join(
-        f"| local[{w}] | {res[w]['value']:,.0f} | {res[w]['queries']['schedule_round_sec']} |"
-        for w in WIDTHS
-    )
+    def row(w):
+        vals = [x["value"] for x in reps[w]]
+        spread = (max(vals) - min(vals)) / max(vals) * 100
+        per_rep = ", ".join(f"{v:,.0f}" for v in vals)
+        wall = res[w]["queries"]["schedule_round_sec"]
+        return f"| local[{w}] | {res[w]['value']:,.0f} | {wall} | {per_rep} | {spread:.0f}% |"
+
+    rows = "\n".join(row(w) for w in WIDTHS)
     effrows = "\n".join(f"| {k} | {v} |" for k, v in eff.items())
     md = f"""# BENCH/BASELINE — measured scaling evidence
 
@@ -74,19 +93,24 @@ salted politeness top-k) over the synthetic frontier at sf={res[32]["sf"]}
 every width; steady-state best-of-3 after warm rounds, so JIT/codegen costs a
 long-lived crawler pays once are excluded).
 
-## Throughput vs parallelism (same input, same plan)
+## Throughput vs parallelism (same input, same plan; best of {REPS} sweeps)
 
-| parallelism | throughput (urls/sec) | schedule wall (s) |
-|---|---|---|
+| parallelism | throughput (urls/sec) | schedule wall (s) | per-sweep values | spread |
+|---|---|---|---|---|
 {rows}
 
-## Scaling efficiency, every 4× pair
+## Scaling efficiency, every 4× pair (raw, from best-of-sweep throughputs)
 
 | N → 4N | efficiency |
 |---|---|
 {effrows}
 
-**Headline (pre-saturation pair, local[2] → local[8]): {headline}**
+**Headline (pre-saturation pair, local[2] → local[8], clamped to ≤1.0): {headline}**
+
+A raw ratio above 1.0 is superlinear and therefore measurement artifact
+(noise, or fixed per-round overhead amortizing differently across widths) —
+the headline is clamped and the raw pairs plus per-sweep spread are shown
+above so the variance is visible rather than folded into the claim.
 
 All widths share one machine's DRAM bus: the pipeline is string/shuffle
 heavy, and ~8-16 threads saturate memory bandwidth on this box — beyond that
@@ -98,10 +122,12 @@ scan+canonicalize+dedup+probe map stage, fully partition-parallel). On a real
 N vs 4N *executor* cluster each executor brings its own memory bus, which is
 the regime the 2→8 pair proxies.
 
-Per-stage seconds at local[32] (full bench):
+Per-stage seconds at local[32] (full bench — always sweep 0, the one run
+with the analytic queries enabled, regardless of which sweep won the
+throughput column):
 
 ```json
-{json.dumps(res[32]["queries"], indent=2)}
+{json.dumps(reps[32][0]["queries"], indent=2)}
 ```
 
 Hardware: 32-core Linux sandbox VM, single JVM (local mode), 24g heap.
