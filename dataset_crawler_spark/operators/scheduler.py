@@ -157,7 +157,14 @@ def robots_gate(candidates: DataFrame, hosts: DataFrame) -> DataFrame:
 
 
 def politeness_topk(candidates: DataFrame, n_salt: int = DEFAULT_N_SALT) -> DataFrame:
-    """Two-phase salted per-host budget top-k (see module docstring)."""
+    """Two-phase salted per-host budget top-k (see module docstring).
+
+    Physical strategy note (measured at sf0.1, local[32]): the obvious
+    shuffle-free-looking alternative — ``groupBy(host, salt).agg(slice(
+    array_sort(collect_list(...))))`` — produces identical output but runs 4×
+    SLOWER (7.9 s vs 1.9 s on the cached politeness input): collect_list is an
+    ObjectHashAggregate and array_sort an interpreted expression, while the
+    window rides a fully codegen'd partition sort. Keep the window."""
     order = [F.col("priority").desc(), F.col("seed_rank").asc(), F.col("url_c").asc()]
     salt = F.pmod(F.xxhash64("url_c"), F.lit(n_salt)).cast("int")
     w1 = Window.partitionBy("host", "_salt").orderBy(*order)

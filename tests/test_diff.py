@@ -66,6 +66,60 @@ def run_oracle_rounds(rounds, resurrect=False):
     return o, per_round
 
 
+def test_diff_random_corpora_match_oracle_hypothesis(spark):
+    """Adversarial property test: random multi-round corpora — duplicate
+    spans (multi-valued properties), permuted array-vs-offset order, null
+    text/media, empty span lists, doc appearance/disappearance/resurrection —
+    through the REAL snapshot_diff/apply_diff chain must produce lineage
+    identical to the pure-Python oracle in both tombstone modes."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    span_content = st.tuples(
+        st.sampled_from(["text", "media", "meta"]),
+        st.sampled_from([None, "a", "b"]),
+        st.sampled_from([None, "m1"]),
+    )
+
+    @st.composite
+    def doc_spans(draw):
+        contents = draw(st.lists(span_content, min_size=0, max_size=5))
+        offsets = draw(st.permutations(range(len(contents))))
+        return [(k, t, m, o) for (k, t, m), o in zip(contents, offsets)]
+
+    corpus = st.dictionaries(
+        st.sampled_from([f"d{i}" for i in range(6)]), doc_spans(), max_size=6
+    )
+    rounds_strategy = st.lists(corpus, min_size=2, max_size=3)
+
+    def to_df(live: dict):
+        return spark.createDataFrame(
+            [(d, s) for d, s in sorted(live.items())],
+            T.StructType(
+                [T.StructField("doc_id", T.StringType()), T.StructField("spans", T.ArrayType(SPAN))]
+            ),
+        )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    )
+    @given(rounds=rounds_strategy, resurrect=st.booleans())
+    def check(rounds, resurrect):
+        oracle = CrawlerOracle(resurrect=resurrect)
+        state = empty_state(spark)
+        for rnd, live in enumerate(rounds):
+            lineage = D.snapshot_diff(state, to_df(live), rnd, resurrect=resurrect).cache()
+            got = collect_lineage(lineage)
+            want = oracle.run_round(live, rnd)
+            assert got == want, f"round {rnd} resurrect={resurrect}"
+            state = D.apply_diff(state, to_df(live), lineage, rnd).cache()
+            state.count()
+
+    check()
+
+
 @pytest.mark.parametrize("resurrect", [False, True])
 def test_lineage_matches_oracle(spark, resurrect):
     _, engine_rounds, _, _ = run_engine_rounds(spark, [0, 1, 2], resurrect=resurrect)
