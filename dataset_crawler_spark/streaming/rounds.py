@@ -386,6 +386,61 @@ class CrawlEngine:
         return folded
 
 
+def streaming_crawl_rounds(
+    engine: CrawlEngine,
+    frontier_stream_dir: str,
+    hosts: DataFrame,
+    fetch_fn: FetchFn,
+    checkpoint: str,
+    bloom_params: SN.BloomParams | None = None,
+    mode: str = "discover",
+    seen_filter: str = "bloom",
+    max_files_per_batch: int | None = None,
+) -> None:
+    """Structured-Streaming bridge: frontier drops → crawl rounds.
+
+    ``frontier_stream_dir`` is watched as a file-source stream (FRONTIER
+    schema); every micro-batch becomes ONE full crawl round via
+    ``foreachBatch`` — schedule → fetch → diff → atomic commit — with
+    ``Trigger.AvailableNow`` draining whatever drops are present and
+    stopping (the reference's poll-sleep ``multiple_run`` loop, App.java:
+    31-58, as a stream). Exactly-once round semantics come from composing
+    the streaming checkpoint (a batch replays after a crash) with the
+    engine's idempotent round commit (a replayed round overwrites its own
+    partitions and re-commits the same manifest entry) — re-running a batch
+    cannot double-apply it. Call again after new drops land to continue from
+    the checkpoint.
+    """
+    from dataset_crawler_spark.schemas import FRONTIER
+
+    reader = engine.spark.readStream.schema(FRONTIER)
+    if max_files_per_batch is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
+    stream = reader.parquet(frontier_stream_dir)
+
+    def one_round(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.crawl_round(
+            batch_df,
+            hosts,
+            fetch_fn,
+            engine.next_round(),
+            bloom_params=bloom_params,
+            description=f"stream batch {batch_id}",
+            mode=mode,
+            seen_filter=seen_filter,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(one_round)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def simulated_fetcher(corpus: DataFrame) -> FetchFn:
     """A deterministic stand-in for the HTTP fetch stage: scheduled URLs are
     joined against a given corpus (doc_id == canonical url). Status-aware:

@@ -39,6 +39,88 @@ def test_windowed_metrics_available_now(spark, tmp_path):
     assert got[(1, "hostA")] == (1, 1, 200)
 
 
+def test_streaming_crawl_rounds_match_batch_engine(spark, tmp_path):
+    """Frontier-drop stream → crawl rounds: two drops processed via
+    streaming_crawl_rounds must commit the same rounds (fetched sets, op
+    counts, visible docs) as driving CrawlEngine.crawl_round directly, and a
+    drained re-run (no new files) must commit nothing — the
+    checkpoint+idempotent-commit exactly-once composition."""
+    from dataset_crawler_spark import datagen
+    from dataset_crawler_spark.operators import seen as SN
+    from dataset_crawler_spark.streaming.rounds import (
+        CrawlEngine,
+        simulated_fetcher,
+        streaming_crawl_rounds,
+    )
+
+    n_docs, n_hosts = 200, 10
+    rows = datagen.frontier_py(n_docs, n_hosts=n_hosts)
+    frontier_schema = (
+        "url string, host string, priority double, discovered_crawl_id int, "
+        "seed_rank int, state string"
+    )
+
+    def frontier_df(sl):
+        return spark.createDataFrame(
+            [(r["url"], r["host"], r["priority"], r["discovered_crawl_id"],
+              r["seed_rank"], r["state"]) for r in sl],
+            frontier_schema,
+        )
+
+    drops = [rows[: len(rows) // 2], rows[len(rows) // 2:]]
+    host_rows = [(f"host{i:04d}.example.org", 100, 10_000, [], True) for i in range(n_hosts)]
+    hosts = spark.createDataFrame(
+        host_rows,
+        "host string, crawl_delay_ms int, max_fetch_per_round int, "
+        "robots_disallow array<string>, is_available boolean",
+    )
+    params = SN.BloomParams.for_capacity(n_docs, fp_rate=0.01, n_shards=4)
+    corpus = datagen.documents_for_round_local(spark, n_docs, 0, n_hosts=n_hosts)
+
+    stream_dir = tmp_path / "frontier_stream"
+    stream_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    s_eng = CrawlEngine(spark, str(tmp_path / "stream_store"))
+    b_eng = CrawlEngine(spark, str(tmp_path / "batch_store"))
+
+    import glob as globmod
+    import shutil
+
+    for i, drop in enumerate(drops):
+        # the file-stream source lists FILES in the watched dir (no recursion):
+        # land each drop as a single parquet file, not a directory
+        tmp_out = tmp_path / f"drop_tmp{i}"
+        frontier_df(drop).coalesce(1).write.parquet(str(tmp_out))
+        part = globmod.glob(str(tmp_out / "part-*.parquet"))[0]
+        shutil.move(part, str(stream_dir / f"drop{i}.parquet"))
+        streaming_crawl_rounds(
+            s_eng, str(stream_dir), hosts, simulated_fetcher(corpus), ckpt,
+            bloom_params=params, mode="discover",
+        )
+        b_eng.crawl_round(
+            frontier_df(drop), hosts, simulated_fetcher(corpus), i,
+            bloom_params=params, mode="discover",
+        )
+
+    assert s_eng.store.committed_rounds() == b_eng.store.committed_rounds() == [0, 1]
+    for rnd in (0, 1):
+        sf = {r.url_c for r in s_eng.store.read("fetched", as_of=rnd)
+              .where(f"crawl_id = {rnd}").collect()}
+        bf = {r.url_c for r in b_eng.store.read("fetched", as_of=rnd)
+              .where(f"crawl_id = {rnd}").collect()}
+        assert sf == bf, f"round {rnd}"
+    sv = {r.doc_id for r in s_eng.visible_docs().collect()}
+    bv = {r.doc_id for r in b_eng.visible_docs().collect()}
+    assert sv == bv
+
+    # drained re-run: nothing new to process, nothing committed
+    streaming_crawl_rounds(
+        s_eng, str(stream_dir), hosts, simulated_fetcher(corpus), ckpt,
+        bloom_params=params, mode="discover",
+    )
+    assert s_eng.store.committed_rounds() == [0, 1]
+
+
 def test_stateful_host_budget_across_batches(spark, tmp_path):
     """The applyInPandasWithState gate must carry per-host admitted counts
     across micro-batches: 4 admitted in batch 1 + budget 5 ⇒ only 1 more in
