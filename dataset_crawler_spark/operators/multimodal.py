@@ -75,3 +75,71 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_ref string, src_width int, src_height int, width int, height int, "
+    "payload binary"
+)
+
+
+def resize_media(media_meta: DataFrame, max_dim: int) -> DataFrame:
+    """Aspect-preserving resize stage over (media_ref, payload, width, height).
+
+    The GEOMETRY is real (longest side clamped to ``max_dim``, never
+    upscaled, aspect ratio preserved; half-up rounding — floor(x+0.5), NOT
+    pandas' banker's rounding, so the DuckDB oracle twin reproduces it
+    bit-for-bit); only the pixel transform is the container stub (a digest of
+    payload+target-geometry — swap for PIL's ``Image.resize`` on a cluster
+    with codecs). One Arrow batch per partition, one output row per input
+    row."""
+    import numpy as np
+
+    def run(batches):
+        for pdf in batches:
+            scale = (max_dim / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
+            new_w = np.floor(pdf["width"] * scale + 0.5).astype(int)
+            new_h = np.floor(pdf["height"] * scale + 0.5).astype(int)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "src_width": pdf["width"],
+                    "src_height": pdf["height"],
+                    "width": new_w,
+                    "height": new_h,
+                    "payload": [
+                        hashlib.md5(p + f":resize:{w}x{h}".encode()).digest()
+                        for p, w, h in zip(pdf["payload"], new_w, new_h)
+                    ],
+                }
+            )
+
+    return media_meta.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "media_ref string, frame_idx int, ts_ms int, frame_payload binary"
+
+
+def sample_frames(media_meta: DataFrame, every_ms: int) -> DataFrame:
+    """Frame-sampling stage over (media_ref, payload, duration_ms): one output
+    row per sampled timestamp (0, every_ms, … ≤ duration_ms) — the
+    one-row-in / many-rows-out ``mapInPandas`` batch shape a real ffmpeg
+    frame extractor needs. Timestamps and counts are real; the frame bytes
+    are the container stub (digest of payload+ts)."""
+
+    def run(batches):
+        for pdf in batches:
+            refs, idxs, tss, payloads = [], [], [], []
+            for ref, payload, dur in zip(
+                pdf["media_ref"], pdf["payload"], pdf["duration_ms"]
+            ):
+                for i, ts in enumerate(range(0, int(dur) + 1, every_ms)):
+                    refs.append(ref)
+                    idxs.append(i)
+                    tss.append(ts)
+                    payloads.append(hashlib.md5(payload + f":frame:{ts}".encode()).digest())
+            yield pd.DataFrame(
+                {"media_ref": refs, "frame_idx": idxs, "ts_ms": tss, "frame_payload": payloads}
+            )
+
+    return media_meta.mapInPandas(run, FRAME_SCHEMA)

@@ -1259,6 +1259,41 @@ def mm_decode_stub_meta(spark, sf_dir):
     )
 
 
+@register(
+    "mm_resize_geometry",
+    """
+    WITH m AS (
+      SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_ref,
+             64 + ('0x' || substr(md5('m' || CAST(doc_id AS VARCHAR)), 1, 2))::INT AS src_width,
+             64 + ('0x' || substr(md5('m' || CAST(doc_id AS VARCHAR)), 3, 2))::INT AS src_height
+      FROM documents WHERE doc_id < 200),
+    s AS (SELECT *, LEAST(96.0 / GREATEST(src_width, src_height), 1.0) AS sc FROM m)
+    SELECT media_ref, src_width, src_height,
+           CAST(FLOOR(src_width * sc + 0.5) AS INT) AS width,
+           CAST(FLOOR(src_height * sc + 0.5) AS INT) AS height
+    FROM s
+    """,
+)
+def mm_resize_geometry(spark, sf_dir):
+    # the REAL resize stage (operators/multimodal.py mapInPandas) over a
+    # fixture-derived media table; the SQL twin recomputes the target
+    # geometry closed-form (aspect-preserving clamp to 96, half-up rounding)
+    # so the stage's math — not just its plumbing — is value-hash checked.
+    from dataset_crawler_spark.operators.multimodal import resize_media
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    ref = F.concat(F.lit("m"), F.col("doc_id").cast("string"))
+    media = d.select(
+        ref.alias("media_ref"),
+        F.unhex(F.md5(ref)).alias("payload"),
+        (F.conv(F.substring(F.md5(ref), 1, 2), 16, 10).cast("int") + 64).alias("width"),
+        (F.conv(F.substring(F.md5(ref), 3, 2), 16, 10).cast("int") + 64).alias("height"),
+    )
+    return resize_media(media, max_dim=96).select(
+        "media_ref", "src_width", "src_height", "width", "height"
+    )
+
+
 # ==========================================================================
 # Engine-native operators (no SQL twin — driver records rows-only checks):
 # stateful filter bytes and the interleaved-document diff aren't ANSI-SQL.

@@ -145,3 +145,42 @@ def test_multimodal_plumbing(spark):
     # deterministic across runs
     again = {r.media_ref: (r.width, r.height, r.duration_ms) for r in extract_media_meta(media).collect()}
     assert {r.media_ref: (r.width, r.height, r.duration_ms) for r in rows} == again
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize geometry (aspect-preserving clamp, never upscale) and frame
+    sampling (count/timestamps from duration) are real math over stubbed
+    codecs; both stages deterministic with exact batch shapes."""
+    from dataset_crawler_spark.operators.multimodal import resize_media, sample_frames
+
+    docs = datagen.documents_for_round(spark, 200, 0, n_hosts=10)
+    media = synth_media_table(docs)
+    meta = extract_media_meta(media).join(media.select("media_ref", "payload"), "media_ref")
+
+    max_dim = 96
+    rz = resize_media(meta, max_dim).collect()
+    assert len(rz) == meta.count()
+    for r in rz:
+        assert max(r.width, r.height) <= max_dim
+        assert r.width <= r.src_width and r.height <= r.src_height
+        if max(r.src_width, r.src_height) <= max_dim:  # never upscaled
+            assert (r.width, r.height) == (r.src_width, r.src_height)
+        else:  # aspect preserved under rounding
+            scale = max_dim / max(r.src_width, r.src_height)
+            assert abs(r.width - r.src_width * scale) <= 0.51
+            assert abs(r.height - r.src_height * scale) <= 0.51
+
+    every = 5000
+    frames = sample_frames(meta, every)
+    per_ref = {r.media_ref: r.n for r in
+               frames.groupBy("media_ref").agg(F.count("*").alias("n")).collect()}
+    durations = {r.media_ref: r.duration_ms for r in meta.collect()}
+    assert per_ref == {ref: dur // every + 1 for ref, dur in durations.items()}
+    one = sorted((r.frame_idx, r.ts_ms) for r in frames.collect()
+                 if r.media_ref == next(iter(per_ref)))
+    assert one == [(i, i * every) for i in range(len(one))]
+    # deterministic payload stub
+    a = {(r.media_ref, r.frame_idx): bytes(r.frame_payload) for r in frames.collect()}
+    b = {(r.media_ref, r.frame_idx): bytes(r.frame_payload)
+         for r in sample_frames(meta, every).collect()}
+    assert a == b
