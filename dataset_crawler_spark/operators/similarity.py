@@ -80,16 +80,20 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
 
 def ivf_centroids(corpus: DataFrame, n_centroids: int) -> DataFrame:
     """Deterministic coarse centroids: the ``n_centroids`` corpus vectors with
-    the lowest ``xxhash64(vec_id)`` — a seedless uniform sample (no RNG, no
-    wall clock; identical at any parallelism). A k-means refinement can drop
-    in without changing the probe path.
+    the lowest ``h60(vec_id)`` — a seedless uniform sample (no RNG, no wall
+    clock; identical at any parallelism). h60 (md5-based) rather than
+    xxhash64 so the DuckDB oracle can reproduce the selection and therefore
+    the ENTIRE ivf query (plans/queries.py engine_sim_ivf_topk). A k-means
+    refinement can drop in without changing the probe path.
 
     Selection is ``orderBy(...).limit(n)`` — Catalyst compiles that to a
     distributed ``TakeOrderedAndProject`` (per-partition top-n, tiny driver
     merge), so the full corpus never funnels through one task. Only the
     ≤ ``n_centroids`` surviving rows pass through the single-partition
     re-index window."""
-    hk = F.xxhash64(F.col("vec_id").cast("string"))
+    from dataset_crawler_spark.functions.hashing import h60
+
+    hk = h60(F.col("vec_id").cast("string"))
     picked = (
         corpus.select("vec_id", "embedding", hk.alias("_hk"))
         .orderBy("_hk", "vec_id")

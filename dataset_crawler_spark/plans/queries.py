@@ -1320,12 +1320,48 @@ def engine_sim_lsh_topk(spark, sf_dir):
     )
 
 
-@register("engine_sim_ivf_topk", None)
+@register(
+    "engine_sim_ivf_topk",
+    f"""
+    WITH h AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+      FROM embeddings),
+    cents AS (
+      SELECT centroid_id, embedding AS c_emb FROM (
+        SELECT embedding, row_number() OVER (ORDER BY hk, vec_id) - 1 AS centroid_id
+        FROM h) WHERE centroid_id < 8),
+    assign AS (
+      SELECT neighbor_id, c_emb_v, centroid_id FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb_v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) DESC,
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, q_emb, centroid_id FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) DESC,
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 4)
+    SELECT query_id, neighbor_id, ROUND(rawcos, 4) AS cos, rank FROM (
+      SELECT p.query_id, a.neighbor_id,
+             list_cosine_similarity(p.q_emb::DOUBLE[], a.c_emb_v::DOUBLE[]) AS rawcos,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(p.q_emb::DOUBLE[], a.c_emb_v::DOUBLE[]) DESC,
+                        a.neighbor_id) AS rank
+      FROM probes p JOIN assign a USING (centroid_id)
+      WHERE a.neighbor_id <> p.query_id)
+    WHERE rank <= 3
+    """,
+)
 def engine_sim_ivf_topk(spark, sf_dir):
     """ANN via inverted-file index (deterministic coarse centroids, probe
     n_probe cells, exact re-rank inside cells). Probing all cells equals
-    brute force exactly (pinned in tests); no ANSI-SQL twin for the
-    argmax-assignment step, so rows-only here."""
+    brute force exactly (pinned in tests). The centroid sample uses the
+    cross-engine h60 hash, so the ENTIRE index path — centroid selection,
+    argmax assignment, probe ranking, final top-k — has a DuckDB twin."""
     from dataset_crawler_spark.operators import similarity as SIM
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
