@@ -48,6 +48,7 @@ ANALYTIC_QUERIES = [
     "w1_last_state_fold",
     "a4_fingerprint_xor",
     "dedup_minhash_lsh",
+    "dedup_cluster_components",
     "dedup_embedding_signlsh",
     "text_fingerprint",
     "sim_cosine_topk",

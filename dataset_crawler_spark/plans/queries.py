@@ -909,23 +909,33 @@ def dedup_ngram_jaccard(spark, sf_dir):
 _MINHASH_K = 8
 _MINHASH_BAND = 2  # 4 bands × 2 rows
 
-
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {_SHINGLE_SQL},
+#: shared CTE chain: shingles → per-seed minhash signatures → LSH bands.
+#: Used by the pair query (dedup_minhash_lsh) and the clustering query
+#: (dedup_cluster_components) so both twins replicate candidate generation
+#: identically.
+_MINHASH_BANDS_SQL = f"""{_SHINGLE_SQL},
     mh AS (SELECT doc_id, CAST(seed AS INT) AS seed,
                   MIN({h60_sql("CAST(seed AS VARCHAR) || '|' || s")}) AS sig
            FROM sh, range({_MINHASH_K}) r(seed) GROUP BY doc_id, seed),
     bands AS (SELECT doc_id, seed // {_MINHASH_BAND} AS band,
                      string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed) AS band_sig
-              FROM mh GROUP BY doc_id, band)
+              FROM mh GROUP BY doc_id, band)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_MINHASH_BANDS_SQL}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
+    return _minhash_pairs(spark, sf_dir)
+
+
+def _minhash_pairs(spark, sf_dir):
     # MinHash+LSH: shingle → k minhashes → banded bucket join. The k hash
     # streams are k parallel MIN aggregates over ONE pass of the shingle rows
     # — not an explode(seeds) 8× row blowup: same hash work, 1/k the shuffle
@@ -999,6 +1009,137 @@ def dedup_simhash16(spark, sf_dir):
         F.sum(F.when(F.col("score") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0))
         .cast("long")
         .alias("simhash")
+    )
+
+
+@register(
+    "dedup_cluster_components",
+    f"""
+    WITH RECURSIVE {_MINHASH_BANDS_SQL},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size
+    FROM comp c JOIN sizes s USING (cluster_id)
+    """,
+)
+def dedup_cluster_components(spark, sf_dir):
+    """Transitive duplicate clustering — the step after pair generation that
+    an actual dedup pipeline needs: MinHash-LSH pairs → connected components
+    → (doc_id, cluster_id=min reachable doc_id, cluster_size); ``doc_id ==
+    cluster_id`` is the keep policy. Spark side runs the iterative
+    hash-to-min + pointer-doubling CC (operators/clustering.py — per round
+    two shuffle joins, O(log diameter) rounds, lineage cut per round); the
+    DuckDB twin computes the same fixpoint as a recursive transitive
+    closure, tractable at fixture scale only — which is exactly why the
+    engine ships the iterative operator."""
+    from dataset_crawler_spark.operators import clustering as CL
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return CL.dedup_clusters(pairs, docs)
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, source, ROUND(CAST(rate AS DOUBLE), 4) AS rate,
+           ROUND(CAST(1.0 / rate AS DOUBLE), 4) AS weight
+    FROM (
+      SELECT doc_id, source,
+             CASE CAST(substr(source, 4) AS INT) % 4
+               WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1 END AS rate
+      FROM documents)
+    WHERE {h60_sql("CAST(doc_id AS VARCHAR)")} % 10000 < CAST(rate * 10000 AS BIGINT)
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling for training-data mixing: each
+    stratum (source) gets a target rate; a document is kept iff
+    ``h60(doc_id) mod 10000 < rate·10000`` — a pure narrow filter (no RNG, no
+    shuffle, identical at any parallelism, stable across reruns so downstream
+    caches never churn). ``weight = 1/rate`` is the importance weight that
+    keeps per-stratum statistics unbiased after sampling. At 100 TB this is
+    the same single codegen'd scan+filter."""
+    d = _t(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 10).cast("int") % 4
+    rate = (
+        F.when(idx == 0, F.lit(1.0))
+        .when(idx == 1, F.lit(0.5))
+        .when(idx == 2, F.lit(0.25))
+        .otherwise(F.lit(0.1))
+    )
+    keep = F.pmod(h60(F.col("doc_id").cast("string")), F.lit(10000)) < (rate * 10000).cast(
+        "long"
+    )
+    return (
+        d.select("doc_id", "source", rate.alias("rate"))
+        .where(keep)
+        .select(
+            "doc_id",
+            "source",
+            F.round("rate", 4).alias("rate"),
+            F.round(F.lit(1.0) / F.col("rate"), 4).alias("weight"),
+        )
+    )
+
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 8
+
+
+@register(
+    "pack_token_bins",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             {h60_sql("CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t)
+    SELECT shard, doc_id, n_tokens,
+           CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def pack_token_bins(spark, sf_dir):
+    """Sequence packing for LLM training: assign documents to fixed
+    token-budget bins. Docs are sharded by ``h60(doc_id) mod n_shards`` (NOT
+    by source — shards are uniform, so the window shuffle has no hot key) and
+    packed in doc_id order within a shard: ``bin_id = floor(cum_tokens_before
+    / budget)`` — contiguous greedy packing where a bin may overflow by less
+    than one document (the standard concat-then-chunk trainer layout). One
+    shuffle (by shard), one window cumsum, all codegen."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(h60(F.col("doc_id").cast("string")), F.lit(_PACK_SHARDS)).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET)
+        .cast("long")
+        .alias("bin_id"),
     )
 
 

@@ -1,0 +1,156 @@
+"""Tests for the training-pipeline extension operators added in round 2:
+duplicate clustering (connected components), stratified sampling, and
+token-budget sequence packing. Each is pinned against a pure-Python twin;
+the DuckDB twins are checked by the driver's oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataset_crawler_spark.functions.hashing import h60_py
+from dataset_crawler_spark.operators import clustering as CL
+
+# --------------------------------------------------------------------------
+# connected components
+# --------------------------------------------------------------------------
+
+# chain 0-..-8 (diameter 8 forces >1 pointer-doubling round), triangle
+# 20-21-22 with a pendant 23, pair 30-31; 40/41 isolated via the node list
+EDGES = (
+    [(i, i + 1) for i in range(8)]
+    + [(20, 21), (21, 22), (22, 20), (22, 23)]
+    + [(30, 31)]
+)
+NODES = sorted({n for e in EDGES for n in e} | {40, 41})
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_match_union_find(spark):
+    edges = spark.createDataFrame(EDGES, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(n,) for n in NODES], "doc_id long")
+    got = {
+        (r["node"], r["comp"])
+        for r in CL.connected_components(edges, nodes=nodes).collect()
+    }
+    want = set(_uf_components(EDGES, NODES).items())
+    assert got == want
+
+
+def test_connected_components_partitioning_invariance(spark):
+    edges = spark.createDataFrame(EDGES, "doc_a long, doc_b long")
+    one = CL.connected_components(edges.coalesce(1)).collect()
+    many = CL.connected_components(edges.repartition(7)).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_dedup_clusters_sizes_and_keep_policy(spark):
+    edges = spark.createDataFrame(EDGES, "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(n,) for n in NODES], "doc_id long")
+    out = CL.dedup_clusters(edges, docs).collect()
+    comp = _uf_components(EDGES, NODES)
+    sizes = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert {(r.doc_id, r.cluster_id, r.cluster_size) for r in out} == {
+        (n, comp[n], sizes[comp[n]]) for n in NODES
+    }
+    # exactly one canonical doc (doc_id == cluster_id) per component
+    canon = [r.doc_id for r in out if r.doc_id == r.cluster_id]
+    assert sorted(canon) == sorted(set(comp.values()))
+
+
+# --------------------------------------------------------------------------
+# stratified sampling + packing (query-level twins at sf0.001)
+# --------------------------------------------------------------------------
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs_py(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    ).collect()
+
+
+def test_sample_stratified_matches_python_twin(spark):
+    from dataset_crawler_spark.plans.queries import sample_stratified
+
+    rates = {0: 1.0, 1: 0.5, 2: 0.25, 3: 0.1}
+    want = set()
+    for r in _docs_py(spark):
+        rate = rates[int(r.source[3:]) % 4]
+        if h60_py(str(r.doc_id)) % 10000 < int(rate * 10000):
+            want.add((r.doc_id, r.source, rate, round(1.0 / rate, 4)))
+    got = {
+        (r.doc_id, r.source, r.rate, r.weight)
+        for r in sample_stratified(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_pack_token_bins_matches_python_twin(spark):
+    from dataset_crawler_spark.plans.queries import (
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+        pack_token_bins,
+    )
+
+    shards: dict[int, list] = {}
+    for r in _docs_py(spark):
+        shards.setdefault(h60_py(str(r.doc_id)) % _PACK_SHARDS, []).append(
+            (r.doc_id, len(r.text.split(" ")))
+        )
+    want = set()
+    for shard, docs in shards.items():
+        cum = 0
+        for doc_id, n_tok in sorted(docs):
+            want.add((shard, doc_id, n_tok, cum // _PACK_BUDGET))
+            cum += n_tok
+    got = {
+        (r.shard, r.doc_id, r.n_tokens, r.bin_id)
+        for r in pack_token_bins(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # packing invariant: bin ids within a shard are contiguous from 0
+    by_shard: dict[int, set] = {}
+    for s, _, _, b in got:
+        by_shard.setdefault(s, set()).add(b)
+    for bins in by_shard.values():
+        assert bins == set(range(max(bins) + 1))
+
+
+def test_cluster_query_consistent_with_pair_query(spark):
+    """Every LSH pair must land in one cluster; cluster_id is a member."""
+    from dataset_crawler_spark.plans.queries import (
+        dedup_cluster_components,
+        dedup_minhash_lsh,
+    )
+
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dedup_cluster_components(spark, SF_DIR).collect()
+    }
+    pairs = dedup_minhash_lsh(spark, SF_DIR).collect()
+    for p in pairs:
+        assert clusters[p.doc_a] == clusters[p.doc_b]
+    member_sets: dict[int, set] = {}
+    for d, c in clusters.items():
+        member_sets.setdefault(c, set()).add(d)
+    for c, members in member_sets.items():
+        assert c == min(members)

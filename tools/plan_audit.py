@@ -30,6 +30,10 @@ AUDIT = [
     "sim_cosine_topk",
     "engine_sim_ivf_topk",
     "crawl_politeness_topk",
+    # scale contracts: sample_stratified must be a zero-exchange scan+filter;
+    # pack_token_bins exactly one exchange (the shard window)
+    "sample_stratified",
+    "pack_token_bins",
 ]
 
 INTERESTING = (
