@@ -816,8 +816,11 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-_SHINGLE_SQL = """
-    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+def _shingle_sql_from(table: str) -> str:
+    """Shingle CTE chain over any (doc_id, text) relation — lets the
+    composite pipeline twin shingle a *filtered* doc set."""
+    return f"""
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
     idx AS (SELECT doc_id, t, unnest(generate_series(0, greatest(len(t) - 3, 0))) AS i FROM tok),
     sh AS (SELECT DISTINCT doc_id,
                   array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ') AS s
@@ -825,8 +828,15 @@ _SHINGLE_SQL = """
 """
 
 
+_SHINGLE_SQL = _shingle_sql_from("documents")
+
+
 def _shingles_df(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    return _shingles_from(_t(spark, sf_dir, "documents"))
+
+
+def _shingles_from(docs):
+    d = docs.select("doc_id", F.split("text", " ").alias("t"))
     n = F.greatest(F.size("t") - 2, F.lit(1))
     return (
         d.select(
@@ -909,17 +919,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
 _MINHASH_K = 8
 _MINHASH_BAND = 2  # 4 bands × 2 rows
 
-#: shared CTE chain: shingles → per-seed minhash signatures → LSH bands.
-#: Used by the pair query (dedup_minhash_lsh) and the clustering query
-#: (dedup_cluster_components) so both twins replicate candidate generation
-#: identically.
-_MINHASH_BANDS_SQL = f"""{_SHINGLE_SQL},
+def _minhash_bands_sql_from(table: str) -> str:
+    """Shared CTE chain: shingles → per-seed minhash signatures → LSH bands,
+    over any (doc_id, text) relation. Used by the pair query
+    (dedup_minhash_lsh), the clustering query (dedup_cluster_components) and
+    the composite pipeline so every twin replicates candidate generation
+    identically."""
+    return f"""{_shingle_sql_from(table)},
     mh AS (SELECT doc_id, CAST(seed AS INT) AS seed,
                   MIN({h60_sql("CAST(seed AS VARCHAR) || '|' || s")}) AS sig
            FROM sh, range({_MINHASH_K}) r(seed) GROUP BY doc_id, seed),
     bands AS (SELECT doc_id, seed // {_MINHASH_BAND} AS band,
                      string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed) AS band_sig
               FROM mh GROUP BY doc_id, band)"""
+
+
+_MINHASH_BANDS_SQL = _minhash_bands_sql_from("documents")
 
 
 @register(
@@ -932,17 +947,21 @@ _MINHASH_BANDS_SQL = f"""{_SHINGLE_SQL},
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    return _minhash_pairs(spark, sf_dir)
+    return _minhash_pairs_from(_t(spark, sf_dir, "documents"))
 
 
 def _minhash_pairs(spark, sf_dir):
+    return _minhash_pairs_from(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_pairs_from(docs):
     # MinHash+LSH: shingle → k minhashes → banded bucket join. The k hash
     # streams are k parallel MIN aggregates over ONE pass of the shingle rows
     # — not an explode(seeds) 8× row blowup: same hash work, 1/k the shuffle
     # into the signature aggregate (the difference between one pass and k
     # passes over 100 TB of shingles). The SQL twin keeps the textbook
     # seed-explode formulation; results are identical by construction.
-    sh = _shingles_df(spark, sf_dir)
+    sh = _shingles_from(docs)
     mh = sh.groupBy("doc_id").agg(
         *[
             F.min(h60(F.concat(F.lit(f"{seed}|"), F.col("s")))).alias(f"_s{seed}")
@@ -1143,6 +1162,140 @@ def pack_token_bins(spark, sf_dir):
     )
 
 
+_STOPWORDS = "('the','a','of','and','to','in','is','on','for','value')"
+
+#: composite-pipeline gates: stopword-density language gate + minimum length
+#: quality gate (373/500 fixture docs survive both — meaningful but not
+#: degenerate downstream work).
+_GATE_STOP_DENSITY = 0.05
+_GATE_MIN_TOKENS = 25
+
+
+@register(
+    "pipeline_training_corpus",
+    f"""
+    WITH RECURSIVE
+    tokd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    gate AS (
+      SELECT doc_id FROM tokd GROUP BY doc_id
+      HAVING SUM(CASE WHEN w IN {_STOPWORDS} THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+               > {_GATE_STOP_DENSITY}
+         AND COUNT(*) >= {_GATE_MIN_TOKENS}),
+    samp AS (
+      SELECT * FROM (
+        SELECT d.doc_id, d.source, d.text,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               CASE CAST(substr(d.source, 4) AS INT) % 4
+                 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1 END AS rate
+        FROM documents d JOIN gate g USING (doc_id))
+      WHERE {h60_sql("CAST(doc_id AS VARCHAR)")} % 10000 < CAST(rate * 10000 AS BIGINT)),
+    {_minhash_bands_sql_from("samp")},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM samp
+      UNION
+      SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    keep AS (
+      SELECT s.doc_id, s.source, s.n_tokens,
+             ROUND(CAST(1.0 / s.rate AS DOUBLE), 4) AS weight,
+             {h60_sql("CAST(s.doc_id AS VARCHAR)")} % {_PACK_SHARDS} AS shard
+      FROM samp s JOIN comp c USING (doc_id)
+      WHERE c.cluster_id = s.doc_id),
+    cum AS (
+      SELECT shard, doc_id, source, n_tokens, weight,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM keep)
+    SELECT shard, doc_id, source, n_tokens, weight,
+           CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS bin_id
+    FROM cum
+    """,
+)
+def pipeline_training_corpus(spark, sf_dir):
+    """Flagship composite: the end-to-end training-data pipeline a 100-TB
+    corpus actually runs, as ONE declarative plan — language gate → quality
+    gate → deterministic stratified sample → MinHash-LSH near-dup clustering
+    with canonical-representative drop → token-budget bin packing, emitting
+    (shard, doc_id, source, n_tokens, weight, bin_id) ready for a trainer.
+
+    Composition of already-oracle-checked stages (text_langid,
+    text_quality_score, sample_stratified, dedup_minhash_lsh,
+    dedup_cluster_components, pack_token_bins) proving they compose without
+    driver-side glue: the gates are a single narrow codegen'd scan (the
+    stopword count is a higher-order array filter — no explode, no shuffle),
+    sampling is a hash filter, the only wide stages are the minhash aggregate,
+    the band self-join, the O(log diameter) CC rounds, and one final window
+    cumsum. The full chain is value-hash-checked against the DuckDB twin,
+    whose recursive-CTE closure replicates the iterative CC fixpoint."""
+    from dataset_crawler_spark.operators import clustering as CL
+
+    d = _t(spark, sf_dir, "documents")
+    stop = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "value"]
+    toks = F.split("text", " ")
+    gated = (
+        d.select(
+            "doc_id",
+            "source",
+            "text",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.filter(toks, lambda w: w.isin(*stop))).cast("long").alias("_n_stop"),
+        )
+        .where(
+            (F.col("_n_stop") / F.col("n_tokens") > _GATE_STOP_DENSITY)
+            & (F.col("n_tokens") >= _GATE_MIN_TOKENS)
+        )
+    )
+    idx = F.substring("source", 4, 10).cast("int") % 4
+    rate = (
+        F.when(idx == 0, F.lit(1.0))
+        .when(idx == 1, F.lit(0.5))
+        .when(idx == 2, F.lit(0.25))
+        .otherwise(F.lit(0.1))
+    )
+    samp = (
+        gated.select("doc_id", "source", "text", "n_tokens", rate.alias("rate"))
+        .where(
+            F.pmod(h60(F.col("doc_id").cast("string")), F.lit(10000))
+            < (F.col("rate") * 10000).cast("long")
+        )
+        # reused by three consumers (pair gen, CC node universe, final join);
+        # at fixture scale recompute is fine, on a cluster this is the one
+        # .cache() point of the pipeline
+        .cache()
+    )
+    pairs = _minhash_pairs_from(samp.select("doc_id", "text"))
+    clusters = CL.dedup_clusters(pairs, samp.select("doc_id"))
+    keep = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    kept = samp.join(keep, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(F.lit(1.0) / F.col("rate"), 4).alias("weight"),
+        F.pmod(h60(F.col("doc_id").cast("string")), F.lit(_PACK_SHARDS)).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return kept.select(
+        "shard",
+        "doc_id",
+        "source",
+        "n_tokens",
+        "weight",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
 def _cosine_spark(a, b):
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
@@ -1278,9 +1431,6 @@ def sim_cosine_topk(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("vec_a", "vec_b", F.round("_cos_raw", 4).alias("cos"))
     )
-
-
-_STOPWORDS = "('the','a','of','and','to','in','is','on','for','value')"
 
 
 @register(

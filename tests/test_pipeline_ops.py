@@ -135,6 +135,79 @@ def test_pack_token_bins_matches_python_twin(spark):
         assert bins == set(range(max(bins) + 1))
 
 
+def test_pipeline_training_corpus_matches_python_twin(spark):
+    """End-to-end composite (gate → sample → dedup-cluster → pack) pinned
+    against a from-first-principles Python twin: shingling, minhashing,
+    banding, union-find clustering, and packing all recomputed independently
+    of both Spark and the DuckDB twin."""
+    from dataset_crawler_spark.plans.queries import (
+        _GATE_MIN_TOKENS,
+        _GATE_STOP_DENSITY,
+        _MINHASH_BAND,
+        _MINHASH_K,
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+        pipeline_training_corpus,
+    )
+
+    stop = {"the", "a", "of", "and", "to", "in", "is", "on", "for", "value"}
+    rates = {0: 1.0, 1: 0.5, 2: 0.25, 3: 0.1}
+    samp = []  # (doc_id, source, n_tokens, rate, shingle-set)
+    for r in _docs_py(spark):
+        toks = r.text.split(" ")
+        n_stop = sum(1 for w in toks if w in stop)
+        if not (n_stop / len(toks) > _GATE_STOP_DENSITY and len(toks) >= _GATE_MIN_TOKENS):
+            continue
+        rate = rates[int(r.source[3:]) % 4]
+        if h60_py(str(r.doc_id)) % 10000 >= int(rate * 10000):
+            continue
+        n_sh = max(len(toks) - 2, 1)
+        shingles = {" ".join(toks[i : i + 3]) for i in range(n_sh)}
+        samp.append((r.doc_id, r.source, len(toks), rate, shingles))
+
+    # minhash → bands → pair edges
+    def bands_of(shingles):
+        sigs = [
+            min(h60_py(f"{seed}|{s}") for s in shingles) for seed in range(_MINHASH_K)
+        ]
+        return [
+            ",".join(str(v) for v in sigs[b * _MINHASH_BAND : (b + 1) * _MINHASH_BAND])
+            for b in range(_MINHASH_K // _MINHASH_BAND)
+        ]
+
+    band_map = {doc_id: bands_of(sh) for doc_id, _, _, _, sh in samp}
+    ids = sorted(band_map)
+    edges = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if any(x == y for x, y in zip(band_map[a], band_map[b]))
+    ]
+    comp = _uf_components(edges, ids)
+    keep = {d for d in ids if comp[d] == d}
+
+    shards: dict[int, list] = {}
+    meta = {}
+    for doc_id, source, n_tok, rate, _ in samp:
+        if doc_id not in keep:
+            continue
+        meta[doc_id] = (source, n_tok, round(1.0 / rate, 4))
+        shards.setdefault(h60_py(str(doc_id)) % _PACK_SHARDS, []).append(doc_id)
+    want = set()
+    for shard, docs in shards.items():
+        cum = 0
+        for doc_id in sorted(docs):
+            source, n_tok, weight = meta[doc_id]
+            want.add((shard, doc_id, source, n_tok, weight, cum // _PACK_BUDGET))
+            cum += n_tok
+    got = {
+        (r.shard, r.doc_id, r.source, r.n_tokens, r.weight, r.bin_id)
+        for r in pipeline_training_corpus(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_cluster_query_consistent_with_pair_query(spark):
     """Every LSH pair must land in one cluster; cluster_id is a member."""
     from dataset_crawler_spark.plans.queries import (
