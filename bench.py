@@ -49,6 +49,7 @@ ANALYTIC_QUERIES = [
     "a4_fingerprint_xor",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
+    "pipeline_training_corpus",
     "dedup_embedding_signlsh",
     "text_fingerprint",
     "sim_cosine_topk",

@@ -1,0 +1,93 @@
+"""Link-graph centrality: PageRank over a host/source graph.
+
+Crawl schedulers prioritize by centrality — a frontier at 10^10 URLs cannot
+fetch everything each round, and host rank is the standard priority signal
+(the reference's fixed per-type ordering, CrawlOperations.java ordering
+loops, is the degenerate "all hosts equal" case). This operator computes
+PageRank with the classic damped power iteration, expressed as DataFrame
+joins so it scales exactly like the connected-components operator
+(operators/clustering.py): per iteration one hash-partitioned equi-join
+(edges ⋈ ranks on src) plus one hash aggregate (sum of contributions per
+dst) — no all-pairs product, no driver-side graph.
+
+Determinism contract: fixed ``n_iter`` (no convergence-dependent stop), no
+RNG, sums of doubles rounded by the caller before comparison — the DuckDB
+twin unrolls the same ``n_iter`` iterations as chained CTEs and matches to
+6 decimals; the pure-Python twin in tests/test_pipeline_ops.py is an
+independent power iteration.
+
+Dangling nodes (no out-edges) leak rank mass; the standard fix is uniform
+redistribution. The dangling mass is ONE scalar aggregate per iteration — a
+control-plane action like the CC convergence check, not data movement.
+Lineage is cut per iteration with non-eager ``localCheckpoint`` (the
+dangling-mass aggregate is the action that materializes it), so the loop's
+plan does not grow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 8,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` damped power iterations.
+
+    ``edges``: (src, dst) directed edge list (parallel edges count once —
+    deduped here). ``nodes``: optional (node) universe; isolated nodes get
+    teleport-only rank; defaults to nodes appearing in ``edges``.
+    """
+    e = edges.select("src", "dst").distinct()
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+
+    # edges ⋈ outdegree, materialized once: every iteration joins against it
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = e.join(outdeg, "src").select("src", "dst", "deg").localCheckpoint()
+    srcs = ew.select("src").distinct().localCheckpoint()
+    nodes = nodes.localCheckpoint()
+
+    n = nodes.count()
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(n_iter):
+        # dangling mass: scalar control-plane aggregate (also materializes
+        # the non-eager checkpoint of `ranks`)
+        m = (
+            ranks.join(srcs, ranks.node == srcs.src, "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / n
+                    + damping * (F.coalesce("contrib", F.lit(0.0)) + F.lit(m) / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -1296,6 +1296,84 @@ def pipeline_training_corpus(spark, sf_dir):
     )
 
 
+_PR_ITER = 8
+_PR_DAMPING = 0.85
+_PR_EDGE_PCT = 30  # edge (a,b) exists iff h60(a||'>'||b) % 100 < this
+
+
+def _pagerank_sql() -> str:
+    """DuckDB twin of the damped power iteration: the same ``_PR_ITER``
+    iterations unrolled as chained CTEs (contribution agg + dangling-mass
+    scalar per step), over the identical hash-derived host graph."""
+    cte = [
+        "hosts AS (SELECT DISTINCT source AS node FROM documents)",
+        f"""edges AS (
+      SELECT a.node AS src, b.node AS dst FROM hosts a JOIN hosts b ON a.node <> b.node
+      WHERE {h60_sql("a.node || '>' || b.node")} % 100 < {_PR_EDGE_PCT})""",
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hosts)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM hosts)",
+    ]
+    d = _PR_DAMPING
+    for i in range(1, _PR_ITER + 1):
+        cte.append(
+            f"""c{i} AS (
+      SELECT e.dst AS node, SUM(r.rank / o.deg) AS contrib
+      FROM edges e JOIN r{i - 1} r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst)"""
+        )
+        cte.append(
+            f"""d{i} AS (
+      SELECT COALESCE(SUM(rank), 0) AS m FROM r{i - 1}
+      WHERE node NOT IN (SELECT src FROM edges))"""
+        )
+        cte.append(
+            f"""r{i} AS (
+      SELECT h.node,
+             (1.0 - {d}) / (SELECT n FROM nn)
+             + {d} * (COALESCE(c.contrib, 0) + (SELECT m FROM d{i}) / (SELECT n FROM nn)) AS rank
+      FROM hosts h LEFT JOIN c{i} c USING (node))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"\n    SELECT node AS source, ROUND(rank, 6) AS rank FROM r{_PR_ITER}"
+    )
+
+
+@register("graph_host_pagerank", _pagerank_sql())
+def graph_host_pagerank(spark, sf_dir):
+    """Host-centrality PageRank — the crawl-prioritization signal a
+    10^10-URL frontier schedules by (the reference's fixed per-type order,
+    CrawlOperations.java:392-418, is the all-hosts-equal degenerate case).
+    The host link graph is derived deterministically from the corpus (edge
+    iff h60(a||'>'||b) mod 100 < {pct}) so Spark, DuckDB, and the Python
+    twin all build the identical graph; the operator itself
+    (operators/graph.py) takes any (src, dst) edge list and scales like the
+    CC operator: one equi-join + one hash agg per iteration, dangling mass
+    as a scalar control-plane aggregate, lineage cut per round."""
+    from dataset_crawler_spark.operators import graph as G
+
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("node")
+    ).distinct()
+    a, b = hosts.alias("a"), hosts.alias("b")
+    edges = (
+        a.join(b, F.col("a.node") != F.col("b.node"))
+        .where(
+            F.pmod(
+                h60(F.concat(F.col("a.node"), F.lit(">"), F.col("b.node"))), F.lit(100)
+            )
+            < _PR_EDGE_PCT
+        )
+        .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
+    )
+    ranks = G.pagerank(edges, nodes=hosts, n_iter=_PR_ITER, damping=_PR_DAMPING)
+    return ranks.select(
+        F.col("node").alias("source"), F.round("rank", 6).alias("rank")
+    )
+
+
 def _cosine_spark(a, b):
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))

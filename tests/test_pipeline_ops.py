@@ -208,6 +208,63 @@ def test_pipeline_training_corpus_matches_python_twin(spark):
     assert len(got) > 0
 
 
+# --------------------------------------------------------------------------
+# pagerank
+# --------------------------------------------------------------------------
+
+# 1↔2 core, 3→1 feeder, 4 dangling (out-degree 0: mass must redistribute),
+# 5 isolated (teleport-only rank via the node universe)
+PR_EDGES = [(1, 2), (2, 1), (3, 1), (1, 4)]
+PR_NODES = [1, 2, 3, 4, 5]
+
+
+def _pagerank_py(edges, nodes, n_iter=8, damping=0.85):
+    out: dict[int, list] = {}
+    for s, d in set(edges):
+        out.setdefault(s, []).append(d)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        m = sum(rank[v] for v in nodes if v not in out)
+        contrib: dict[int, float] = {v: 0.0 for v in nodes}
+        for s, dsts in out.items():
+            for d in dsts:
+                contrib[d] += rank[s] / len(dsts)
+        rank = {
+            v: (1.0 - damping) / n + damping * (contrib[v] + m / n) for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_power_iteration_twin(spark):
+    from dataset_crawler_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(PR_EDGES, "src long, dst long")
+    nodes = spark.createDataFrame([(v,) for v in PR_NODES], "node long")
+    got = {r.node: r.rank for r in pagerank(edges, nodes=nodes).collect()}
+    want = _pagerank_py(PR_EDGES, PR_NODES)
+    assert set(got) == set(want)
+    for v in PR_NODES:
+        assert abs(got[v] - want[v]) < 1e-12
+    # total mass is conserved (dangling redistribution leaks nothing)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # structure: 1 (two in-links incl. the core loop) outranks the feeder 3
+    # and the isolated 5
+    assert got[1] > got[3] > 0
+    assert got[1] > got[5]
+
+
+def test_pagerank_partitioning_invariance(spark):
+    from dataset_crawler_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(PR_EDGES, "src long, dst long")
+    one = {r.node: r.rank for r in pagerank(edges.coalesce(1)).collect()}
+    many = {r.node: r.rank for r in pagerank(edges.repartition(5)).collect()}
+    assert set(one) == set(many)
+    for v in one:
+        assert abs(one[v] - many[v]) < 1e-12
+
+
 def test_cluster_query_consistent_with_pair_query(spark):
     """Every LSH pair must land in one cluster; cluster_id is a member."""
     from dataset_crawler_spark.plans.queries import (

@@ -34,6 +34,10 @@ AUDIT = [
     # pack_token_bins exactly one exchange (the shard window)
     "sample_stratified",
     "pack_token_bins",
+    # composite: the tail plan after the CC fixpoint (gates/sample/minhash run
+    # inside the loop's checkpointed lineage) — final join + window must stay
+    # relational with no Python stages
+    "pipeline_training_corpus",
 ]
 
 INTERESTING = (
