@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dataset_crawler_spark.functions.urls import canonicalize_url
+
 FETCH_EVENT_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -49,6 +51,26 @@ def windowed_host_metrics(stream: DataFrame, window: str = "1 minute", watermark
             "n_ok",
             "total_bytes",
         )
+    )
+
+
+def streaming_url_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming frontier dedup: admit each canonical URL once within the
+    watermark horizon — the streaming twin of the batch seen-set
+    (bloom probe + exact confirm, operators/scheduler.py).
+
+    ``dropDuplicatesWithinWatermark`` keys dedup state on ``url_c`` (the
+    canonicalized form, so `?b=2&a=1` and `?a=1&b=2` collapse — same
+    semantics as the batch path) and — unlike plain ``dropDuplicates`` on a
+    stream, whose state grows forever — evicts a key's state once the
+    watermark passes its event time. At 10^10-URL scale that bounds
+    streaming dedup state to the watermark window; the durable long-horizon
+    seen set stays the bucketed table + bloom, refreshed per round, and this
+    operator guards the intra-horizon stream in front of it."""
+    return (
+        stream.withColumn("url_c", canonicalize_url(F.col("url")))
+        .withWatermark("fetched_at", watermark)
+        .dropDuplicatesWithinWatermark(["url_c"])
     )
 
 

@@ -121,6 +121,63 @@ def test_streaming_crawl_rounds_match_batch_engine(spark, tmp_path):
     assert s_eng.store.committed_rounds() == [0, 1]
 
 
+def test_streaming_url_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on url_c must collapse duplicates both
+    inside one micro-batch (including canonical-form dupes that differ only
+    in query-param order) and across micro-batches sharing a checkpoint."""
+    from dataset_crawler_spark.streaming.stream import streaming_url_dedup
+
+    src = tmp_path / "events"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def drop(n_file, rows):
+        spark.createDataFrame(rows, FETCH_EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"batch{n_file}"))
+
+    def run():
+        stream = spark.readStream.schema(FETCH_EVENT_SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(src) + "/batch*")
+        q = (
+            streaming_url_dedup(stream, watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    u = "http://hostA.example.org/p"
+    batch1 = [
+        (f"{u}?b=2&a=1", "hostA", t0, "success", 1),
+        (f"{u}?a=1&b=2", "hostA", t0 + dt.timedelta(seconds=5), "success", 1),  # canon dupe
+        ("http://hostB.example.org/q", "hostB", t0, "success", 1),
+    ]
+    drop(1, batch1)
+    run()
+
+    # cross-batch dupe within the watermark horizon + one genuinely new URL
+    batch2 = [
+        (f"{u}?a=1&b=2", "hostA", t0 + dt.timedelta(minutes=1), "success", 1),
+        ("http://hostC.example.org/r", "hostC", t0 + dt.timedelta(minutes=1), "success", 1),
+    ]
+    drop(2, batch2)
+    run()
+
+    got = sorted(r.url_c for r in spark.read.parquet(str(out)).collect())
+    assert got == [
+        "http://hosta.example.org/p?a=1&b=2",
+        "http://hostb.example.org/q",
+        "http://hostc.example.org/r",
+    ]
+
+
 def test_stateful_host_budget_across_batches(spark, tmp_path):
     """The applyInPandasWithState gate must carry per-host admitted counts
     across micro-batches: 4 admitted in batch 1 + budget 5 ⇒ only 1 more in
