@@ -816,15 +816,18 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-def _shingle_sql_from(table: str) -> str:
+def _shingle_sql_from(table: str, prefix: str = "") -> str:
     """Shingle CTE chain over any (doc_id, text) relation — lets the
-    composite pipeline twin shingle a *filtered* doc set."""
+    composite pipeline twin shingle a *filtered* doc set. ``prefix`` renames
+    the chain's CTEs (``{p}tok``/``{p}idx``/``{p}sh``) so two chains can
+    coexist in one query (decontamination shingles eval and train sides)."""
+    p = prefix
     return f"""
-    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
-    idx AS (SELECT doc_id, t, unnest(generate_series(0, greatest(len(t) - 3, 0))) AS i FROM tok),
-    sh AS (SELECT DISTINCT doc_id,
+    {p}tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
+    {p}idx AS (SELECT doc_id, t, unnest(generate_series(0, greatest(len(t) - 3, 0))) AS i FROM {p}tok),
+    {p}sh AS (SELECT DISTINCT doc_id,
                   array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ') AS s
-           FROM idx)
+           FROM {p}idx)
 """
 
 
@@ -1603,6 +1606,168 @@ def text_fingerprint(spark, sf_dir):
     return sh.groupBy("doc_id").agg(
         F.min(h60(F.col("s"))).alias("min_shingle_fp"),
         F.expr("bit_xor(cast(conv(substr(md5(s),1,15),16,10) as bigint))").alias("xor_fp"),
+    )
+
+
+#: eval-set membership: h60(doc_id) % this == 0 marks a doc as "benchmark"
+#: (a deterministic ~2% stand-in for a real eval suite).
+_DECONTAM_MOD = 50
+
+
+@register(
+    "decontaminate_ngram",
+    f"""
+    WITH ev AS (SELECT doc_id, text FROM documents
+                WHERE {h60_sql("CAST(doc_id AS VARCHAR)")} % {_DECONTAM_MOD} = 0),
+    tr AS (SELECT doc_id, text FROM documents
+           WHERE {h60_sql("CAST(doc_id AS VARCHAR)")} % {_DECONTAM_MOD} <> 0),
+    {_shingle_sql_from("ev", "e")},
+    {_shingle_sql_from("tr", "t")},
+    es AS (SELECT DISTINCT s FROM esh)
+    SELECT t.doc_id, COUNT(*) AS n_shared
+    FROM tsh t JOIN es USING (s)
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination — the overlap-removal pass every serious
+    training corpus runs before release: flag training documents that share
+    any 3-gram shingle with the held-out eval set (membership here is the
+    deterministic hash rule above; in production it is the benchmark table).
+    Emits (doc_id, n_shared) per contaminated train doc; the clean corpus is
+    the anti-join against this result.
+
+    Scale shape: the eval side is tiny relative to 100 TB of training text
+    (benchmarks are ~10^6 rows), so its distinct shingle set BROADCASTS and
+    the flagging pass is one map-side semi-join + partial-aggregated count
+    over the train shingle stream — no shuffle of the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    is_eval = F.pmod(h60(F.col("doc_id").cast("string")), F.lit(_DECONTAM_MOD)) == 0
+    eval_sh = _shingles_from(d.where(is_eval)).select("s").distinct()
+    train_sh = _shingles_from(d.where(~is_eval))
+    return (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+#: Gopher-style repetition gates: duplicate-trigram fraction and top-token
+#: share (fixture p80s are 0.0 and 0.118 — the thresholds split real tails).
+_REP_MAX_DUP_TRIGRAM = 0.05
+_REP_MAX_TOP_TOKEN = 0.15
+
+
+@register(
+    "text_repetition_filter",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(0, greatest(len(t) - 3, 0))) AS i
+            FROM tok),
+    g AS (SELECT doc_id, array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ') AS s
+          FROM idx),
+    tg AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT s) AS dst
+           FROM g GROUP BY doc_id),
+    w AS (SELECT doc_id, w, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY doc_id, w),
+    tt AS (SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS shr FROM w GROUP BY doc_id)
+    SELECT tg.doc_id,
+           ROUND(1.0 - dst * 1.0 / total, 4) AS dup_trigram_frac,
+           ROUND(shr, 4) AS top_token_share,
+           (1.0 - dst * 1.0 / total <= {_REP_MAX_DUP_TRIGRAM}
+            AND shr <= {_REP_MAX_TOP_TOKEN}) AS keep
+    FROM tg JOIN tt USING (doc_id)
+    """,
+)
+def text_repetition_filter(spark, sf_dir):
+    """Intra-document repetition filter (the Gopher-rules family): fraction
+    of duplicate 3-grams and most-frequent-token share, each a pure two-level
+    hash aggregate over the exploded token/trigram stream — map-side partial
+    aggregation does the heavy lifting, one shuffle keyed by doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.greatest(F.size("t") - 2, F.lit(1))
+    tg = (
+        d.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 3)),
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("total"), F.countDistinct("s").alias("dst"))
+    )
+    tt = (
+        d.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("shr"))
+    )
+    dup = F.lit(1.0) - F.col("dst") / F.col("total")
+    return (
+        tg.join(tt, "doc_id")
+        .select(
+            "doc_id",
+            F.round(dup, 4).alias("dup_trigram_frac"),
+            F.round("shr", 4).alias("top_token_share"),
+            ((dup <= _REP_MAX_DUP_TRIGRAM) & (F.col("shr") <= _REP_MAX_TOP_TOKEN)).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+_MIX_ALPHA = 0.5  # smoothing exponent: weight ∝ token_share^alpha, renormalized
+
+
+@register(
+    "mix_source_token_shares",
+    f"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+      FROM documents GROUP BY source),
+    sh AS (SELECT source, n_docs, n_tokens,
+                  n_tokens * 1.0 / SUM(n_tokens) OVER () AS share
+           FROM s)
+    SELECT source, n_docs, n_tokens,
+           ROUND(share, 6) AS token_share,
+           ROUND(POW(share, {_MIX_ALPHA})
+                 / SUM(POW(share, {_MIX_ALPHA})) OVER (), 6) AS mix_weight
+    FROM sh
+    """,
+)
+def mix_source_token_shares(spark, sf_dir):
+    """Training-mixture weights per source/domain: raw token share plus the
+    standard temperature-smoothed sampling weight share^alpha / Σ share^alpha
+    (alpha < 1 upweights small domains). One hash aggregate over the corpus
+    (map-side partial sums) into a per-source table small enough that the
+    two global windows run on a handful of rows."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+    )
+    wall = Window.partitionBy()
+    sh = s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.sum("n_tokens").over(wall)).alias("share"),
+    )
+    smoothed = F.pow("share", _MIX_ALPHA)
+    return sh.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 6).alias("token_share"),
+        F.round(smoothed / F.sum(smoothed).over(wall), 6).alias("mix_weight"),
     )
 
 

@@ -208,6 +208,60 @@ def test_pipeline_training_corpus_matches_python_twin(spark):
     assert len(got) > 0
 
 
+def test_decontaminate_ngram_matches_python_twin(spark):
+    from dataset_crawler_spark.plans.queries import _DECONTAM_MOD, decontaminate_ngram
+
+    def shingles(text):
+        toks = text.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    ev_sh, train = set(), {}
+    for r in _docs_py(spark):
+        if h60_py(str(r.doc_id)) % _DECONTAM_MOD == 0:
+            ev_sh |= shingles(r.text)
+        else:
+            train[r.doc_id] = shingles(r.text)
+    want = {
+        (d, len(sh & ev_sh)) for d, sh in train.items() if sh & ev_sh
+    }
+    got = {
+        (r.doc_id, r.n_shared) for r in decontaminate_ngram(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # the twin's train dict excludes eval docs by construction, so equality
+    # also pins that no eval doc leaks into the contamination report
+
+
+def test_text_repetition_filter_matches_python_twin(spark):
+    from dataset_crawler_spark.plans.queries import (
+        _REP_MAX_DUP_TRIGRAM,
+        _REP_MAX_TOP_TOKEN,
+        text_repetition_filter,
+    )
+
+    want = {}
+    for r in _docs_py(spark):
+        toks = r.text.split(" ")
+        n = max(len(toks) - 2, 1)
+        grams = [" ".join(toks[i : i + 3]) for i in range(n)]
+        dup = 1.0 - len(set(grams)) / len(grams)
+        freq: dict[str, int] = {}
+        for w in toks:
+            freq[w] = freq.get(w, 0) + 1
+        shr = max(freq.values()) / len(toks)
+        want[r.doc_id] = (
+            round(dup, 4),
+            round(shr, 4),
+            dup <= _REP_MAX_DUP_TRIGRAM and shr <= _REP_MAX_TOP_TOKEN,
+        )
+    got = {
+        r.doc_id: (r.dup_trigram_frac, r.top_token_share, r.keep)
+        for r in text_repetition_filter(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
 # --------------------------------------------------------------------------
 # pagerank
 # --------------------------------------------------------------------------
