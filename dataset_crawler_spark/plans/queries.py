@@ -1772,6 +1772,99 @@ def mix_source_token_shares(spark, sf_dir):
 
 
 @register(
+    "temporal_asof_join",
+    """
+    WITH purch AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    signup AS (
+      SELECT user_id, ts, MAX(value) AS signup_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           ROUND(p.value, 2) AS value,
+           epoch_us(s.ts) AS signup_ts_us,
+           ROUND(s.signup_value, 2) AS signup_value
+    FROM purch p ASOF LEFT JOIN signup s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def temporal_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.py): each purchase event picks up the
+    user's most recent signup state at-or-before purchase time — the
+    state-at-event-time join Spark has no built-in for. The operator is the
+    merge-by-key union+window shape (ONE exchange over |L|+|R| rows, skew-
+    immune); DuckDB's native ASOF JOIN is the oracle twin. Right side is
+    pre-aggregated to one row per (user_id, ts) so both engines' tie
+    behavior is identical."""
+    from dataset_crawler_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    j = asof_join(purch, signup, by=["user_id"], left_ts="ts", right_ts="ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round("value", 2).alias("value"),
+        F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("signup_ts_us"),
+        F.round("signup_value_asof", 2).alias("signup_value"),
+    )
+
+
+_SESSION_GAP = "30 minutes"
+
+
+@register(
+    "temporal_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    g AS (SELECT user_id, ts, value,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def temporal_sessionize(spark, sf_dir):
+    """Sessionization via the built-in ``session_window`` (batch mode):
+    per-user activity sessions with a 30-minute inactivity gap — the same
+    operator a streaming deployment uses under watermarks, so batch backfill
+    and live sessions share semantics. Spark merges events whose
+    [ts, ts+gap) ranges overlap (session end = last ts + gap); the DuckDB
+    twin is the equivalent gaps-and-islands formulation with the identical
+    break condition (diff >= gap)."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "user_id", F.session_window("ts", _SESSION_GAP).alias("w")
+    ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+    return s.select(
+        "user_id",
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end").cast("timestamp")).alias("session_end_us"),
+        "n_events",
+        "total",
+    )
+
+
+@register(
     "mm_decode_stub_meta",
     """
     SELECT doc_id, octet_length(unhex(md5(text))) AS blob_len,

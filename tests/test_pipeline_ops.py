@@ -319,6 +319,47 @@ def test_pagerank_partitioning_invariance(spark):
         assert abs(one[v] - many[v]) < 1e-12
 
 
+# --------------------------------------------------------------------------
+# as-of join
+# --------------------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    """At-or-before inclusive match, per-key isolation, null when no earlier
+    right row, and partitioning invariance."""
+    from dataset_crawler_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            ("u1", 5, "a"),   # matches right ts=5 (tie → inclusive)
+            ("u1", 7, "b"),   # matches right ts=5 (latest ≤ 7)
+            ("u1", 12, "c"),  # matches right ts=10
+            ("u2", 3, "d"),   # u2 has no right row ≤ 3 → null
+            ("u2", 9, "e"),   # matches u2's ts=8 (not u1's ts=10)
+            ("u3", 1, "f"),   # key absent from right → null
+        ],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, 50.0), ("u1", 10, 100.0), ("u2", 8, 80.0)],
+        "k string, ts long, v double",
+    )
+    want = {
+        ("u1", 5, "a", 5, 50.0),
+        ("u1", 7, "b", 5, 50.0),
+        ("u1", 12, "c", 10, 100.0),
+        ("u2", 3, "d", None, None),
+        ("u2", 9, "e", 8, 80.0),
+        ("u3", 1, "f", None, None),
+    }
+    for l in (left.coalesce(1), left.repartition(7)):
+        got = {
+            (r.k, r.ts, r.tag, r.ts_asof, r.v_asof)
+            for r in asof_join(l, right, by=["k"]).collect()
+        }
+        assert got == want
+
+
 def test_cluster_query_consistent_with_pair_query(spark):
     """Every LSH pair must land in one cluster; cluster_id is a member."""
     from dataset_crawler_spark.plans.queries import (
