@@ -839,20 +839,9 @@ def _shingles_df(spark, sf_dir):
 
 
 def _shingles_from(docs):
-    d = docs.select("doc_id", F.split("text", " ").alias("t"))
-    n = F.greatest(F.size("t") - 2, F.lit(1))
-    return (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n - 1),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 3)),
-                )
-            ).alias("s"),
-        )
-        .distinct()
-    )
+    from dataset_crawler_spark.operators.dedup_index import shingles
+
+    return shingles(docs, n=3)
 
 
 #: stop-shingle cap: shingles appearing in more than this many docs are
@@ -953,53 +942,55 @@ def dedup_minhash_lsh(spark, sf_dir):
     return _minhash_pairs_from(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "engine_incremental_minhash",
+    f"""
+    WITH {_MINHASH_BANDS_SQL}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+)
+def engine_incremental_minhash(spark, sf_dir):
+    """Incremental dedup-index equivalence, value-hash-checked: ingest the
+    corpus in two rounds (doc_id parity) through the incremental MinHash
+    index — each round only shuffles ITS documents' band signatures, joined
+    against the accumulated index — and return the union of per-round pair
+    outputs. The DuckDB twin is the from-scratch BATCH pair set over the
+    whole corpus: the oracle proves round-at-a-time ingestion loses and
+    invents nothing, which is what lets a 100-TB corpus dedup per crawl
+    round at |new| cost instead of |corpus| cost."""
+    from dataset_crawler_spark.operators import dedup_index as DI
+
+    d = _t(spark, sf_dir, "documents")
+    b0 = _minhash_bands_from(d.where(F.col("doc_id") % 2 == 0))
+    b1 = _minhash_bands_from(d.where(F.col("doc_id") % 2 != 0))
+    p0 = DI.incremental_band_pairs(None, b0)
+    p1 = DI.incremental_band_pairs(b0, b1)
+    return p0.unionByName(p1).distinct()
+
+
 def _minhash_pairs(spark, sf_dir):
     return _minhash_pairs_from(_t(spark, sf_dir, "documents"))
 
 
+def _minhash_bands_from(docs):
+    """Banded MinHash signatures with the cross-engine h60 hasher — the one
+    shared builder (operators/dedup_index.py) so batch queries, the
+    incremental index, and every DuckDB twin agree bit-for-bit. The SQL
+    twins keep the textbook seed-explode formulation; results are identical
+    by construction."""
+    from dataset_crawler_spark.operators.dedup_index import minhash_bands
+
+    return minhash_bands(
+        docs, k=_MINHASH_K, rows_per_band=_MINHASH_BAND, hash_fn=h60
+    )
+
+
 def _minhash_pairs_from(docs):
-    # MinHash+LSH: shingle → k minhashes → banded bucket join. The k hash
-    # streams are k parallel MIN aggregates over ONE pass of the shingle rows
-    # — not an explode(seeds) 8× row blowup: same hash work, 1/k the shuffle
-    # into the signature aggregate (the difference between one pass and k
-    # passes over 100 TB of shingles). The SQL twin keeps the textbook
-    # seed-explode formulation; results are identical by construction.
-    sh = _shingles_from(docs)
-    mh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(h60(F.concat(F.lit(f"{seed}|"), F.col("s")))).alias(f"_s{seed}")
-            for seed in range(_MINHASH_K)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).cast("long").alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"_s{seed}").cast("string")
-                        for seed in range(band * _MINHASH_BAND, (band + 1) * _MINHASH_BAND)
-                    ],
-                ).alias("band_sig"),
-            )
-            for band in range(_MINHASH_K // _MINHASH_BAND)
-        ]
-    )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("_b")).select(
-        "doc_id", F.col("_b.band").alias("band"), F.col("_b.band_sig").alias("band_sig")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    from dataset_crawler_spark.operators.dedup_index import band_pairs
+
+    return band_pairs(_minhash_bands_from(docs))
 
 
 @register(

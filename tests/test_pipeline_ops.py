@@ -319,6 +319,47 @@ def test_pagerank_partitioning_invariance(spark):
         assert abs(one[v] - many[v]) < 1e-12
 
 
+def test_incremental_minhash_index_through_store(spark, tmp_path):
+    """Three-round ingestion through a SnapshotStore-persisted band index:
+    the union of per-round pair outputs must equal the from-scratch batch
+    pair set over all docs, and a crashed (uncommitted) round's signatures
+    must stay invisible to the next round's join."""
+    from dataset_crawler_spark.operators import dedup_index as DI
+    from dataset_crawler_spark.sources.snapshots import SnapshotStore
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    store = SnapshotStore(str(tmp_path / "store"), spark)
+
+    got = set()
+    for rnd in range(3):
+        new = docs.where(F.col("doc_id") % 3 == rnd)
+        idx = store.read("band_sigs") if rnd else None
+        if idx is not None and not idx.columns:
+            idx = None
+        bands = DI.minhash_bands(new)
+        pairs = DI.incremental_band_pairs(idx, bands)
+        got |= {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        store.append("band_sigs", bands, rnd)
+        store.commit_round(rnd)
+
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in DI.band_pairs(DI.minhash_bands(docs)).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+    # crash-safety: an appended-but-uncommitted round is invisible
+    extra = docs.limit(0)
+    store.append("band_sigs", DI.minhash_bands(extra), 99)
+    visible = store.read("band_sigs")
+    assert {r.crawl_id for r in visible.select("crawl_id").distinct().collect()} == {
+        0,
+        1,
+        2,
+    }
+
+
 # --------------------------------------------------------------------------
 # as-of join
 # --------------------------------------------------------------------------
