@@ -1763,6 +1763,32 @@ def mix_source_token_shares(spark, sf_dir):
 
 
 @register(
+    "a9_exact_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def a9_exact_quantiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group (``percentile`` —
+    a full sort-based aggregate, the correctness oracle). The 100-TB path
+    for dashboards is ``approx_percentile`` (t-digest-style mergeable
+    sketch, no global sort); approximate output can't value-hash against an
+    exact twin, so the exact aggregate is the registered check and the
+    sketch is the documented production swap-in."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(q)), 4).alias(name)
+            for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ]
+    )
+
+
+@register(
     "temporal_asof_join",
     """
     WITH purch AS (

@@ -38,6 +38,14 @@ AUDIT = [
     # inside the loop's checkpointed lineage) — final join + window must stay
     # relational with no Python stages
     "pipeline_training_corpus",
+    # scale contracts: decontamination must BROADCAST the eval shingle set
+    # (never shuffles train text); the as-of join is the union+window merge —
+    # exactly one shuffle exchange, zero joins; incremental minhash joins new
+    # bands against the index without any Python stage
+    "decontaminate_ngram",
+    "temporal_asof_join",
+    "text_repetition_filter",
+    "engine_incremental_minhash",
 ]
 
 INTERESTING = (
