@@ -51,6 +51,8 @@ ANALYTIC_QUERIES = [
     "dedup_cluster_components",
     "pipeline_training_corpus",
     "dedup_embedding_signlsh",
+    "engine_incremental_minhash",
+    "decontaminate_ngram",
     "text_fingerprint",
     "sim_cosine_topk",
 ]
