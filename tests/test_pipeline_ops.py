@@ -401,6 +401,49 @@ def test_asof_join_semantics(spark):
         assert got == want
 
 
+def test_asof_join_adversarial_seeded(spark):
+    """200 random left rows / 120 random right rows over 8 keys with heavy
+    timestamp collisions (ts drawn from just 0..24, forcing plenty of exact
+    ties and empty prefixes) against a brute-force Python twin — one Spark
+    job for the whole case set."""
+    import random
+
+    rng = random.Random(20240817)
+    keys = [f"k{i}" for i in range(8)]
+    left = [
+        (rng.choice(keys), rng.randrange(25), i) for i in range(200)
+    ]
+    right_set = set()
+    while len(right_set) < 120:
+        right_set.add((rng.choice(keys), rng.randrange(25)))
+    right = [(k, ts, float(rng.randrange(1000))) for k, ts in sorted(right_set)]
+
+    by_key: dict[str, list] = {}
+    for k, ts, v in right:
+        by_key.setdefault(k, []).append((ts, v))
+    for rows in by_key.values():
+        rows.sort()
+
+    def expect(k, ts):
+        best = None
+        for rts, v in by_key.get(k, []):
+            if rts <= ts:
+                best = (rts, v)
+        return best or (None, None)
+
+    want = {(k, ts, i, *expect(k, ts)) for k, ts, i in left}
+
+    from dataset_crawler_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame(left, "k string, ts long, row_id long").repartition(13)
+    r = spark.createDataFrame(right, "k string, ts long, v double").repartition(3)
+    got = {
+        (x.k, x.ts, x.row_id, x.ts_asof, x.v_asof)
+        for x in asof_join(l, r, by=["k"]).collect()
+    }
+    assert got == want
+
+
 def test_cluster_query_consistent_with_pair_query(spark):
     """Every LSH pair must land in one cluster; cluster_id is a member."""
     from dataset_crawler_spark.plans.queries import (
