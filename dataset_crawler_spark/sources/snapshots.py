@@ -80,33 +80,106 @@ class SnapshotStore:
         m["rounds"].sort(key=lambda r: r["crawl_id"])
         self._write_manifest(m)
 
+    # -- maintenance --------------------------------------------------------
+
+    def compacted_upto(self, table: str) -> int | None:
+        return self.manifest().get("tables", {}).get(table, {}).get("compacted_upto")
+
+    def compact(self, table: str, upto: int | None = None) -> dict:
+        """Rewrite the committed partitions with ``crawl_id ≤ upto`` into one
+        consolidated directory — the small-files maintenance op (Iceberg's
+        ``rewrite_data_files`` analog). After R rounds an append-per-round
+        table is R directories of small files; at 10^4 rounds the scan's file
+        listing, not the bytes, dominates. Compaction keeps every row's
+        ``crawl_id`` as a DATA column, so as-of reads are EXACTLY preserved
+        (``as_of < upto`` becomes a row filter instead of partition pruning —
+        the standard granularity trade; rounds after ``upto`` still prune).
+
+        Commit protocol mirrors ``append``: the compacted directory is
+        written first, the manifest switch is the atomic rename — a crash in
+        between leaves an orphan dir that readers never consult. Superseded
+        partition dirs stay on disk (byte-identical reads either way) until
+        :meth:`vacuum` — the expire-snapshots step — removes them.
+        """
+        rounds = self.committed_rounds()
+        if not rounds:
+            raise ValueError("compact: nothing committed")
+        upto = rounds[-1] if upto is None else upto
+        part = self.read(table).where(F.col("crawl_id") <= upto)
+        out = os.path.join(self.root, table, f"_compacted_{upto}")
+        part.write.mode("overwrite").parquet(out)
+        m = self.manifest()
+        m.setdefault("tables", {}).setdefault(table, {})["compacted_upto"] = upto
+        self._write_manifest(m)
+        return {"table": table, "compacted_upto": upto, "path": out}
+
+    def vacuum(self, table: str) -> list[str]:
+        """Delete partition dirs superseded by compaction and stale compacted
+        dirs from earlier compactions. Safe at any time after the manifest
+        switch: readers only consult the current manifest."""
+        import shutil
+
+        c = self.compacted_upto(table)
+        if c is None:
+            return []
+        base = os.path.join(self.root, table)
+        removed = []
+        for r in self.committed_rounds():
+            p = os.path.join(base, f"crawl_id={r}")
+            if r <= c and os.path.exists(p):
+                shutil.rmtree(p)
+                removed.append(p)
+        for d in os.listdir(base):
+            if d.startswith("_compacted_") and int(d.rsplit("_", 1)[1]) != c:
+                p = os.path.join(base, d)
+                shutil.rmtree(p)
+                removed.append(p)
+        return removed
+
     # -- reads --------------------------------------------------------------
 
     def read(self, table: str, as_of: int | None = None) -> DataFrame:
-        """Read all committed partitions of a table (optionally ≤ as_of).
+        """Read all committed rows of a table (optionally ≤ as_of).
 
         Only committed rounds are visible — uncommitted partition dirs from a
-        crashed run are ignored, which is what makes replay safe.
+        crashed run are ignored, which is what makes replay safe. If the
+        table has a compaction point C, rows ≤ C come from the compacted
+        file (crawl_id is a data column there) and rows > C from the
+        per-round partitions; the two views are byte-identical.
         """
         rounds = self.committed_rounds()
         if as_of is not None:
             rounds = [r for r in rounds if r <= as_of]
         base = os.path.join(self.root, table)
+        comp = self.compacted_upto(table)
+        dfs = []
+        if comp is not None:
+            cdf = self.spark.read.parquet(os.path.join(base, f"_compacted_{comp}"))
+            if as_of is not None:
+                cdf = cdf.where(F.col("crawl_id") <= as_of)
+            dfs.append(cdf)
+            rounds = [r for r in rounds if r > comp]
         pairs = [
             (r, os.path.join(base, f"crawl_id={r}"))
             for r in rounds
             if os.path.exists(os.path.join(base, f"crawl_id={r}"))
         ]
-        if not pairs:
+        if pairs:
+            # One partition-discovered scan over the committed partition dirs
+            # (NOT a per-round union — after R rounds that is an R-way union
+            # plan Catalyst re-optimizes on every action). ``basePath`` makes
+            # Spark parse crawl_id back out of the directory names as a
+            # partition column, so crawl_id range predicates prune at the
+            # file level — the Iceberg-snapshot read path shape
+            # (CrawlLoadData.java:36-229).
+            dfs.append(
+                self.spark.read.option("basePath", base)
+                .parquet(*[p for _, p in pairs])
+                .withColumn("crawl_id", F.col("crawl_id").cast("int"))
+            )
+        if not dfs:
             raise FileNotFoundError(f"no committed data for table {table!r} (as_of={as_of})")
-        # One partition-discovered scan over the committed partition dirs
-        # (NOT a per-round union — after R rounds that is an R-way union plan
-        # Catalyst re-optimizes on every action). ``basePath`` makes Spark
-        # parse crawl_id back out of the directory names as a partition
-        # column, so crawl_id range predicates prune at the file level —
-        # the Iceberg-snapshot read path shape (CrawlLoadData.java:36-229).
-        return (
-            self.spark.read.option("basePath", base)
-            .parquet(*[p for _, p in pairs])
-            .withColumn("crawl_id", F.col("crawl_id").cast("int"))
-        )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
