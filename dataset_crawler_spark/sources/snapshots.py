@@ -82,6 +82,14 @@ class SnapshotStore:
 
     # -- maintenance --------------------------------------------------------
 
+    def tables(self) -> list[str]:
+        """Table names present on disk (committed or not)."""
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
     def compacted_upto(self, table: str) -> int | None:
         return self.manifest().get("tables", {}).get(table, {}).get("compacted_upto")
 
@@ -105,6 +113,14 @@ class SnapshotStore:
         if not rounds:
             raise ValueError("compact: nothing committed")
         upto = rounds[-1] if upto is None else upto
+        base = os.path.join(self.root, table)
+        has_rows = self.compacted_upto(table) is not None or any(
+            r <= upto and os.path.exists(os.path.join(base, f"crawl_id={r}"))
+            for r in rounds
+        )
+        if not has_rows:
+            # an empty compacted dir would be schema-less parquet; nothing to do
+            raise ValueError(f"compact: no committed rows ≤ {upto} in {table!r}")
         part = self.read(table).where(F.col("crawl_id") <= upto)
         out = os.path.join(self.root, table, f"_compacted_{upto}")
         part.write.mode("overwrite").parquet(out)

@@ -335,6 +335,27 @@ class CrawlEngine:
         live.unpersist()
         return stats
 
+    # -- maintenance ---------------------------------------------------------
+
+    def compact_store(self, upto: int | None = None, vacuum: bool = True) -> dict:
+        """Compact every store table and (optionally) vacuum the superseded
+        round partitions — the periodic housekeeping a long-lived crawl runs
+        between rounds (a 10^4-round table is otherwise 10^4 small-file
+        directories per table). Byte-identical reads before/after is the
+        store's contract (sources/snapshots.py compact), so this can run at
+        ANY round boundary: resume, as-of reconstruction, and the next
+        round's seen-set reads are unaffected. Skips tables with no
+        committed data. Returns {table: compaction info}."""
+        out = {}
+        for t in self.store.tables():
+            try:
+                out[t] = self.store.compact(t, upto)
+            except (FileNotFoundError, ValueError):
+                continue
+            if vacuum:
+                out[t]["vacuumed"] = len(self.store.vacuum(t))
+        return out
+
     # -- failure retry (T5) + operation log reads ----------------------------
 
     def ops_log_as_of(self, as_of: int | None = None) -> DataFrame:

@@ -347,6 +347,42 @@ def test_dataset_dimension_upserts_across_rounds(spark, tmp_path):
     assert dim0 == {"ds1": "Title One", "ds2": "Title Two"}  # as-of read
 
 
+def test_compaction_mid_lifecycle_is_transparent(spark, tmp_path):
+    """compact_store() at a round boundary must not change anything the
+    engine computes afterwards: a compacted engine and an untouched twin
+    running the identical 3-round crawl end with the same fetched sets,
+    visible docs, and as-of reconstructions."""
+    params = SN.BloomParams.for_capacity(N_DOCS, fp_rate=0.01, n_shards=8)
+    frontier, hosts = _frontier(spark), _open_hosts(spark)
+    a = CrawlEngine(spark, str(tmp_path / "a"))
+    b = CrawlEngine(spark, str(tmp_path / "b"))
+
+    for rnd in range(2):
+        live = _live_frontier(spark, rnd)
+        for eng in (a, b):
+            eng.crawl_round(live, hosts, simulated_fetcher(_corpus(spark, rnd)), rnd,
+                            bloom_params=params, mode="full")
+
+    info = b.compact_store()
+    assert info  # at least the lineage/versions/fetched tables compacted
+    assert all(v.get("vacuumed", 0) >= 1 for v in info.values())
+
+    live2 = _live_frontier(spark, 2)
+    for eng in (a, b):
+        eng.crawl_round(live2, hosts, simulated_fetcher(_corpus(spark, 2)), 2,
+                        bloom_params=params, mode="full")
+
+    for as_of in (0, 1, 2):
+        va = {tuple(sorted(map(tuple, r.spans))) + (r.doc_id,)
+              for r in a.visible_docs(as_of).collect()}
+        vb = {tuple(sorted(map(tuple, r.spans))) + (r.doc_id,)
+              for r in b.visible_docs(as_of).collect()}
+        assert va == vb, f"as_of={as_of}"
+        fa = {r.url_c for r in a.store.read("fetched", as_of=as_of).collect()}
+        fb = {r.url_c for r in b.store.read("fetched", as_of=as_of).collect()}
+        assert fa == fb, f"as_of={as_of}"
+
+
 def test_politeness_budget_enforced_in_lifecycle(spark, tmp_path):
     eng = CrawlEngine(spark, str(tmp_path / "store"))
     frontier = _frontier(spark)
