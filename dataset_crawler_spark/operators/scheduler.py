@@ -234,3 +234,47 @@ def schedule_round(
     cand = cand.withColumn("host", host_of("url_c"))
     cand = robots_gate(cand, hosts)
     return politeness_topk(cand, n_salt=n_salt)
+
+
+def refresh_priorities(
+    lineage: DataFrame, as_of: int, decay: float = 0.5
+) -> DataFrame:
+    """Change-rate-driven recrawl priority from the lineage stream.
+
+    The reference recrawls everything on a fixed 30-minute cycle
+    (App.java:31-58) — at 10^10 URLs a frontier must instead spend its
+    per-round budget where change is likely. Standard freshness heuristic:
+    score each LIVE document by its exponentially-decayed change history,
+
+        change_score = Σ_{change rounds r ≤ as_of} decay^(as_of − r)
+
+    (an ``added``/``updated`` lineage op is a change; a doc whose latest op
+    is ``deleted`` is tombstoned and excluded — nothing to refresh). The
+    score is the recrawl priority: recently/frequently changed docs sort
+    first, and one more unchanged round decays everyone by ``decay`` —
+    so the ranking self-corrects as history accumulates.
+
+    Pure hash aggregates over lineage (map-side partial sums; one shuffle
+    by doc_id) — at 10^10 docs this is the same shape as any per-key agg,
+    and lineage is already hash-partitioned by doc_id on write
+    (snapshot_diff's partition_id), so the shuffle is cheap or free.
+
+    Returns (doc_id, n_changes, last_change_round, change_score).
+    """
+    upto = lineage.where(F.col("crawl_id") <= as_of)
+    chg = upto.where(F.col("op") != "deleted")
+    agg = chg.groupBy("doc_id").agg(
+        F.count("*").alias("n_changes"),
+        F.max("crawl_id").alias("last_change_round"),
+        F.round(
+            F.sum(F.pow(F.lit(decay), F.lit(as_of) - F.col("crawl_id"))), 4
+        ).alias("change_score"),
+    )
+    last_op = upto.groupBy("doc_id").agg(
+        F.max_by("op", "crawl_id").alias("_last_op")
+    )
+    return (
+        agg.join(last_op, "doc_id")
+        .where(F.col("_last_op") != "deleted")
+        .drop("_last_op")
+    )

@@ -2075,6 +2075,18 @@ def engine_interleaved_lineage(spark, sf_dir):
     runs end-to-end (bootstrap round 0 → apply → incremental diff); the twin
     hashes per-op doc and span-op counts. Exact per-row lineage is pinned
     against the pure-Python oracle in tests/test_diff.py."""
+    _, lin1 = _interleaved_two_round_lineage(spark, sf_dir)
+    return lin1.groupBy("op").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("span_ops")).cast("long").alias("n_span_ops"),
+    )
+
+
+def _interleaved_two_round_lineage(spark, sf_dir):
+    """The deterministic two-round interleaved-corpus construction shared by
+    the engine-native lineage queries (mutation rules documented on
+    engine_interleaved_lineage): returns (lin0, lin1) from REAL
+    snapshot_diff runs."""
     from dataset_crawler_spark.operators import diff as D
     from dataset_crawler_spark.schemas import empty_df
     from dataset_crawler_spark.streaming.rounds import STATE_SCHEMA
@@ -2115,7 +2127,44 @@ def engine_interleaved_lineage(spark, sf_dir):
     lin0 = D.snapshot_diff(state0, live0, 0)
     state1 = D.apply_diff(state0, live0, lin0, 0)
     lin1 = D.snapshot_diff(state1, live1, 1)
-    return lin1.groupBy("op").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size("span_ops")).cast("long").alias("n_span_ops"),
+    return lin0, lin1
+
+
+@register(
+    "engine_refresh_priorities",
+    """
+    WITH lin AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS crawl_id, 'added' AS op
+      FROM documents
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 1, 'deleted' FROM documents WHERE doc_id % 23 = 0
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 1, 'updated'
+      FROM documents WHERE doc_id % 7 = 0 AND doc_id % 23 <> 0
+      UNION ALL
+      SELECT CAST(doc_id + 1000000 AS VARCHAR), 1, 'added'
+      FROM documents WHERE doc_id % 19 = 0),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_changes,
+             MAX(crawl_id) AS last_change_round,
+             ROUND(SUM(POW(0.5, 1 - crawl_id)), 4) AS change_score
+      FROM lin WHERE op <> 'deleted' GROUP BY doc_id),
+    last AS (SELECT doc_id, arg_max(op, crawl_id) AS last_op FROM lin GROUP BY doc_id)
+    SELECT a.doc_id, a.n_changes, a.last_change_round, a.change_score
+    FROM agg a JOIN last l USING (doc_id) WHERE l.last_op <> 'deleted'
+    """,
+)
+def engine_refresh_priorities(spark, sf_dir):
+    """Change-rate recrawl priorities computed from REAL snapshot_diff
+    lineage (the two-round interleaved construction above), checked
+    value-for-value: the DuckDB twin derives the doc-level op stream
+    directly from the mutation rules and applies the identical decayed-sum
+    scoring — so both the diff's doc-level op assignment AND the scoring
+    aggregate (operators/scheduler.py refresh_priorities) are pinned."""
+    from dataset_crawler_spark.operators.scheduler import refresh_priorities
+
+    lin0, lin1 = _interleaved_two_round_lineage(spark, sf_dir)
+    lineage = lin0.select("doc_id", "crawl_id", "op").unionByName(
+        lin1.select("doc_id", "crawl_id", "op")
     )
+    return refresh_priorities(lineage, as_of=1, decay=0.5)
