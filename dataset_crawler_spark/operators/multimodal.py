@@ -77,6 +77,35 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, MEDIA_META_SCHEMA)
 
 
+EMBED_SCHEMA = "media_ref string, embedding array<double>"
+
+
+def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Media-encoder stage (CLIP-style image/audio → vector), Arrow-batched
+    ``mapInPandas`` — the exact batch shape a GPU encoder uses (one model
+    call per Arrow batch, one vector row out per payload row).
+
+    STUB: no encoder weights in this container, so the vector is derived
+    deterministically from ``media_ref`` via the cross-engine h60 hash
+    (components uniform in [-1, 1)) — which is precisely what lets the
+    DuckDB oracle replicate the downstream near-dup pipeline bit-for-bit
+    (plans/queries.py mm_embed_near_dup). A real deployment replaces the
+    body with ``model(pdf["payload"])``; schema and plumbing are unchanged.
+    """
+
+    def run(batches):
+        from dataset_crawler_spark.functions.hashing import h60_py
+
+        for pdf in batches:
+            embs = [
+                [(h60_py(f"{ref}|e{i}") % 2001 - 1000) / 1000.0 for i in range(dim)]
+                for ref in pdf["media_ref"]
+            ]
+            yield pd.DataFrame({"media_ref": pdf["media_ref"], "embedding": embs})
+
+    return media.mapInPandas(run, EMBED_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "media_ref string, src_width int, src_height int, width int, height int, "
     "payload binary"

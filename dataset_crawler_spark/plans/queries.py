@@ -1938,6 +1938,56 @@ def mm_resize_geometry(spark, sf_dir):
     )
 
 
+@register(
+    "mm_embed_near_dup",
+    f"""
+    WITH med AS (
+      SELECT 'm' || CAST(doc_id AS VARCHAR) AS vec_id
+      FROM documents WHERE doc_id % 5 = 0),
+    emb AS (
+      SELECT vec_id,
+             list_transform(generate_series(0, 15),
+               i -> ((({h60_sql("vec_id || '|e' || CAST(i AS VARCHAR)")}) % 2001) - 1000)
+                    / 1000.0) AS embedding
+      FROM med),
+    sig AS (
+      SELECT vec_id, band,
+             string_agg(CASE WHEN embedding[CAST(band*4 + i AS INT)] > 0
+                             THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+      FROM emb, range(4) rb(band), range(1, 5) ri(i)
+      GROUP BY vec_id, band),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           ROUND(list_cosine_similarity(ea.embedding, eb.embedding), 4) AS cos
+    FROM cand JOIN emb ea ON ea.vec_id = vec_a
+              JOIN emb eb ON eb.vec_id = vec_b
+    WHERE ROUND(list_cosine_similarity(ea.embedding, eb.embedding), 4) >= 0.5
+    """,
+)
+def mm_embed_near_dup(spark, sf_dir):
+    """Multimodal → similarity bridge, end-to-end: media payload table →
+    Arrow-batched encoder stage (operators/multimodal.py embed_media, the
+    real mapInPandas plumbing with a deterministic stub in place of model
+    weights) → banded sign-LSH near-dup pairs with exact cosine confirm
+    (operators/similarity.py). Because the stub embedding is hash-derived,
+    the ENTIRE pipeline — encode, banding, candidate join, confirm — is
+    value-hash-checked against the DuckDB twin, not just shape-checked."""
+    from dataset_crawler_spark.operators import multimodal as MM
+    from dataset_crawler_spark.operators import similarity as SIM
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    ref = F.concat(F.lit("m"), F.col("doc_id").cast("string"))
+    media = d.select(
+        ref.alias("media_ref"),
+        F.lit("media").alias("media_kind"),
+        F.unhex(F.md5(ref)).alias("payload"),
+    )
+    emb = MM.embed_media(media, dim=16).withColumnRenamed("media_ref", "vec_id")
+    return SIM.signband_near_dup_pairs(emb, threshold=0.5, n_bands=4, bits_per_band=4)
+
+
 # ==========================================================================
 # Engine-native operators (no SQL twin — driver records rows-only checks):
 # stateful filter bytes and the interleaved-document diff aren't ANSI-SQL.
