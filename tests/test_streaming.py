@@ -178,6 +178,74 @@ def test_streaming_url_dedup_within_watermark(spark, tmp_path):
     ]
 
 
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """The SAME session_window aggregation runs in a watermarked stream and
+    in batch: every session the stream emits (append mode flushes a session
+    once the watermark passes its end) must be identical to the batch
+    session, and all batch sessions closed before the final watermark must
+    have been emitted — live sessionization ≡ backfill."""
+    import pyspark.sql.functions as F
+
+    ev_path = "/root/testdata/sf0.001/events.parquet"
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def sessionize(df):
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("s"),
+                F.col("w.end").alias("e"),
+                "n_events",
+                "total",
+            )
+        )
+
+    # the file-stream source watches a DIRECTORY: land the fixture file there
+    import shutil
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    shutil.copy(ev_path, str(src / "events.parquet"))
+
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    stream = spark.readStream.schema(schema).parquet(str(src)).withWatermark("ts", "1 minute")
+    q = (
+        sessionize(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_df = spark.read.schema(schema).parquet(ev_path)
+    batch = {
+        (r.user_id, r.s, r.e, r.n_events, r.total)
+        for r in sessionize(batch_df).collect()
+    }
+    streamed = {
+        (r.user_id, r.s, r.e, r.n_events, r.total)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert streamed <= batch
+    assert len(streamed) > 0
+    # every batch session closed strictly before the final watermark
+    # (max event time − 1 min delay) must have been emitted by the stream
+    import datetime as dtm
+
+    max_ts = batch_df.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - dtm.timedelta(minutes=1)
+    closed = {s for s in batch if s[2] < wm}
+    assert closed <= streamed
+
+
 def test_stateful_host_budget_across_batches(spark, tmp_path):
     """The applyInPandasWithState gate must carry per-host admitted counts
     across micro-batches: 4 admitted in batch 1 + budget 5 ⇒ only 1 more in
