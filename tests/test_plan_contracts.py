@@ -1,0 +1,90 @@
+"""Physical-plan contracts as tests.
+
+BENCH/PLANS.md *records* the plan shapes; these tests *enforce* the
+load-bearing ones, so a refactor that silently de-optimizes a 100-TB plan
+(a broadcast that becomes a sort-merge join, a Python stage sneaking into a
+relational pipeline, a single-partition funnel) fails CI instead of only
+showing up in the next bench read. Checked on the AQE-final executed plan
+at sf0.001 — plan shape, not timing, so fixture scale is enough.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+PY_STAGES = r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"
+
+
+def _plan(df) -> str:
+    df.count()  # force, so AQE finalizes
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_dims_broadcast_no_smj(spark):
+    from dataset_crawler_spark.plans.queries import q5_local_supplier_volume
+
+    plan = _plan(q5_local_supplier_volume(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert re.search(PY_STAGES, plan) is None
+
+
+def test_sample_stratified_is_narrow(spark):
+    from dataset_crawler_spark.plans.queries import sample_stratified
+
+    plan = _plan(sample_stratified(spark, SF_DIR))
+    assert "Exchange" not in plan  # pure scan+filter+project
+    assert re.search(PY_STAGES, plan) is None
+
+
+def test_relational_pipelines_have_no_python_stages(spark):
+    from dataset_crawler_spark.plans.queries import (
+        decontaminate_ngram,
+        dedup_minhash_lsh,
+        pipeline_training_corpus,
+        text_repetition_filter,
+    )
+
+    for q in (dedup_minhash_lsh, decontaminate_ngram, text_repetition_filter,
+              pipeline_training_corpus):
+        plan = _plan(q(spark, SF_DIR))
+        assert re.search(PY_STAGES, plan) is None, q.__name__
+        assert "Exchange SinglePartition" not in plan, q.__name__
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    from dataset_crawler_spark.plans.queries import decontaminate_ngram
+
+    plan = _plan(decontaminate_ngram(spark, SF_DIR))
+    # train-side shingles must hit a broadcast join, never a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_asof_join_is_single_exchange_no_join(spark):
+    from dataset_crawler_spark.operators.temporal import asof_join
+
+    left = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("ts"), F.col("id").alias("p")
+    )
+    right = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 9).alias("ts"), F.col("id").alias("v")
+    )
+    plan = _plan(asof_join(left, right, by=["k"]))
+    # merge-by-key shape: ONE shuffle (the window), ZERO join operators
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ivf_centroids_no_global_window(spark):
+    from dataset_crawler_spark.operators.similarity import ivf_centroids
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+    plan = _plan(ivf_centroids(e, 4))
+    # distributed TakeOrdered, then only the ≤n_centroids re-index may funnel
+    assert "TakeOrderedAndProject" in plan
