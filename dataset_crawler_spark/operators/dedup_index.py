@@ -110,6 +110,19 @@ def band_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+def latest_bands(index: DataFrame) -> DataFrame:
+    """Last-writer-wins view of a persisted band index whose rows carry a
+    ``crawl_id`` column: a re-crawled (updated) document's newest signatures
+    replace its stale ones — the read-side dedup that append-only storage
+    (SnapshotStore / Iceberg appends) needs before the pair join, same
+    last-state-wins fold the engine uses everywhere else. One hash aggregate
+    keyed by (doc_id, band)."""
+    return (
+        index.groupBy("doc_id", "band")
+        .agg(F.max_by("band_sig", "crawl_id").alias("band_sig"))
+    )
+
+
 def incremental_band_pairs(
     index_bands: DataFrame | None, new_bands: DataFrame
 ) -> DataFrame:

@@ -360,6 +360,35 @@ def test_incremental_minhash_index_through_store(spark, tmp_path):
     }
 
 
+def test_incremental_index_recrawl_replaces_stale_bands(spark, tmp_path):
+    """A re-crawled doc's OLD signatures must stop generating pairs: after
+    doc A's text changes to match doc C (and no longer match doc B), the
+    last-writer-wins index view pairs A with C, not with B."""
+    from dataset_crawler_spark.operators import dedup_index as DI
+    from dataset_crawler_spark.sources.snapshots import SnapshotStore
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different words nothing shared with anything else here at all"
+    store = SnapshotStore(str(tmp_path / "store"), spark)
+
+    r0 = spark.createDataFrame(
+        [("A", base), ("B", base), ("C", other)], "doc_id string, text string"
+    )
+    store.append("band_sigs", DI.minhash_bands(r0), 0)
+    store.commit_round(0)
+    idx0 = DI.latest_bands(store.read("band_sigs"))
+    pairs0 = {(r.doc_a, r.doc_b) for r in DI.band_pairs(idx0).collect()}
+    assert ("A", "B") in pairs0 and ("A", "C") not in pairs0
+
+    # round 1: A is re-crawled and now matches C instead of B
+    r1 = spark.createDataFrame([("A", other)], "doc_id string, text string")
+    store.append("band_sigs", DI.minhash_bands(r1), 1)
+    store.commit_round(1)
+    idx1 = DI.latest_bands(store.read("band_sigs"))
+    pairs1 = {(r.doc_a, r.doc_b) for r in DI.band_pairs(idx1).collect()}
+    assert ("A", "C") in pairs1 and ("A", "B") not in pairs1
+
+
 # --------------------------------------------------------------------------
 # as-of join
 # --------------------------------------------------------------------------
