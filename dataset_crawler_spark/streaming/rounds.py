@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dataset_crawler_spark.functions.urls import host_of
 from dataset_crawler_spark.operators import diff as D
 from dataset_crawler_spark.operators import scheduler as SCH
 from dataset_crawler_spark.operators import seen as SN
@@ -377,6 +378,30 @@ class CrawlEngine:
             (F.col("priority") * decay).alias("priority"),
             "discovered_crawl_id",
             "seed_rank",
+            F.lit("pending").alias("state"),
+        )
+
+    def refresh_frontier(self, as_of: int | None = None, decay: float = 0.5) -> DataFrame:
+        """Freshness-driven re-crawl queue: LIVE documents ranked by their
+        decayed change history (operators/scheduler.py refresh_priorities
+        over the committed lineage), emitted as pending frontier rows with
+        ``priority = change_score`` for a ``mode="full"`` round. The
+        freshness counterpart of :meth:`retry_frontier` (failures): together
+        they replace the reference's fixed 30-minute recrawl-everything loop
+        (App.java:31-58) with a budget spent where change is likely.
+        ``doc_id`` IS the canonical URL in the engine's convention (see
+        simulated_fetcher), so the mapping back to frontier rows is direct.
+        """
+        as_of = self.store.last_round() if as_of is None else as_of
+        lin = self.store.read("lineage", as_of=as_of).select("doc_id", "crawl_id", "op")
+        pr = SCH.refresh_priorities(lin, as_of=as_of, decay=decay)
+        url = F.col("doc_id")
+        return pr.select(
+            url.alias("url"),
+            host_of(url).alias("host"),
+            F.col("change_score").alias("priority"),
+            F.lit(0).cast("int").alias("discovered_crawl_id"),
+            F.lit(0).cast("int").alias("seed_rank"),
             F.lit("pending").alias("state"),
         )
 

@@ -383,6 +383,49 @@ def test_compaction_mid_lifecycle_is_transparent(spark, tmp_path):
         assert fa == fb, f"as_of={as_of}"
 
 
+def test_refresh_frontier_ranks_changed_docs_first(spark, tmp_path):
+    """After two full rounds, refresh_frontier must rank by change history:
+    docs changed in round 1 (score 0.5·decay⁰ from r0 + 1.0 from r1 = 1.5)
+    above round-1 additions (1.0) above round-0-only docs (0.5); deleted
+    docs must not appear at all."""
+    params = SN.BloomParams.for_capacity(N_DOCS, fp_rate=0.01, n_shards=8)
+    hosts = _open_hosts(spark)
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    for rnd in range(2):
+        eng.crawl_round(
+            _live_frontier(spark, rnd), hosts,
+            simulated_fetcher(_corpus(spark, rnd)), rnd,
+            bloom_params=params, mode="full",
+        )
+
+    lin = {
+        (r.doc_id, r.crawl_id): r.op
+        for r in eng.store.read("lineage").select("doc_id", "crawl_id", "op").collect()
+    }
+    fr = {r.url: r for r in eng.refresh_frontier(as_of=1).collect()}
+
+    for (doc_id, rnd), op in lin.items():
+        if rnd != 1:
+            continue
+        if op == "deleted":
+            assert doc_id not in fr
+        elif op == "updated":
+            assert fr[doc_id].priority == 1.5
+        elif op == "added":
+            assert fr[doc_id].priority == 1.0
+    unchanged = [
+        d for (d, rnd), op in lin.items()
+        if rnd == 0 and (d, 1) not in lin and d in fr
+    ]
+    assert unchanged, "fixture must leave some docs unchanged in round 1"
+    for d in unchanged:
+        assert fr[d].priority == 0.5
+    # frontier rows are schedulable as-is
+    assert set(fr[next(iter(fr))].asDict()) == {
+        "url", "host", "priority", "discovered_crawl_id", "seed_rank", "state"
+    }
+
+
 def test_politeness_budget_enforced_in_lifecycle(spark, tmp_path):
     eng = CrawlEngine(spark, str(tmp_path / "store"))
     frontier = _frontier(spark)
