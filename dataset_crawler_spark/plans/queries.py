@@ -1008,21 +1008,28 @@ def _minhash_pairs_from(docs):
     """,
 )
 def dedup_simhash16(spark, sf_dir):
-    # SimHash document fingerprint (16-bit, weighted bit-majority)
+    # SimHash document fingerprint (16-bit, weighted bit-majority). The 16
+    # bit-majority scores are 16 parallel conditional-SUM aggregates over ONE
+    # pass of the token stream — not an explode(bits) 16× row blowup into a
+    # (doc_id, b) aggregate: same hash work, 1/16 the shuffle (the SQL twin
+    # keeps the textbook bit-explode; results identical by construction).
     tok = _t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
     th = tok.select("doc_id", h60(F.col("w")).alias("h"))
-    bits = th.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
-    ).groupBy("doc_id", "b").agg(
-        F.sum(F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)).alias("score")
+    scores = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(16)
+        ]
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("score") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0))
-        .cast("long")
-        .alias("simhash")
-    )
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return scores.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 @register(
@@ -1519,19 +1526,20 @@ def sim_cosine_topk(spark, sf_dir):
     """,
 )
 def text_langid(spark, sf_dir):
-    # language-ID heuristic: stopword-density n-gram proxy
-    tok = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
-    )
-    stop = {"the", "a", "of", "and", "to", "in", "is", "on", "for", "value"}
-    sw = tok.groupBy("doc_id", "lang").agg(
-        F.sum(F.when(F.col("w").isin(*stop), 1).otherwise(0)).cast("long").alias("n_stop"),
-        F.count("*").alias("n_tok"),
-    )
-    return sw.select(
+    # language-ID heuristic: stopword-density n-gram proxy. The counts are a
+    # higher-order array filter over the split tokens — a purely NARROW plan
+    # (zero exchanges, one codegen stage; enforced in test_plan_contracts),
+    # not the explode→groupBy(doc_id) formulation the SQL twin uses: at
+    # 100 TB that is the difference between a scan and a corpus shuffle.
+    stop = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "value"]
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*stop)))
+    n_tok = F.size(toks)
+    return d.select(
         "doc_id",
         "lang",
-        F.when(F.col("n_stop") / F.col("n_tok") > 0.05, F.lit("en"))
+        F.when(n_stop / n_tok > 0.05, F.lit("en"))
         .otherwise(F.lit("other"))
         .alias("lang_pred"),
     )

@@ -41,6 +41,14 @@ def test_sample_stratified_is_narrow(spark):
     assert re.search(PY_STAGES, plan) is None
 
 
+def test_langid_is_narrow(spark):
+    from dataset_crawler_spark.plans.queries import text_langid
+
+    plan = _plan(text_langid(spark, SF_DIR))
+    assert "Exchange" not in plan  # higher-order array filter, no explode
+    assert re.search(PY_STAGES, plan) is None
+
+
 def test_relational_pipelines_have_no_python_stages(spark):
     from dataset_crawler_spark.plans.queries import (
         decontaminate_ngram,
