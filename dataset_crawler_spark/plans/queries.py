@@ -1681,44 +1681,52 @@ _REP_MAX_TOP_TOKEN = 0.15
 )
 def text_repetition_filter(spark, sf_dir):
     """Intra-document repetition filter (the Gopher-rules family): fraction
-    of duplicate 3-grams and most-frequent-token share, each a pure two-level
-    hash aggregate over the exploded token/trigram stream — map-side partial
-    aggregation does the heavy lifting, one shuffle keyed by doc_id."""
+    of duplicate 3-grams and most-frequent-token share. All per-document
+    statistics, so the whole query is a NARROW zero-exchange scan
+    (plan-contract-enforced): trigram total/distinct from array sizes,
+    top-token share as a run-length fold over the sorted token array (the
+    longest run in a sorted multiset IS the max frequency). The SQL twin
+    keeps the explode→aggregate formulation; values identical."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.greatest(F.size("t") - 2, F.lit(1))
-    tg = (
-        d.select("doc_id", toks.alias("t"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n - 1),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 3)),
-                )
-            ).alias("s"),
-        )
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("total"), F.countDistinct("s").alias("dst"))
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 3)),
     )
-    tt = (
-        d.select("doc_id", F.explode(toks).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg((F.max("c") / F.sum("c")).alias("shr"))
+    run_acc = F.aggregate(
+        F.array_sort(F.col("t")),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    stats = d.select(
+        "doc_id",
+        toks.alias("t"),
+    ).select(
+        "doc_id",
+        F.size(grams).alias("total"),
+        F.size(F.array_distinct(grams)).alias("dst"),
+        (run_acc / F.size("t")).alias("shr"),
     )
     dup = F.lit(1.0) - F.col("dst") / F.col("total")
-    return (
-        tg.join(tt, "doc_id")
-        .select(
-            "doc_id",
-            F.round(dup, 4).alias("dup_trigram_frac"),
-            F.round("shr", 4).alias("top_token_share"),
-            ((dup <= _REP_MAX_DUP_TRIGRAM) & (F.col("shr") <= _REP_MAX_TOP_TOKEN)).alias(
-                "keep"
-            ),
-        )
+    return stats.select(
+        "doc_id",
+        F.round(dup, 4).alias("dup_trigram_frac"),
+        F.round("shr", 4).alias("top_token_share"),
+        ((dup <= _REP_MAX_DUP_TRIGRAM) & (F.col("shr") <= _REP_MAX_TOP_TOKEN)).alias(
+            "keep"
+        ),
     )
 
 

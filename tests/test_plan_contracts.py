@@ -49,6 +49,14 @@ def test_langid_is_narrow(spark):
     assert re.search(PY_STAGES, plan) is None
 
 
+def test_repetition_filter_is_narrow(spark):
+    from dataset_crawler_spark.plans.queries import text_repetition_filter
+
+    plan = _plan(text_repetition_filter(spark, SF_DIR))
+    assert "Exchange" not in plan  # array stats + sorted run-length fold
+    assert re.search(PY_STAGES, plan) is None
+
+
 def test_relational_pipelines_have_no_python_stages(spark):
     from dataset_crawler_spark.plans.queries import (
         decontaminate_ngram,
