@@ -49,12 +49,22 @@ def test_langid_is_narrow(spark):
     assert re.search(PY_STAGES, plan) is None
 
 
-def test_repetition_filter_is_narrow(spark):
-    from dataset_crawler_spark.plans.queries import text_repetition_filter
+def test_per_doc_text_analytics_are_narrow(spark):
+    """Every per-document text statistic (repetition, fingerprint, simhash,
+    langid, quality, token counts) is an array fold — zero exchanges."""
+    from dataset_crawler_spark.plans.queries import (
+        dedup_simhash16,
+        text_fingerprint,
+        text_quality_score,
+        text_repetition_filter,
+        text_token_count,
+    )
 
-    plan = _plan(text_repetition_filter(spark, SF_DIR))
-    assert "Exchange" not in plan  # array stats + sorted run-length fold
-    assert re.search(PY_STAGES, plan) is None
+    for q in (text_repetition_filter, text_fingerprint, dedup_simhash16,
+              text_quality_score, text_token_count):
+        plan = _plan(q(spark, SF_DIR))
+        assert "Exchange" not in plan, q.__name__
+        assert re.search(PY_STAGES, plan) is None, q.__name__
 
 
 def test_relational_pipelines_have_no_python_stages(spark):
