@@ -49,9 +49,13 @@ def test_langid_is_narrow(spark):
     assert re.search(PY_STAGES, plan) is None
 
 
-def test_per_doc_text_analytics_are_narrow(spark):
-    """Every per-document text statistic (repetition, fingerprint, simhash,
-    langid, quality, token counts) is an array fold — zero exchanges."""
+def test_per_doc_text_analytics_plan_shapes(spark):
+    """Measured per-operator physical choices (BENCH/BASELINE.md, 1M-doc
+    comparison): repetition/langid/quality/token-counts are narrow array
+    computations (zero exchanges); fingerprint and simhash keep the
+    codegen'd explode + partial aggregate (exactly ONE exchange — the
+    interpreted array-fold rewrite measured 2-8× slower). Python stages:
+    none anywhere."""
     from dataset_crawler_spark.plans.queries import (
         dedup_simhash16,
         text_fingerprint,
@@ -60,10 +64,13 @@ def test_per_doc_text_analytics_are_narrow(spark):
         text_token_count,
     )
 
-    for q in (text_repetition_filter, text_fingerprint, dedup_simhash16,
-              text_quality_score, text_token_count):
+    for q in (text_repetition_filter, text_quality_score, text_token_count):
         plan = _plan(q(spark, SF_DIR))
         assert "Exchange" not in plan, q.__name__
+        assert re.search(PY_STAGES, plan) is None, q.__name__
+    for q in (text_fingerprint, dedup_simhash16):
+        plan = _plan(q(spark, SF_DIR))
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, q.__name__
         assert re.search(PY_STAGES, plan) is None, q.__name__
 
 
