@@ -46,6 +46,11 @@ def asof_join(
     ``by`` + ``right_ts``) are appended with ``suffix``; the matched right
     timestamp arrives as ``ts{suffix}``.
     """
+    # Null-key caveat: window partitioning groups NULL keys together, so a
+    # null-keyed left row would as-of-match null-keyed right rows — unlike
+    # SQL join equality (and DuckDB ASOF JOIN), where NULL matches nothing.
+    # Pre-filter null keys if SQL semantics are required; the registered
+    # query's key (user_id) is non-null by construction.
     payload = [c for c in right.columns if c not in by and c != right_ts]
     r_struct = F.struct(
         F.col(right_ts).alias("ts"), *[F.col(c) for c in payload]
