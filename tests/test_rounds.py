@@ -87,6 +87,36 @@ def test_compaction_preserves_asof_reads(spark, tmp_path):
     assert sorted(os.listdir(base)) == ["_compacted_3"]
 
 
+def test_compaction_crash_leaves_orphan_invisible(spark, tmp_path):
+    """Crash between writing the compacted directory and the manifest switch:
+    the orphan dir must be ignored by reads (manifest is the commit point),
+    and a later successful compaction's vacuum must clean it up."""
+    import os
+
+    from dataset_crawler_spark.sources.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "store"), spark)
+    for rnd in range(2):
+        df = spark.createDataFrame([(f"u{rnd}", rnd)], "url_c string, x int")
+        store.append("t", df, rnd)
+        store.commit_round(rnd)
+    before = sorted(tuple(r) for r in store.read("t").collect())
+
+    # simulate the crash: compacted data lands, manifest never switches
+    store.read("t").where("crawl_id <= 0").write.parquet(
+        str(tmp_path / "store" / "t" / "_compacted_0")
+    )
+    assert store.compacted_upto("t") is None
+    assert sorted(tuple(r) for r in store.read("t").collect()) == before
+
+    # a later real compaction supersedes and vacuums the orphan
+    store.compact("t", upto=1)
+    removed = store.vacuum("t")
+    assert any(p.endswith("_compacted_0") for p in removed)
+    assert sorted(tuple(r) for r in store.read("t").collect()) == before
+    assert sorted(os.listdir(str(tmp_path / "store" / "t"))) == ["_compacted_1"]
+
+
 def test_resume_after_crash_is_byte_equal(spark, tmp_path):
     # uninterrupted run
     full = CrawlEngine(spark, str(tmp_path / "full"))
