@@ -58,6 +58,20 @@ def test_connected_components_partitioning_invariance(spark):
     assert sorted(map(tuple, one)) == sorted(map(tuple, many))
 
 
+def test_connected_components_hub_skew(spark):
+    """A hub node connected to 2000 spokes — the hot-key regime where the
+    per-round edges⋈labels join sees one giant key. Must converge (hash
+    joins + min-agg handle the skew; no driver graph) to a single component
+    labeled by the minimum id, in the expected few rounds."""
+    hub = 0
+    edges = spark.createDataFrame(
+        [(hub, i) for i in range(1, 2001)], "doc_a long, doc_b long"
+    ).repartition(16)
+    got = {r.node: r.comp for r in CL.connected_components(edges).collect()}
+    assert set(got) == set(range(2001))
+    assert set(got.values()) == {hub}
+
+
 def test_dedup_clusters_sizes_and_keep_policy(spark):
     edges = spark.createDataFrame(EDGES, "doc_a long, doc_b long")
     docs = spark.createDataFrame([(n,) for n in NODES], "doc_id long")
