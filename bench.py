@@ -53,6 +53,8 @@ ANALYTIC_QUERIES = [
     "dedup_embedding_signlsh",
     "engine_incremental_minhash",
     "decontaminate_ngram",
+    "dedup_chunk_passages",
+    "dsir_importance_weights",
     "graph_host_pagerank",
     "mm_embed_near_dup",
     "text_fingerprint",

@@ -2242,3 +2242,312 @@ def engine_refresh_priorities(spark, sf_dir):
         lin1.select("doc_id", "crawl_id", "op")
     )
     return refresh_priorities(lineage, as_of=1, decay=0.5)
+
+
+# ==========================================================================
+# Training-data pipeline, round-2 late additions: passage-level dedup,
+# importance resampling, PII scrubbing, crawl-trap detection
+# ==========================================================================
+
+#: passage chunk width in tokens. Production corpora chunk on paragraph
+#: boundaries (CCNet dedups hashed paragraphs); the fixture word-soup has no
+#: newlines, so the twin-checked unit is a fixed-width non-overlapping token
+#: window — same plan shape, same dedup rule (drop a chunk when it appears in
+#: ≥ _CHUNK_MIN_DF distinct documents).
+_CHUNK_W = 4
+_CHUNK_MIN_DF = 2
+_CHUNK_KEEP_MAX_DUP = 0.5
+
+
+@register(
+    "dedup_chunk_passages",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(generate_series(0, CAST(ceil(len(t) / {_CHUNK_W}.0) AS INT) - 1)) AS i
+            FROM tok),
+    c AS (SELECT doc_id,
+                 array_to_string(t[CAST(i*{_CHUNK_W}+1 AS INT):CAST(i*{_CHUNK_W}+{_CHUNK_W} AS INT)], ' ') AS chunk
+          FROM idx),
+    h AS (SELECT doc_id, {h60_sql('chunk')} AS h,
+                 len(string_split(chunk, ' ')) AS w
+          FROM c),
+    dfq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM h GROUP BY h)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN df >= {_CHUNK_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN df >= {_CHUNK_MIN_DF} THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_chunk_frac,
+           CAST(SUM(CASE WHEN df < {_CHUNK_MIN_DF} THEN w ELSE 0 END) AS BIGINT) AS kept_tokens,
+           (SUM(CASE WHEN df >= {_CHUNK_MIN_DF} THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+              <= {_CHUNK_KEEP_MAX_DUP}) AS keep
+    FROM h JOIN dfq USING (h)
+    GROUP BY doc_id
+    """,
+)
+def dedup_chunk_passages(spark, sf_dir):
+    """Cross-document duplicate-passage removal (the CCNet shape): hash each
+    document's passages, count per-passage document frequency corpus-wide,
+    drop passages shared by ≥ ``_CHUNK_MIN_DF`` docs, and gate documents
+    whose duplicated-passage fraction exceeds ``_CHUNK_KEEP_MAX_DUP``.
+    Near-duplicate documents (datagen's injected mutations) light up with
+    dup_chunk_frac ≈ 1 while organic docs stay ≈ 0 — passage dedup catches
+    the boilerplate MinHash-level dedup is too coarse for.
+
+    Scale shape (100 TB): text never shuffles. Chunking is a narrow per-row
+    transform; only (doc_id, chunk_hash, width) longs enter the two
+    exchanges — the df aggregate on chunk hash (map-side combine) and the
+    hash join back — then one per-doc aggregate. This is the standard
+    paragraph-dedup topology: every shuffled row is ~24 bytes regardless of
+    passage length."""
+    d = _t(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.size("t") / F.lit(float(_CHUNK_W))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i * _CHUNK_W + 1, _CHUNK_W)),
+    )
+    ch = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.explode(chunks).alias("chunk"))
+        .select(
+            "doc_id",
+            h60(F.col("chunk")).alias("h"),
+            F.size(F.split("chunk", " ")).alias("w"),
+        )
+    )
+    df_tbl = ch.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
+    dup = F.col("df") >= _CHUNK_MIN_DF
+    j = ch.join(df_tbl, "h")
+    frac = F.sum(dup.cast("int")) / F.count("*")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(dup.cast("int")).cast("long").alias("n_dup_chunks"),
+        F.round(frac, 4).alias("dup_chunk_frac"),
+        F.sum(F.when(dup, F.lit(0)).otherwise(F.col("w"))).cast("long").alias("kept_tokens"),
+        (frac <= _CHUNK_KEEP_MAX_DUP).alias("keep"),
+    )
+
+
+#: DSIR (data selection via importance resampling, Xie et al. 2023): score
+#: raw-corpus docs by hashed-ngram importance log-ratio against a target
+#: domain. Here the "target" is a deterministic source subset; features are
+#: word unigrams hashed into _DSIR_B buckets with the cross-engine h60.
+_DSIR_B = 256
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source IN {_DSIR_TARGET} AS is_target,
+             {h60_sql('w')} % {_DSIR_B} AS b
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents)),
+    bs AS (SELECT b,
+                  CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                  CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+           FROM tok GROUP BY b),
+    tot AS (SELECT SUM(ct) AS t_total, SUM(cr) AS r_total FROM bs)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(  ln((ct + 1.0) / (t_total + {_DSIR_B}))
+                     - ln((cr + 1.0) / (r_total + {_DSIR_B}))) / COUNT(*), 4)
+             AS dsir_logratio
+    FROM tok JOIN bs USING (b) CROSS JOIN tot
+    WHERE NOT is_target
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """Importance weights for data selection (DSIR): per-token mean
+    log-ratio of add-one-smoothed hashed-unigram probabilities under the
+    target domain vs the raw corpus. Docs that look like the target score
+    high; sampling ∝ exp(score) reproduces the DSIR resampling step.
+
+    Scale shape (100 TB): the bucket-statistics table is ≤ ``_DSIR_B`` rows
+    — it BROADCASTS, so scoring is one map-side hash join over the token
+    stream plus a single per-doc aggregate (one shuffle of (doc_id, term)
+    pairs; text itself never moves). The bucket aggregate before it is a
+    map-side-combined exchange of ≤ _DSIR_B rows per task."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.col("source").isin(*_DSIR_TARGET).alias("is_target"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).select("doc_id", "is_target", F.pmod(h60(F.col("w")), F.lit(_DSIR_B)).alias("b"))
+    bs = tok.groupBy("b").agg(
+        F.sum(F.col("is_target").cast("int")).cast("long").alias("ct"),
+        F.sum((~F.col("is_target")).cast("int")).cast("long").alias("cr"),
+    )
+    # global totals as a broadcast 1-row cross join (not a partitionBy()-less
+    # window, which funnels through a single-partition WindowExec)
+    tot = bs.agg(F.sum("ct").alias("t_total"), F.sum("cr").alias("r_total"))
+    bs = bs.crossJoin(F.broadcast(tot))
+    term = F.log((F.col("ct") + 1.0) / (F.col("t_total") + _DSIR_B)) - F.log(
+        (F.col("cr") + 1.0) / (F.col("r_total") + _DSIR_B)
+    )
+    return (
+        tok.where(~F.col("is_target"))
+        .join(F.broadcast(bs), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(term) / F.count("*"), 4).alias("dsir_logratio"),
+        )
+    )
+
+
+#: PII scrubbing patterns — the common Java-regex/RE2 subset so Spark and
+#: DuckDB replace identically. The fixture corpus is synthetic word-soup, so
+#: the query plants deterministic PII per doc (both engines, same formula)
+#: and the operator under test is the scrub itself.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+_PII_PHONE = r"\d{3}-\d{4}"
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 10.7.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.9 ext 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+               AS raw
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(
+             regexp_replace(raw, '{_PII_IP}', '<IP>', 'g'), '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IP}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction pass (emails, IPv4s, phone-shaped numbers → typed
+    placeholders) with per-doc match counts — the compliance scrub every
+    released training corpus runs. Phone counting runs after the IP
+    replacement so dotted octets are never double-counted as phone-shaped.
+
+    Scale shape: pure narrow projection — regexp_replace chains fuse into
+    the scan's codegen stage, zero exchanges, trivially partition-parallel
+    (plan-contract-enforced)."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10.7."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".9 ext 555-01"), F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    no_ip = F.regexp_replace(raw, _PII_IP, "<IP>")
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_PII_EMAIL), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PII_IP), F.lit(0))).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(no_ip, F.lit(_PII_PHONE), F.lit(0))).cast("long").alias("n_phones"),
+        scrub.alias("scrubbed"),
+    )
+
+
+#: crawl-trap detection thresholds: a host whose distinct-URL count is ≥2×
+#: its distinct-path count (query-string explosion), or whose URLs average
+#: ≥1.5 query params, is flagged. Sources src2/src5/src8 simulate session-id
+#: traps in the synthetic frontier below.
+_TRAP_SOURCES = ("src2", "src5", "src8")
+_TRAP_URL_PER_PATH = 2.0
+_TRAP_AVG_PARAMS = 1.5
+
+
+@register(
+    "crawl_trap_hosts",
+    f"""
+    WITH f AS (
+      SELECT doc_id, v,
+             CASE WHEN source IN {_TRAP_SOURCES}
+                  THEN 'https://' || source || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                       || '?session=' || CAST(doc_id * 1000 + v AS VARCHAR) || '&ref=' || CAST(v AS VARCHAR)
+                  ELSE 'https://' || source || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                       || '/' || CAST(v AS VARCHAR)
+             END AS url,
+             source || '.example.org' AS host
+      FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS v)),
+    p AS (SELECT host, url,
+                 regexp_extract(url, '^https://[^/]+(/[^?#]*)', 1) AS path,
+                 regexp_extract(url, '\\?(.*)$', 1) AS q
+          FROM f),
+    stats AS (
+      SELECT host,
+             COUNT(DISTINCT url) AS n_urls,
+             COUNT(DISTINCT path) AS n_paths,
+             AVG(CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END) AS ap
+      FROM p GROUP BY host)
+    SELECT host, n_urls, n_paths,
+           ROUND(n_urls * 1.0 / n_paths, 4) AS urls_per_path,
+           ROUND(ap, 4) AS avg_params,
+           (n_urls * 1.0 / n_paths >= {_TRAP_URL_PER_PATH} OR ap >= {_TRAP_AVG_PARAMS})
+             AS is_trap
+    FROM stats
+    """,
+)
+def crawl_trap_hosts(spark, sf_dir):
+    """Crawl-trap (infinite URL space) detection — frontier hygiene at
+    10^10 URLs: hosts that mint unbounded distinct URLs over a bounded path
+    set (session ids, tracking params, calendar pages) must be throttled
+    before they eat the fetch budget. Flags hosts by distinct-URL-per-
+    distinct-path ratio and mean query-param count. The synthetic frontier
+    plants session-id explosion on the ``_TRAP_SOURCES`` hosts (three
+    param-distinct variants per page) and honest path-distinct variants
+    elsewhere, so flagged = planted exactly.
+
+    Scale shape: one pass — path/query extraction is narrow, then a single
+    per-host aggregate; the two COUNT(DISTINCT)s rewrite to partial
+    aggregates (expand + two-level hash agg), all keyed on host with
+    map-side combine. The trap table output is dimension-sized and feeds
+    the robots gate as a blocklist."""
+    d = _t(spark, sf_dir, "documents")
+    v = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("v")
+    base = d.select("doc_id", "source", v)
+    trap = F.col("source").isin(*_TRAP_SOURCES)
+    stem = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/p/"),
+                    F.col("doc_id").cast("string"))
+    url = F.when(
+        trap,
+        F.concat(stem, F.lit("?session="), (F.col("doc_id") * 1000 + F.col("v")).cast("string"),
+                 F.lit("&ref="), F.col("v").cast("string")),
+    ).otherwise(F.concat(stem, F.lit("/"), F.col("v").cast("string")))
+    p = base.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        url.alias("url"),
+    ).select(
+        "host",
+        "url",
+        F.regexp_extract("url", r"^https://[^/]+(/[^?#]*)", 1).alias("path"),
+        F.regexp_extract("url", r"\?(.*)$", 1).alias("q"),
+    )
+    n_params = F.when(F.col("q") == "", F.lit(0)).otherwise(F.size(F.split("q", "&")))
+    stats = p.groupBy("host").agg(
+        F.count_distinct("url").alias("n_urls"),
+        F.count_distinct("path").alias("n_paths"),
+        F.avg(n_params).alias("ap"),
+    )
+    ratio = F.col("n_urls") / F.col("n_paths")
+    return stats.select(
+        "host",
+        "n_urls",
+        "n_paths",
+        F.round(ratio, 4).alias("urls_per_path"),
+        F.round("ap", 4).alias("avg_params"),
+        ((ratio >= _TRAP_URL_PER_PATH) | (F.col("ap") >= _TRAP_AVG_PARAMS)).alias("is_trap"),
+    )

@@ -506,3 +506,116 @@ def test_cluster_query_consistent_with_pair_query(spark):
         member_sets.setdefault(c, set()).add(d)
     for c, members in member_sets.items():
         assert c == min(members)
+
+
+# --------------------------------------------------------------------------
+# passage-level dedup / DSIR / PII scrub / crawl-trap detection (late round 2)
+# --------------------------------------------------------------------------
+
+
+def _docs_fixture(spark, tmp_path, rows):
+    """Write an inline documents.parquet so the registered queries (which
+    read `<sf_dir>/documents.parquet`) run on a hand-built corpus."""
+    df = spark.createDataFrame(
+        [(i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_chunk_passage_dedup_matches_hand_twin(spark, tmp_path):
+    from dataset_crawler_spark.plans.queries import dedup_chunk_passages
+
+    rows = [
+        "a b c d e f g h",      # shares chunk "a b c d" with doc 1 → frac 0.5
+        "a b c d x y z w",      # same                                → frac 0.5
+        "q r s t u v",          # unique chunks ("q r s t", "u v")    → frac 0.0
+        "a b c d",              # single fully-shared chunk           → frac 1.0
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup_chunk_passages(spark, _docs_fixture(spark, tmp_path, rows)).collect()
+    }
+    assert got[0] == dict(doc_id=0, n_chunks=2, n_dup_chunks=1,
+                          dup_chunk_frac=0.5, kept_tokens=4, keep=True)
+    assert got[1]["n_dup_chunks"] == 1 and got[1]["kept_tokens"] == 4
+    assert got[2] == dict(doc_id=2, n_chunks=2, n_dup_chunks=0,
+                          dup_chunk_frac=0.0, kept_tokens=6, keep=True)
+    assert got[3] == dict(doc_id=3, n_chunks=1, n_dup_chunks=1,
+                          dup_chunk_frac=1.0, kept_tokens=0, keep=False)
+
+
+def test_dsir_weights_match_python_twin(spark, tmp_path):
+    import math
+
+    from dataset_crawler_spark.plans.queries import (
+        _DSIR_B,
+        _DSIR_TARGET,
+        dsir_importance_weights,
+    )
+
+    rows = [
+        "alpha beta gamma", "alpha alpha delta", "beta beta beta",
+        "epsilon zeta", "alpha beta", "zeta zeta epsilon delta",
+    ]
+    sf_dir = _docs_fixture(spark, tmp_path, rows)
+    # python twin from first principles
+    docs = [(i, t, f"src{i % 3}") for i, t in enumerate(rows)]
+    ct, cr = [0] * _DSIR_B, [0] * _DSIR_B
+    for _i, t, src in docs:
+        tgt = src in _DSIR_TARGET
+        for w in t.split(" "):
+            b = h60_py(w) % _DSIR_B
+            if tgt:
+                ct[b] += 1
+            else:
+                cr[b] += 1
+    T, R = sum(ct), sum(cr)
+    want = {}
+    for i, t, src in docs:
+        if src in _DSIR_TARGET:
+            continue
+        toks = t.split(" ")
+        s = sum(
+            math.log((ct[h60_py(w) % _DSIR_B] + 1.0) / (T + _DSIR_B))
+            - math.log((cr[h60_py(w) % _DSIR_B] + 1.0) / (R + _DSIR_B))
+            for w in toks
+        )
+        want[i] = (len(toks), round(s / len(toks), 4))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logratio"])
+        for r in dsir_importance_weights(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_pii_scrub_leaves_no_pattern_behind(spark):
+    import re
+
+    from dataset_crawler_spark.plans.queries import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+        text_pii_scrub,
+    )
+
+    rows = text_pii_scrub(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_emails"] >= 1 and r["n_ips"] >= 1 and r["n_phones"] >= 1
+        for pat in (_PII_EMAIL, _PII_IP, _PII_PHONE):
+            assert re.search(pat, r["scrubbed"]) is None, r["scrubbed"]
+        assert "<EMAIL>" in r["scrubbed"] and "<IP>" in r["scrubbed"]
+
+
+def test_crawl_trap_hosts_flags_planted_traps_exactly(spark):
+    from dataset_crawler_spark.plans.queries import _TRAP_SOURCES, crawl_trap_hosts
+
+    rows = crawl_trap_hosts(spark, "/root/testdata/sf0.001").collect()
+    flagged = {r["host"] for r in rows if r["is_trap"]}
+    assert flagged == {f"{s}.example.org" for s in _TRAP_SOURCES}
+    by_host = {r["host"]: r for r in rows}
+    # planted explosion: 3 param-distinct URLs per path on trap hosts
+    assert by_host["src2.example.org"]["urls_per_path"] == 3.0
+    assert by_host["src0.example.org"]["urls_per_path"] == 1.0

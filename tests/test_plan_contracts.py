@@ -121,3 +121,33 @@ def test_ivf_centroids_no_global_window(spark):
     plan = _plan(ivf_centroids(e, 4))
     # distributed TakeOrdered, then only the ≤n_centroids re-index may funnel
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pii_scrub_is_narrow(spark):
+    from dataset_crawler_spark.plans.queries import text_pii_scrub
+
+    plan = _plan(text_pii_scrub(spark, SF_DIR))
+    assert "Exchange" not in plan  # regex chain fuses into the scan
+    assert re.search(PY_STAGES, plan) is None
+
+
+def test_dsir_bucket_stats_broadcast(spark):
+    from dataset_crawler_spark.plans.queries import dsir_importance_weights
+
+    plan = _plan(dsir_importance_weights(spark, SF_DIR))
+    # ≤256-row bucket table must broadcast; the token stream never sort-merges
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert re.search(PY_STAGES, plan) is None
+
+
+def test_chunk_dedup_and_trap_detector_stay_distributed(spark):
+    from dataset_crawler_spark.plans.queries import (
+        crawl_trap_hosts,
+        dedup_chunk_passages,
+    )
+
+    for q in (dedup_chunk_passages, crawl_trap_hosts):
+        plan = _plan(q(spark, SF_DIR))
+        assert re.search(PY_STAGES, plan) is None, q.__name__
+        assert "Exchange SinglePartition" not in plan, q.__name__
