@@ -2551,3 +2551,107 @@ def crawl_trap_hosts(spark, sf_dir):
         F.round("ap", 4).alias("avg_params"),
         ((ratio >= _TRAP_URL_PER_PATH) | (F.col("ap") >= _TRAP_AVG_PARAMS)).alias("is_trap"),
     )
+
+
+@register(
+    "crawl_outlink_degree",
+    f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    jj AS (SELECT unnest(generate_series(0, 2)) AS j),
+    links AS (
+      SELECT 'https://host' || lpad(CAST(d.doc_id % 7 AS VARCHAR), 2, '0')
+               || '.example.org/d/' || CAST(d.doc_id AS VARCHAR) AS parent_url,
+             {h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")}
+               % n.n_docs AS tgt
+      FROM documents d CROSS JOIN n CROSS JOIN jj),
+    occ AS (
+      SELECT parent_url,
+             'https://host' || lpad(CAST(tgt % 7 AS VARCHAR), 2, '0')
+               || '.example.org/d/' || CAST(tgt AS VARCHAR) AS url
+      FROM links
+      UNION ALL
+      SELECT 'https://host' || lpad(CAST(doc_id % 7 AS VARCHAR), 2, '0')
+               || '.example.org/d/' || CAST(doc_id AS VARCHAR),
+             'https://host01.example.org/d/' || CAST(doc_id % 50 AS VARCHAR)
+      FROM documents),
+    deg AS (SELECT url, COUNT(*) AS n_refs FROM occ WHERE url <> parent_url GROUP BY url)
+    SELECT url,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           ROUND(1.0 - 1.0 / (1.0 + n_refs), 4) AS priority,
+           CAST(1000000 AS INT) AS seed_rank,
+           CAST(0 AS INT) AS discovered_crawl_id
+    FROM deg
+    """,
+)
+def crawl_outlink_degree(spark, sf_dir):
+    """Outlink extraction + indegree-prioritized frontier expansion
+    (operators/discovery.py) checked end to end: an interleaved corpus is
+    derived deterministically from the documents table — three ``link``
+    spans per doc (one clean, one with a stripped :443 port, one with an
+    uppercased scheme+host, so the canonicalizer is in the checked path)
+    plus one TEXT span carrying an inline URL (so the regexp text-extraction
+    path is in the checked path too). The DuckDB twin computes the canonical
+    targets closed-form and applies the identical self-link exclusion and
+    degree-priority formula over the union of both extraction paths."""
+    from dataset_crawler_spark.operators.discovery import expand_frontier
+
+    def url_of(i):
+        return F.concat(
+            F.lit("https://host"), F.lpad((i % 7).cast("string"), 2, "0"),
+            F.lit(".example.org/d/"), i.cast("string"),
+        )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    b = d.crossJoin(F.broadcast(n))
+    i = F.col("doc_id")
+
+    def tgt(j):
+        return F.pmod(
+            h60(F.concat(F.lit("lk|"), i.cast("string"), F.lit("|"), j.cast("string"))),
+            F.col("n_docs"),
+        )
+
+    def dirty_url(t, j):
+        clean = url_of(t)
+        with_port = F.concat(
+            F.lit("https://host"), F.lpad((t % 7).cast("string"), 2, "0"),
+            F.lit(".example.org:443/d/"), t.cast("string"),
+        )
+        upper = F.concat(
+            F.lit("HTTPS://HOST"), F.lpad((t % 7).cast("string"), 2, "0"),
+            F.lit(".EXAMPLE.ORG/d/"), t.cast("string"),
+        )
+        return F.when(j == 1, with_port).when(j == 2, upper).otherwise(clean)
+
+    link_spans = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda j: F.struct(
+            F.lit("link").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            dirty_url(tgt(j), j).alias("media_ref"),
+            j.cast("int").alias("offset"),
+        ),
+    )
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.concat(
+            F.lit("see https://host01.example.org/d/"), (i % 50).cast("string"),
+            F.lit(" now"),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(3).alias("offset"),
+    )
+    # two-step projection: spans must be computed while ``doc_id`` is still
+    # the bigint (a one-step select would re-resolve the lambda's
+    # F.col("doc_id") against the URL-string alias of the same Project)
+    live = b.select(i, F.concat(link_spans, F.array(text_span)).alias("spans")).select(
+        url_of(F.col("doc_id")).alias("doc_id"), "spans"
+    )
+    return expand_frontier(live, crawl_id=0).select(
+        "url",
+        "host",
+        F.round("priority", 4).alias("priority"),
+        "seed_rank",
+        "discovered_crawl_id",
+    )

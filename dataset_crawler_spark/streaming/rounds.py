@@ -194,6 +194,7 @@ class CrawlEngine:
         seen_filter: str = "bloom",
         cuckoo_buckets: int = 1 << 12,
         extra_ops: DataFrame | None = None,
+        discover_links: bool = False,
     ) -> dict:
         """One complete crawl round (the reference's single_run iteration,
         IncrementalDatasetCrawler.java:121-185, distributed):
@@ -295,6 +296,15 @@ class CrawlEngine:
             ops_log = ops_log.unionByName(extra_ops)
         self.store.append("ops_log", ops_log, crawl_id)
 
+        if discover_links:
+            # outlink expansion (operators/discovery.py): this round's fetched
+            # docs mint the NEXT round's candidate frontier, prioritized by
+            # in-link degree. Written per-round so resume replays it; the
+            # scheduler's seen filter dedups against history at schedule time.
+            from dataset_crawler_spark.operators.discovery import expand_frontier
+
+            self.store.append("discovered", expand_frontier(live, crawl_id), crawl_id)
+
         fetched = live.select(F.col("doc_id").alias("url_c"))
         self.store.append("fetched", fetched, crawl_id)
         if self.seen_index is not None:
@@ -335,6 +345,65 @@ class CrawlEngine:
         live_raw.unpersist()
         live.unpersist()
         return stats
+
+    # -- discovery (outlink-driven frontier growth) --------------------------
+
+    def discovered_frontier(self, crawl_id: int) -> DataFrame:
+        """FRONTIER-schema rows discovered in round ``crawl_id`` (the input
+        for round ``crawl_id + 1`` in an outlink-driven crawl)."""
+        d = self.store.read("discovered", as_of=crawl_id)
+        return d.where(F.col("crawl_id") == crawl_id).drop("crawl_id")
+
+    def crawl_closure(
+        self,
+        seed_frontier: DataFrame,
+        hosts: DataFrame,
+        fetch_fn: FetchFn,
+        bloom_params: SN.BloomParams | None = None,
+        max_rounds: int = 25,
+        seen_filter: str = "bloom",
+    ) -> list[dict]:
+        """Crawl to link closure: round 0 schedules the seeds, every later
+        round schedules the URLs discovered by the previous round's fetches,
+        and the loop stops when a round schedules nothing — i.e. the
+        outlink graph's reachable set (under robots + politeness budgets)
+        is exhausted. The reference reaches closure implicitly by
+        re-polling endpoints until the instance lists stop growing
+        (App.java:31-58); here closure is explicit and checkpoint-resumable
+        — each round is one atomic commit, and a crashed closure run
+        resumes from ``next_round()`` with the seen set intact.
+
+        The terminating round (scheduled == 0) IS committed: it is the
+        durable record that closure was verified at that crawl_id.
+
+        Per-round frontier growth is bounded by the politeness budget, so
+        the frontier table never materializes the whole 10^10-URL closure
+        at once — the discovered table grows round by round and history
+        stays in the seen set.
+        """
+        out = []
+        for _ in range(max_rounds):
+            crawl_id = self.next_round()
+            frontier = (
+                seed_frontier
+                if crawl_id == 0
+                else self.discovered_frontier(crawl_id - 1)
+            )
+            stats = self.crawl_round(
+                frontier,
+                hosts,
+                fetch_fn,
+                crawl_id,
+                bloom_params=bloom_params,
+                description=f"closure round {crawl_id}",
+                mode="discover",
+                seen_filter=seen_filter,
+                discover_links=True,
+            )
+            out.append(stats)
+            if stats["scheduled"] == 0:
+                break
+        return out
 
     # -- maintenance ---------------------------------------------------------
 

@@ -1,0 +1,125 @@
+"""Outlink extraction + frontier expansion (operators/discovery.py) and the
+engine's crawl-to-closure loop: the discover regime where fetched documents
+mint the next round's frontier and the crawl terminates when the reachable
+link graph is exhausted."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataset_crawler_spark.operators import seen as SN
+from dataset_crawler_spark.operators.discovery import (
+    DISCOVERED_SEED_RANK,
+    expand_frontier,
+    extract_outlinks,
+)
+from dataset_crawler_spark.streaming.rounds import CrawlEngine, simulated_fetcher
+
+DOCS_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def _u(name: str) -> str:
+    return f"https://h.example.org/d/{name}"
+
+
+def _doc(name: str, links: list[str], text: str | None = None):
+    spans = [("link", None, _u(t), i) for i, t in enumerate(links)]
+    spans.append(("text", text or f"body of {name}", None, len(spans)))
+    return (_u(name), spans)
+
+
+def test_extract_outlinks_link_and_text_paths(spark):
+    docs = spark.createDataFrame(
+        [
+            _doc("a", ["b", "c"]),
+            _doc("d", [], text="visit https://x.example.org/p/1 or https://y.example.org/ soon"),
+        ],
+        DOCS_SCHEMA,
+    )
+    got = {(r.parent_doc_id, r.url) for r in extract_outlinks(docs).collect()}
+    assert got == {
+        (_u("a"), _u("b")),
+        (_u("a"), _u("c")),
+        (_u("d"), "https://x.example.org/p/1"),
+        (_u("d"), "https://y.example.org/"),
+    }
+
+
+def test_expand_frontier_indegree_priority_and_self_exclusion(spark):
+    # b is cited by a and c (indegree 2); c by a only; a's self-link dropped
+    docs = spark.createDataFrame(
+        [_doc("a", ["a", "b", "c"]), _doc("c", ["b"])], DOCS_SCHEMA
+    )
+    rows = {r.url: r for r in expand_frontier(docs, crawl_id=7).collect()}
+    assert set(rows) == {_u("b"), _u("c")}
+    assert rows[_u("b")].priority == 1.0 - 1.0 / 3.0
+    assert rows[_u("c")].priority == 0.5
+    for r in rows.values():
+        assert r.seed_rank == DISCOVERED_SEED_RANK
+        assert r.discovered_crawl_id == 7
+        assert r.state == "pending"
+        assert r.host == "h.example.org"
+
+
+def test_crawl_closure_reaches_link_closure_and_stops(spark, tmp_path):
+    # graph: a -> {b, c}, b -> {c, d}, c -> {a} (cycle), d -> {}; e unreachable
+    corpus = spark.createDataFrame(
+        [
+            _doc("a", ["b", "c"]),
+            _doc("b", ["c", "d"]),
+            _doc("c", ["a"]),
+            _doc("d", []),
+            _doc("e", ["a"]),
+        ],
+        DOCS_SCHEMA,
+    )
+    hosts = spark.createDataFrame(
+        [("h.example.org", 10, 100, [], True)],
+        "host string, crawl_delay_ms int, max_fetch_per_round int, "
+        "robots_disallow array<string>, is_available boolean",
+    )
+    seeds = spark.createDataFrame(
+        [(_u("a"), "h.example.org", 1.0, 0, 0, "pending")],
+        "url string, host string, priority double, discovered_crawl_id int, "
+        "seed_rank int, state string",
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    params = SN.BloomParams.for_capacity(64, fp_rate=0.01, n_shards=4)
+    stats = eng.crawl_closure(seeds, hosts, simulated_fetcher(corpus), bloom_params=params)
+
+    # BFS depths: r0 {a}, r1 {b,c}, r2 {d} (c->a is seen-filtered), r3 closure
+    assert [s["fetched"] for s in stats] == [1, 2, 1, 0]
+    assert stats[-1]["scheduled"] == 0
+    fetched = [r.url_c for r in eng.store.read("fetched").collect()]
+    assert sorted(fetched) == sorted({_u("a"), _u("b"), _u("c"), _u("d")})  # once each
+    assert _u("e") not in fetched
+
+    # closure is stable: re-running schedules nothing and commits one
+    # verification round
+    again = eng.crawl_closure(seeds, hosts, simulated_fetcher(corpus), bloom_params=params)
+    assert len(again) == 1 and again[0]["scheduled"] == 0
+
+
+def test_discovered_frontier_rows_are_replayable(spark, tmp_path):
+    corpus = spark.createDataFrame([_doc("a", ["b"]), _doc("b", [])], DOCS_SCHEMA)
+    hosts = spark.createDataFrame(
+        [("h.example.org", 10, 100, [], True)],
+        "host string, crawl_delay_ms int, max_fetch_per_round int, "
+        "robots_disallow array<string>, is_available boolean",
+    )
+    seeds = spark.createDataFrame(
+        [(_u("a"), "h.example.org", 1.0, 0, 0, "pending")],
+        "url string, host string, priority double, discovered_crawl_id int, "
+        "seed_rank int, state string",
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    eng.crawl_round(seeds, hosts, simulated_fetcher(corpus), 0, mode="discover",
+                    discover_links=True)
+    d0 = [(r.url, r.seed_rank) for r in eng.discovered_frontier(0).collect()]
+    assert d0 == [(_u("b"), DISCOVERED_SEED_RANK)]
+    # a second engine over the same store reads the identical discovery set
+    eng2 = CrawlEngine(spark, str(tmp_path / "store"))
+    assert [(r.url, r.seed_rank) for r in eng2.discovered_frontier(0).collect()] == d0
