@@ -236,6 +236,49 @@ def schedule_round(
     return politeness_topk(cand, n_salt=n_salt)
 
 
+def adaptive_host_budgets(
+    ops: DataFrame, hosts: DataFrame, min_budget: int = 1
+) -> DataFrame:
+    """Failure-driven politeness adaptation: shrink a host's per-round fetch
+    budget and stretch its crawl delay in proportion to its recent failure
+    rate. The reference fetches with a fixed per-request timeout and retries
+    blindly on the next 30-minute cycle (DataCrawler.java:235-249,
+    App.java:31-58); a 10^10-URL frontier must instead stop hammering hosts
+    that are failing — otherwise the politeness budget is spent on
+    timeouts. Standard multiplicative backoff, deterministic:
+
+        budget' = max(min_budget, floor(budget · (1 − fail_rate)))
+        delay'  = ceil(delay · (1 + fail_rate))
+
+    A host with no operations in ``ops`` keeps its configured values
+    (fail_rate 0 via the left join), so the adapted dim is always complete
+    and can be fed straight back into :func:`schedule_round`.
+
+    Scale shape: ``ops`` aggregates per host (map-side combine) into a
+    dimension-sized table that BROADCASTS into the hosts dim — no shuffle
+    of either side at any frontier scale.
+    """
+    stats = ops.groupBy("host").agg(
+        (
+            F.sum((F.col("status") != "success").cast("int")) / F.count("*")
+        ).alias("fail_rate")
+    )
+    h = hosts.join(F.broadcast(stats), "host", "left").withColumn(
+        "fail_rate", F.coalesce(F.col("fail_rate"), F.lit(0.0))
+    )
+    return h.select(
+        *[c for c in hosts.columns if c not in ("max_fetch_per_round", "crawl_delay_ms")],
+        F.greatest(
+            F.lit(min_budget),
+            F.floor(F.col("max_fetch_per_round") * (1.0 - F.col("fail_rate"))).cast("int"),
+        ).alias("max_fetch_per_round"),
+        F.ceil(F.col("crawl_delay_ms") * (1.0 + F.col("fail_rate"))).cast("int").alias(
+            "crawl_delay_ms"
+        ),
+        F.round("fail_rate", 4).alias("fail_rate"),
+    )
+
+
 def refresh_priorities(
     lineage: DataFrame, as_of: int, decay: float = 0.5
 ) -> DataFrame:

@@ -2655,3 +2655,53 @@ def crawl_outlink_degree(spark, sf_dir):
         "seed_rank",
         "discovered_crawl_id",
     )
+
+
+@register(
+    "crawl_adaptive_budget",
+    """
+    WITH ops AS (
+      SELECT source || '.example.org' AS host,
+             CASE WHEN doc_id % 5 = 0 THEN 'time_out'
+                  WHEN doc_id % 7 = 0 THEN 'error'
+                  ELSE 'success' END AS status
+      FROM documents),
+    hosts AS (
+      SELECT DISTINCT source || '.example.org' AS host,
+             100 AS crawl_delay_ms, 50 AS max_fetch_per_round, TRUE AS is_available
+      FROM documents),
+    s AS (SELECT host,
+                 SUM(CASE WHEN status <> 'success' THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+                   AS fail_rate
+          FROM ops GROUP BY host)
+    SELECT h.host, h.is_available,
+           GREATEST(1, CAST(FLOOR(h.max_fetch_per_round * (1.0 - COALESCE(s.fail_rate, 0))) AS INT))
+             AS max_fetch_per_round,
+           CAST(CEIL(h.crawl_delay_ms * (1.0 + COALESCE(s.fail_rate, 0))) AS INT)
+             AS crawl_delay_ms,
+           ROUND(COALESCE(s.fail_rate, 0), 4) AS fail_rate
+    FROM hosts h LEFT JOIN s USING (host)
+    """,
+)
+def crawl_adaptive_budget(spark, sf_dir):
+    """Failure-driven politeness adaptation (operators/scheduler.py
+    adaptive_host_budgets) on a deterministic per-fetch outcome stream
+    derived from the documents table: multiplicative budget backoff and
+    delay stretch per host failure rate, twin-checked formula for formula."""
+    from dataset_crawler_spark.operators.scheduler import adaptive_host_budgets
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.org"))
+    status = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("time_out"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("error"))
+        .otherwise(F.lit("success"))
+    )
+    ops = d.select(host.alias("host"), status.alias("status"))
+    hosts = d.select(host.alias("host")).distinct().select(
+        "host",
+        F.lit(100).cast("int").alias("crawl_delay_ms"),
+        F.lit(50).cast("int").alias("max_fetch_per_round"),
+        F.lit(True).alias("is_available"),
+    )
+    return adaptive_host_budgets(ops, hosts)

@@ -450,6 +450,25 @@ class CrawlEngine:
             F.lit("pending").alias("state"),
         )
 
+    def adaptive_hosts(
+        self,
+        hosts: DataFrame,
+        as_of: int | None = None,
+        lookback: int = 3,
+        min_budget: int = 1,
+    ) -> DataFrame:
+        """Hosts dim with budgets/delays adapted to the last ``lookback``
+        rounds' per-fetch outcomes (operators/scheduler.py
+        adaptive_host_budgets over the ops log) — feed the result into the
+        next round's :meth:`crawl_round` to back off failing hosts."""
+        as_of = self.store.last_round() if as_of is None else as_of
+        ops = self.ops_log_as_of(as_of).where(
+            (F.col("crawl_id") > as_of - lookback) & (F.col("stage") == "fetch")
+        )
+        return SCH.adaptive_host_budgets(
+            ops.select("host", "status"), hosts, min_budget=min_budget
+        )
+
     def refresh_frontier(self, as_of: int | None = None, decay: float = 0.5) -> DataFrame:
         """Freshness-driven re-crawl queue: LIVE documents ranked by their
         decayed change history (operators/scheduler.py refresh_priorities

@@ -445,3 +445,52 @@ def test_politeness_budget_enforced_in_lifecycle(spark, tmp_path):
         .count()
     )
     assert per_host.where(F.col("count") > 3).count() == 0
+
+
+def test_adaptive_hosts_backs_off_failing_host(spark, tmp_path):
+    """Half of one host's scheduled URLs 404 → its budget halves and its
+    delay stretches; a fully-successful host keeps its configured values."""
+    schema = (
+        "url string, host string, priority double, discovered_crawl_id int, "
+        "seed_rank int, state string"
+    )
+    frontier = spark.createDataFrame(
+        [(f"https://bad.example.org/d/{i}", "bad.example.org", 1.0, 0, i, "pending")
+         for i in range(4)]
+        + [(f"https://good.example.org/d/{i}", "good.example.org", 1.0, 0, i, "pending")
+           for i in range(2)],
+        schema,
+    )
+    hosts = spark.createDataFrame(
+        [("bad.example.org", 10, 100, [], True), ("good.example.org", 10, 100, [], True)],
+        "host string, crawl_delay_ms int, max_fetch_per_round int, "
+        "robots_disallow array<string>, is_available boolean",
+    )
+    # corpus is missing half of bad's URLs → simulated_fetcher reports errors
+    docs = [(f"https://bad.example.org/d/{i}",
+             [("text", f"b{i}", None, 0)]) for i in range(2)] + [
+            (f"https://good.example.org/d/{i}",
+             [("text", f"g{i}", None, 0)]) for i in range(2)]
+    corpus = spark.createDataFrame(
+        docs,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    stats = eng.crawl_round(frontier, hosts, simulated_fetcher(corpus), 0, mode="discover")
+    assert stats["failed"] == 2
+
+    adapted = {r.host: r for r in eng.adaptive_hosts(hosts, as_of=0).collect()}
+    assert adapted["bad.example.org"].fail_rate == 0.5
+    assert adapted["bad.example.org"].max_fetch_per_round == 50
+    assert adapted["bad.example.org"].crawl_delay_ms == 15
+    assert adapted["good.example.org"].fail_rate == 0.0
+    assert adapted["good.example.org"].max_fetch_per_round == 100
+    assert adapted["good.example.org"].crawl_delay_ms == 10
+
+    # the adapted dim feeds straight back into scheduling: bad's budget caps
+    # the next round at 50 even though 100 were configured
+    assert set(adapted["bad.example.org"].asDict()) >= {
+        "host", "robots_disallow", "is_available", "max_fetch_per_round",
+        "crawl_delay_ms",
+    }
