@@ -1304,13 +1304,21 @@ _PR_DAMPING = 0.85
 _PR_EDGE_PCT = 30  # edge (a,b) exists iff h60(a||'>'||b) % 100 < this
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(
+    nodes_cte: str | None = None,
+    edges_cte: str | None = None,
+    out_name: str = "source",
+) -> str:
     """DuckDB twin of the damped power iteration: the same ``_PR_ITER``
     iterations unrolled as chained CTEs (contribution agg + dangling-mass
-    scalar per step), over the identical hash-derived host graph."""
+    scalar per step). Defaults to the hash-derived HOST graph; callers can
+    swap in any (hosts, edges) CTE pair to rank a different graph with the
+    identical iteration (crawl_outlink_pagerank ranks the doc-level outlink
+    graph this way)."""
     cte = [
-        "hosts AS (SELECT DISTINCT source AS node FROM documents)",
-        f"""edges AS (
+        nodes_cte or "hosts AS (SELECT DISTINCT source AS node FROM documents)",
+        edges_cte
+        or f"""edges AS (
       SELECT a.node AS src, b.node AS dst FROM hosts a JOIN hosts b ON a.node <> b.node
       WHERE {h60_sql("a.node || '>' || b.node")} % 100 < {_PR_EDGE_PCT})""",
         "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
@@ -1340,7 +1348,7 @@ def _pagerank_sql() -> str:
     return (
         "WITH "
         + ",\n    ".join(cte)
-        + f"\n    SELECT node AS source, ROUND(rank, 6) AS rank FROM r{_PR_ITER}"
+        + f"\n    SELECT node AS {out_name}, ROUND(rank, 6) AS rank FROM r{_PR_ITER}"
     )
 
 
@@ -2705,3 +2713,81 @@ def crawl_adaptive_budget(spark, sf_dir):
         F.lit(True).alias("is_available"),
     )
     return adaptive_host_budgets(ops, hosts)
+
+
+_OUTLINK_URL = (
+    "'https://host' || lpad(CAST({x} % 7 AS VARCHAR), 2, '0')"
+    " || '.example.org/d/' || CAST({x} AS VARCHAR)"
+)
+
+
+def _outlink_graph_sql() -> tuple[str, str]:
+    """(nodes_cte, edges_cte) for the deterministic doc-level outlink graph —
+    the same link-span construction crawl_outlink_degree checks, minus the
+    text path (link targets are always in-universe doc URLs)."""
+    nodes = (
+        f"hosts AS (SELECT {_OUTLINK_URL.format(x='doc_id')} AS node FROM documents)"
+    )
+    edges = f"""edges AS (
+      SELECT DISTINCT {_OUTLINK_URL.format(x='d.doc_id')} AS src,
+             {_OUTLINK_URL.format(x='tgt')} AS dst
+      FROM (
+        SELECT d.doc_id,
+               {h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")}
+                 % n.n_docs AS tgt
+        FROM documents d
+        CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents) n
+        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj) d
+      WHERE tgt <> d.doc_id)"""
+    return nodes, edges
+
+
+@register("crawl_outlink_pagerank", _pagerank_sql(*_outlink_graph_sql(), out_name="url"))
+def crawl_outlink_pagerank(spark, sf_dir):
+    """Document-level PageRank over the outlink graph the DISCOVERY operator
+    extracts (operators/discovery.py → operators/graph.py composed): the
+    frontier-priority signal for a centrality-driven recrawl. The edge list
+    comes from extract_outlinks over the same deterministic link-span corpus
+    crawl_outlink_degree checks; the DuckDB twin re-derives the graph
+    closed-form and unrolls the identical damped power iteration."""
+    from dataset_crawler_spark.operators import graph as G
+    from dataset_crawler_spark.operators.discovery import extract_outlinks
+
+    def url_of(x):
+        return F.concat(
+            F.lit("https://host"), F.lpad((x % 7).cast("string"), 2, "0"),
+            F.lit(".example.org/d/"), x.cast("string"),
+        )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    b = d.crossJoin(F.broadcast(n))
+    i = F.col("doc_id")
+
+    def tgt(j):
+        return F.pmod(
+            h60(F.concat(F.lit("lk|"), i.cast("string"), F.lit("|"), j.cast("string"))),
+            F.col("n_docs"),
+        )
+
+    link_spans = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda j: F.struct(
+            F.lit("link").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            url_of(tgt(j)).alias("media_ref"),
+            j.cast("int").alias("offset"),
+        ),
+    )
+    live = b.select(i, link_spans.alias("spans")).select(
+        url_of(F.col("doc_id")).alias("doc_id"), "spans"
+    )
+    out = extract_outlinks(live)
+    edges = (
+        out.where(F.col("url") != F.col("parent_doc_id"))
+        .select(F.col("parent_doc_id").alias("src"), F.col("url").alias("dst"))
+        .distinct()
+    )
+    nodes = live.select(F.col("doc_id").alias("node"))
+    ranks = G.pagerank(edges, nodes=nodes, n_iter=_PR_ITER, damping=_PR_DAMPING)
+    return ranks.select(F.col("node").alias("url"), F.round("rank", 6).alias("rank"))
