@@ -2791,3 +2791,49 @@ def crawl_outlink_pagerank(spark, sf_dir):
     nodes = live.select(F.col("doc_id").alias("node"))
     ranks = G.pagerank(edges, nodes=nodes, n_iter=_PR_ITER, damping=_PR_DAMPING)
     return ranks.select(F.col("node").alias("url"), F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "split_leakage_safe",
+    f"""
+    WITH RECURSIVE {_MINHASH_BANDS_SQL},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           CASE WHEN m < 80 THEN 'train' WHEN m < 90 THEN 'valid' ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 {h60_sql("CAST(cluster_id AS VARCHAR)")} % 100 AS m
+          FROM comp)
+    """,
+)
+def split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/valid/test assignment: splits are drawn per
+    DUPLICATE CLUSTER (hash of the cluster representative, 80/10/10), not
+    per document — so near-duplicate documents can never straddle a split
+    boundary and leak training text into evaluation. This is the split
+    discipline serious corpus releases pair with dedup (splitting before
+    dedup, or per-doc, is the classic contamination bug). Deterministic:
+    no RNG, stable across reruns and parallelism.
+
+    Scale shape: the cluster step is the same iterative CC operator as
+    dedup_cluster_components; the split assignment itself is a narrow
+    projection on its output (one hash + case per row)."""
+    from dataset_crawler_spark.operators import clustering as CL
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    comp = CL.dedup_clusters(pairs, docs)
+    m = F.pmod(h60(F.col("cluster_id").cast("string")), F.lit(100))
+    split = (
+        F.when(m < 80, F.lit("train")).when(m < 90, F.lit("valid")).otherwise(F.lit("test"))
+    )
+    return comp.select("doc_id", "cluster_id", split.alias("split"))

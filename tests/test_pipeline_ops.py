@@ -619,3 +619,31 @@ def test_crawl_trap_hosts_flags_planted_traps_exactly(spark):
     # planted explosion: 3 param-distinct URLs per path on trap hosts
     assert by_host["src2.example.org"]["urls_per_path"] == 3.0
     assert by_host["src0.example.org"]["urls_per_path"] == 1.0
+
+
+def test_split_leakage_safe_never_splits_a_cluster(spark):
+    from collections import Counter
+
+    from dataset_crawler_spark.plans.queries import (
+        _minhash_pairs,
+        split_leakage_safe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = split_leakage_safe(spark, sf).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # the invariant the operator exists for: one split per cluster
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # near-duplicate pairs (the actual leakage risk) land in the same split
+    split_of = {r.doc_id: r.split for r in rows}
+    pairs = _minhash_pairs(spark, sf).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for p in pairs:
+        assert split_of[p.doc_a] == split_of[p.doc_b]
+    # hash split is roughly 80/10/10 over clusters
+    c = Counter(next(iter(s)) for s in
+                (set([r.split for r in rows if r.cluster_id == cid]) for cid in by_cluster))
+    n = sum(c.values())
+    assert 0.6 < c["train"] / n < 0.95
