@@ -46,6 +46,16 @@ AUDIT = [
     "temporal_asof_join",
     "text_repetition_filter",
     "engine_incremental_minhash",
+    # late round-2 ops: chunk dedup shuffles only (doc_id, hash, width) longs;
+    # DSIR broadcasts the ≤256-row bucket table; PII scrub is a zero-exchange
+    # regex chain; trap detection is one per-host aggregate; outlink degree is
+    # narrow explode + one per-URL aggregate
+    "dedup_chunk_passages",
+    "dsir_importance_weights",
+    "text_pii_scrub",
+    "crawl_trap_hosts",
+    "crawl_outlink_degree",
+    "crawl_adaptive_budget",
 ]
 
 INTERESTING = (
