@@ -111,3 +111,66 @@ def hosts_dim_from_robots(
         ),
         F.lit(True).alias("is_available"),
     )
+
+
+# -- sitemap discovery (robots.txt Sitemap: directives + sitemap XML) --------
+
+#: per the robots spec, Sitemap: lines are global (valid anywhere in the
+#: file, outside user-agent groups) — so extraction is a stateless regex,
+#: kept JVM-side (no UDF): one multiline case-insensitive scan per host row.
+_SITEMAP_LINE_RE = r"(?im)^\s*sitemap\s*:\s*(\S+)"
+
+#: <loc> entries of a sitemap/sitemap-index document. A full XML parser is
+#: unnecessary for the sitemap schema (loc is a simple leaf); the regex form
+#: keeps the whole source relational.
+_SITEMAP_LOC_RE = r"<loc>\s*([^<\s]+)\s*</loc>"
+
+
+def sitemap_urls(df: DataFrame, text_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt, …) → (host, sitemap_url): every Sitemap: directive.
+
+    Dimension-cardinality (hosts, not URLs) and fully codegen — the fetch of
+    the sitemap documents themselves is the fetcher's job."""
+    return df.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all(text_col, F.lit(_SITEMAP_LINE_RE), F.lit(1))
+        ).alias("sitemap_url"),
+    )
+
+
+def sitemap_seeds(
+    sitemaps: DataFrame,
+    xml_col: str = "sitemap_xml",
+    priority: float = 1.0,
+    seed_rank: int = 0,
+) -> DataFrame:
+    """Fetched sitemap documents → pending FRONTIER rows.
+
+    ``sitemaps``: (host, sitemap_xml) — one row per fetched sitemap (or
+    sitemap-index section). Extracts ``<loc>`` targets, canonicalizes, and
+    dedups; sitemap-listed URLs enter the frontier at ``priority`` (sitemap
+    listing is an explicit publisher signal, so the default outranks
+    discovered outlinks' indegree priorities, which are < 1). Narrow
+    extract + one dedup aggregate over (url) — the standard seed-source
+    shape (sources/seeds.py)."""
+    from dataset_crawler_spark.functions.urls import canonicalize_url, host_of
+
+    locs = sitemaps.select(
+        F.explode(
+            F.regexp_extract_all(xml_col, F.lit(_SITEMAP_LOC_RE), F.lit(1))
+        ).alias("url")
+    )
+    return (
+        locs.select(canonicalize_url(F.col("url")).alias("url"))
+        .groupBy("url")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "url",
+            host_of("url").alias("host"),
+            F.lit(priority).alias("priority"),
+            F.lit(0).cast("int").alias("discovered_crawl_id"),
+            F.lit(seed_rank).cast("int").alias("seed_rank"),
+            F.lit("pending").alias("state"),
+        )
+    )

@@ -16,6 +16,7 @@ idempotent.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Callable
 
@@ -323,6 +324,10 @@ class CrawlEngine:
         stats["scheduled"] = int(n_scheduled)
         stats["fetched"] = int(n_fetched)
         stats["failed"] = int(n_scheduled) - int(n_fetched)
+        # re-commit the manifest entry with the fetch-stage counts included —
+        # idempotent overwrite of the same round; the manifest is the round's
+        # ops record (crawl_log twin), so scheduled/fetched/failed belong in it
+        self.store.commit_round(crawl_id, description, stats)
 
         if bloom_params is not None and cuckoo:
             prev_ck = self.cuckoo_as_of(prev_round)
@@ -530,8 +535,21 @@ def streaming_crawl_rounds(
     mode: str = "discover",
     seen_filter: str = "bloom",
     max_files_per_batch: int | None = None,
+    discover_links: bool = False,
+    feed_discoveries: bool = False,
 ) -> None:
     """Structured-Streaming bridge: frontier drops → crawl rounds.
+
+    ``discover_links`` records each round's outlink expansion in the
+    ``discovered`` table; ``feed_discoveries`` additionally writes those
+    rows back into ``frontier_stream_dir`` as a new drop, making the stream
+    SELF-FEEDING: each availableNow drain crawls one frontier generation,
+    and re-invoking continues from the checkpoint until the link closure is
+    reached (the streaming twin of :meth:`CrawlEngine.crawl_closure` — the
+    batch loop's round boundary becomes the micro-batch boundary).
+    Exactly-once still holds: the drop file is written from the committed
+    ``discovered`` partition AFTER the round commit, and a replayed batch
+    rewrites the same rows.
 
     ``frontier_stream_dir`` is watched as a file-source stream (FRONTIER
     schema); every micro-batch becomes ONE full crawl round via
@@ -555,16 +573,34 @@ def streaming_crawl_rounds(
     def one_round(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        engine.crawl_round(
+        crawl_id = engine.next_round()
+        stats = engine.crawl_round(
             batch_df,
             hosts,
             fetch_fn,
-            engine.next_round(),
+            crawl_id,
             bloom_params=bloom_params,
             description=f"stream batch {batch_id}",
             mode=mode,
             seen_filter=seen_filter,
+            discover_links=discover_links or feed_discoveries,
         )
+        if feed_discoveries and stats["scheduled"] > 0:
+            # stage the drop outside the watched dir (file sources skip
+            # nested dirs and _-prefixed paths), then move the part file in
+            # under a deterministic name ⇒ a replayed batch overwrites the
+            # same drop; the NEXT availableNow invocation picks it up
+            import glob
+            import shutil
+
+            stage = os.path.join(engine.store.root, "_stream_feed", str(crawl_id))
+            engine.discovered_frontier(crawl_id).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            shutil.move(
+                part, os.path.join(frontier_stream_dir, f"discovered-{crawl_id}.parquet")
+            )
 
     q = (
         stream.writeStream.foreachBatch(one_round)

@@ -159,3 +159,35 @@ def test_robots_parse_and_hosts_dim(spark):
     )
     kept = {r.url_c for r in robots_gate(cand, hosts_dim_from_robots(df)).collect()}
     assert kept == {"https://a.org/ok", "https://b.org/private/x"}
+
+
+def test_sitemap_urls_and_seeds(spark):
+    from dataset_crawler_spark.sources.robots import sitemap_seeds, sitemap_urls
+
+    robots = spark.createDataFrame(
+        [
+            ("a.org", "User-agent: *\nDisallow: /x\nSitemap: https://a.org/sm.xml\n"
+                      "sitemap:https://a.org/sm2.xml"),
+            ("b.org", "User-agent: *\nDisallow:"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {(r.host, r.sitemap_url) for r in sitemap_urls(robots).collect()}
+    assert got == {
+        ("a.org", "https://a.org/sm.xml"),
+        ("a.org", "https://a.org/sm2.xml"),
+    }
+
+    xml = """<?xml version="1.0"?><urlset>
+      <url><loc>https://a.org/p/1</loc></url>
+      <url><loc> HTTPS://A.ORG/p/2 </loc></url>
+      <url><loc>https://a.org/p/1#frag</loc></url>
+    </urlset>"""
+    seeds = sitemap_seeds(
+        spark.createDataFrame([("a.org", xml)], "host string, sitemap_xml string")
+    ).collect()
+    rows = {r.url: r for r in seeds}
+    # canonicalized (#frag stripped, scheme/host lowercased) and deduped
+    assert set(rows) == {"https://a.org/p/1", "https://a.org/p/2"}
+    for r in rows.values():
+        assert r.host == "a.org" and r.state == "pending" and r.priority == 1.0

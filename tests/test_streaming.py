@@ -306,3 +306,70 @@ def test_stateful_host_budget_across_batches(spark, tmp_path):
     assert by_host["hostB"] == 2
     cums = sorted(r.cum_admitted for r in res.where("host = 'hostA'").collect())
     assert cums == [1, 2, 3, 4, 5]
+
+
+def test_streaming_self_feeding_closure(spark, tmp_path):
+    """feed_discoveries=True makes the frontier stream self-feeding: each
+    availableNow drain crawls one link-graph generation and writes the next
+    generation's drop; repeated invocation reaches the same closure as the
+    batch crawl_closure loop, and the drained final invocation commits
+    nothing new."""
+    from dataset_crawler_spark.operators import seen as SN
+    from dataset_crawler_spark.streaming.rounds import (
+        CrawlEngine,
+        simulated_fetcher,
+        streaming_crawl_rounds,
+    )
+
+    def u(name):
+        return f"https://h.example.org/d/{name}"
+
+    def doc(name, links):
+        spans = [("link", None, u(t), i) for i, t in enumerate(links)]
+        spans.append(("text", f"body {name}", None, len(spans)))
+        return (u(name), spans)
+
+    corpus = spark.createDataFrame(
+        [doc("a", ["b", "c"]), doc("b", ["c", "d"]), doc("c", ["a"]),
+         doc("d", []), doc("e", ["a"])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    hosts = spark.createDataFrame(
+        [("h.example.org", 10, 100, [], True)],
+        "host string, crawl_delay_ms int, max_fetch_per_round int, "
+        "robots_disallow array<string>, is_available boolean",
+    )
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    spark.createDataFrame(
+        [(u("a"), "h.example.org", 1.0, 0, 0, "pending")],
+        "url string, host string, priority double, discovered_crawl_id int, "
+        "seed_rank int, state string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "seed_stage"))
+    import glob as globmod
+    import shutil
+
+    (part,) = globmod.glob(str(tmp_path / "seed_stage" / "part-*.parquet"))
+    shutil.move(part, str(stream_dir / "seeds.parquet"))
+
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    params = SN.BloomParams.for_capacity(64, fp_rate=0.01, n_shards=4)
+    for _ in range(6):
+        before = eng.store.last_round()
+        streaming_crawl_rounds(
+            eng, str(stream_dir), hosts, simulated_fetcher(corpus),
+            checkpoint=str(tmp_path / "ckpt"), bloom_params=params,
+            feed_discoveries=True,
+        )
+        if eng.store.last_round() == before:
+            break  # drained: no batch committed a round — streaming closure
+    fetched = sorted(r.url_c for r in eng.store.read("fetched").collect())
+    assert fetched == sorted({u("a"), u("b"), u("c"), u("d")})
+    # BFS generations match the batch crawl_closure loop ([1, 2, 1]); the
+    # batch loop's explicit zero-scheduled verification round has no
+    # streaming twin — closure manifests as the drained stream instead
+    per_round = [r["stats"]["fetched"] for r in eng.store.manifest()["rounds"]]
+    assert per_round == [1, 2, 1]
+    assert all(r["stats"]["scheduled"] == r["stats"]["fetched"]
+               for r in eng.store.manifest()["rounds"])
