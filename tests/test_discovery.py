@@ -123,3 +123,87 @@ def test_discovered_frontier_rows_are_replayable(spark, tmp_path):
     # a second engine over the same store reads the identical discovery set
     eng2 = CrawlEngine(spark, str(tmp_path / "store"))
     assert [(r.url, r.seed_rank) for r in eng2.discovered_frontier(0).collect()] == d0
+
+
+def test_expand_frontier_matches_python_twin_on_random_graphs(spark):
+    """Property: for arbitrary link graphs, expand_frontier ≡ a from-first-
+    principles Python twin (canonical-dedup, self-link exclusion, indegree
+    priority). Seeded generation — deterministic across runs."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.randint(2, 12)
+        names = [f"n{i}" for i in range(n)]
+        links = {
+            a: [rng.choice(names) for _ in range(rng.randint(0, 4))] for a in names
+        }
+        docs = spark.createDataFrame(
+            [_doc(a, ts) for a, ts in links.items()], DOCS_SCHEMA
+        )
+        got = {
+            r.url: (r.priority, r.host)
+            for r in expand_frontier(docs, crawl_id=trial).collect()
+        }
+        deg: dict[str, int] = {}
+        for a, ts in links.items():
+            for t in ts:
+                if t != a:
+                    deg[_u(t)] = deg.get(_u(t), 0) + 1
+        want = {
+            u: (1.0 - 1.0 / (1.0 + c), "h.example.org") for u, c in deg.items()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_crawl_closure_resumes_after_crash(spark, tmp_path):
+    """A fetcher crash mid-closure leaves the store resumable: re-running
+    crawl_closure continues from the committed rounds and reaches the same
+    closure as an uninterrupted run (idempotent replay, no double-fetch)."""
+    corpus_rows = [
+        _doc("a", ["b", "c"]),
+        _doc("b", ["c", "d"]),
+        _doc("c", ["a"]),
+        _doc("d", []),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, DOCS_SCHEMA)
+    hosts = spark.createDataFrame(
+        [("h.example.org", 10, 100, [], True)],
+        "host string, crawl_delay_ms int, max_fetch_per_round int, "
+        "robots_disallow array<string>, is_available boolean",
+    )
+    seeds = spark.createDataFrame(
+        [(_u("a"), "h.example.org", 1.0, 0, 0, "pending")],
+        "url string, host string, priority double, discovered_crawl_id int, "
+        "seed_rank int, state string",
+    )
+    params = SN.BloomParams.for_capacity(64, fp_rate=0.01, n_shards=4)
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+    inner = simulated_fetcher(corpus)
+
+    def crashy_fetch(sp, scheduled):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die mid-round-1, after round 0 committed
+            raise Boom()
+        return inner(sp, scheduled)
+
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    try:
+        eng.crawl_closure(seeds, hosts, crashy_fetch, bloom_params=params)
+        raise AssertionError("expected crash")
+    except Boom:
+        pass
+    assert eng.store.last_round() == 0  # round 1 left no manifest entry
+
+    # resume with a fresh engine over the same store: closure completes
+    eng2 = CrawlEngine(spark, str(tmp_path / "store"))
+    stats = eng2.crawl_closure(seeds, hosts, simulated_fetcher(corpus),
+                               bloom_params=params)
+    fetched = [r.url_c for r in eng2.store.read("fetched").collect()]
+    assert sorted(fetched) == sorted({_u("a"), _u("b"), _u("c"), _u("d")})
+    assert len(fetched) == len(set(fetched))  # no double-fetch across the crash
+    assert stats[-1]["scheduled"] == 0
