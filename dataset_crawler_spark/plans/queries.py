@@ -2837,3 +2837,108 @@ def split_leakage_safe(spark, sf_dir):
         F.when(m < 80, F.lit("train")).when(m < 90, F.lit("valid")).otherwise(F.lit("test"))
     )
     return comp.select("doc_id", "cluster_id", split.alias("split"))
+
+
+@register(
+    "report_corpus_rollup",
+    """
+    SELECT source, lang,
+           CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP (source, lang)
+    """,
+)
+def report_corpus_rollup(spark, sf_dir):
+    """Corpus-card rollup — the release-report aggregate every corpus ships
+    with: doc/token/char totals per (source, lang), per source, and grand
+    total in ONE multi-level aggregate (ROLLUP), with ``grouping_id`` tagging
+    the level. The reference reports flat per-type counts only
+    (database_operations/CrawlDBOperations.java count queries); ROLLUP is the
+    engine-native generalization.
+
+    Scale shape: Spark expands rollup levels BEFORE the exchange, so partial
+    aggregation happens map-side for every level at once — one shuffle keyed
+    by (source, lang, grouping-level), no re-scan per level. At 100 TB this
+    replaces three passes over the corpus with one."""
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("source", "lang").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("ws_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "crawl_anchor_text",
+    f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    cites AS (
+      SELECT 'https://host' || lpad(CAST(({h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)")} % n.n_docs) % 7 AS VARCHAR), 2, '0')
+               || '.example.org/d/' || CAST({h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)")} % n.n_docs AS VARCHAR) AS url,
+             'a' || CAST({h60_sql("'an|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)")} % 6 AS VARCHAR) AS anchor
+      FROM documents d CROSS JOIN n CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j)
+    ),
+    pa AS (SELECT url, anchor, COUNT(*) AS cnt FROM cites GROUP BY url, anchor),
+    ranked AS (SELECT url, anchor, cnt,
+                      ROW_NUMBER() OVER (PARTITION BY url ORDER BY cnt DESC, anchor) AS rn,
+                      SUM(cnt) OVER (PARTITION BY url) AS n_citations,
+                      COUNT(*) OVER (PARTITION BY url) AS n_distinct_anchors
+               FROM pa)
+    SELECT url, CAST(n_citations AS BIGINT) AS n_citations,
+           CAST(n_distinct_anchors AS BIGINT) AS n_distinct_anchors,
+           anchor AS top_anchor, cnt AS top_anchor_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def crawl_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation per link target — the classic web-corpus
+    signal (anchors describe the TARGET page; used for ranking and as
+    training text for the target URL). Citations are derived
+    deterministically from the documents table: each doc emits three link
+    spans whose target doc and anchor token come from the cross-engine h60
+    hash, so the Spark plan and the SQL twin see the identical link graph.
+    Per target URL: total citations, distinct anchors, and the most frequent
+    anchor (ties broken lexicographically).
+
+    Scale shape: two hash aggregates — (url, anchor) counts with map-side
+    partials over the exploded citations, then a per-url ``min_by`` fold
+    (count desc, anchor asc encoded as a struct ordering) — no window over
+    the citation stream, no shuffle of anchor text beyond its (url, anchor)
+    group row. At web scale (10^11 edges) both exchanges carry one row per
+    distinct group, and hot targets (a wikipedia.org homepage cited
+    everywhere) cost one partially-aggregated row per map task, not a
+    straggler partition."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    b = d.crossJoin(F.broadcast(n))
+    i = F.col("doc_id")
+    j = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j")
+    cites = b.select(i, F.col("n_docs"), j)
+    key = lambda tag: F.concat(
+        F.lit(tag + "|"), i.cast("string"), F.lit("|"), F.col("j").cast("string")
+    )
+    tgt = F.pmod(h60(key("lk")), F.col("n_docs"))
+    cites = cites.select(
+        F.concat(
+            F.lit("https://host"),
+            F.lpad(F.pmod(tgt, F.lit(7)).cast("string"), 2, "0"),
+            F.lit(".example.org/d/"),
+            tgt.cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("a"), F.pmod(h60(key("an")), F.lit(6)).cast("string")).alias(
+            "anchor"
+        ),
+    )
+    pa = cites.groupBy("url", "anchor").agg(F.count("*").alias("cnt"))
+    return pa.groupBy("url").agg(
+        F.sum("cnt").cast("bigint").alias("n_citations"),
+        F.count("*").cast("bigint").alias("n_distinct_anchors"),
+        F.min_by("anchor", F.struct((-F.col("cnt")).alias("nc"), F.col("anchor"))).alias(
+            "top_anchor"
+        ),
+        F.max("cnt").alias("top_anchor_count"),
+    )
