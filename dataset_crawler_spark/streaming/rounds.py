@@ -58,16 +58,27 @@ class CrawlEngine:
         store_root: str,
         resurrect: bool = False,
         seen_index=None,
+        state_index=None,
     ):
         """``seen_index``: optional :class:`sources.seen_table.BucketedSeenTable`
         — a bucketed-by-url_c performance index over the committed ``fetched``
         partitions. When set, each round appends to it and the scheduler's
         exact-confirm anti-join reads it exchange-free (the 10^10-URL layout);
-        the store's ``fetched`` table remains the source of truth for resume."""
+        the store's ``fetched`` table remains the source of truth for resume.
+
+        ``state_index``: optional :class:`sources.state_table.BucketedStateTable`
+        — a bucketed-by-doc_id materialized fold of the state table. When set,
+        ``state_as_of`` reads the newest snapshot ≤ r and folds only the delta
+        rounds on top (O(|delta|) per round instead of O(|history|));
+        :meth:`refresh_state_index` materializes new snapshots at whatever
+        cadence the caller chooses (every round, or the compaction cadence).
+        Like the seen index it is a drop-and-rebuild performance layout over
+        the committed logs, never a source of truth."""
         self.spark = spark
         self.store = SnapshotStore(store_root, spark)
         self.resurrect = resurrect
         self.seen_index = seen_index
+        self.state_index = state_index
 
     # -- state --------------------------------------------------------------
 
@@ -79,9 +90,36 @@ class CrawlEngine:
     def state_as_of(self, as_of: int | None) -> DataFrame:
         if as_of is None or not self.store.committed_rounds():
             return self._empty_state()
-        lineage = self.store.read("lineage", as_of=as_of)
-        versions = self.store.read("versions", as_of=as_of)
-        return S.state_table_as_of(lineage, versions, as_of)
+        snap = None
+        if self.state_index is not None and self.state_index.exists():
+            snap = self.state_index.latest_snapshot(le=as_of)
+        if snap is None:
+            lineage = self.store.read("lineage", as_of=as_of)
+            versions = self.store.read("versions", as_of=as_of)
+            return S.state_table_as_of(lineage, versions, as_of)
+        base = self.state_index.read_snapshot(snap)
+        if snap == as_of:
+            return base
+        # O(delta) read: fold only rounds (snap, as_of], merge onto the
+        # bucketed snapshot (no exchange on the base side — state_table.py)
+        lineage = self.store.read("lineage", as_of=as_of).where(F.col("crawl_id") > snap)
+        versions = self.store.read("versions", as_of=as_of).where(F.col("crawl_id") > snap)
+        delta = S.state_table_as_of(lineage, versions, as_of)
+        return S.merge_state(base, delta)
+
+    def refresh_state_index(self, as_of: int | None = None) -> int | None:
+        """Materialize the folded state at ``as_of`` (default: last committed
+        round) into the bucketed state index. Itself O(delta) when a previous
+        snapshot exists (the fold being materialized reads through the index).
+        Safe to skip rounds or crash mid-write: readers fold the wider delta
+        from the logs until the next successful refresh."""
+        if self.state_index is None:
+            return None
+        as_of = self.store.last_round() if as_of is None else as_of
+        if as_of is None or as_of in self.state_index.snapshots():
+            return None
+        self.state_index.write_snapshot(self.state_as_of(as_of), as_of)
+        return as_of
 
     def visible_docs(self, as_of: int | None = None) -> DataFrame:
         as_of = self.store.last_round() if as_of is None else as_of

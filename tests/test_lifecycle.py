@@ -494,3 +494,65 @@ def test_adaptive_hosts_backs_off_failing_host(spark, tmp_path):
         "host", "robots_disallow", "is_available", "max_fetch_per_round",
         "crawl_delay_ms",
     }
+
+
+def test_bucketed_state_index_matches_log_fold(spark, tmp_path):
+    """The bucketed state index (sources/state_table.py) is a pure storage
+    layout: state reads through it must equal the full log fold row-for-row,
+    a stale snapshot (no refresh for newer rounds) must be transparently
+    topped up from the delta logs, and the merge plan must consume the
+    snapshot as a bucketed scan with no exchange above it — the O(|delta|)
+    per-round plan shape for a 10^10-doc state table."""
+    from dataset_crawler_spark.sources.state_table import BucketedStateTable
+
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    name = f"state_idx_{abs(hash(str(tmp_path))) % 10**8}"
+    idx = BucketedStateTable(spark, name, str(tmp_path / "state_idx"), n_buckets)
+    plain = CrawlEngine(spark, str(tmp_path / "plain"))
+    fast = CrawlEngine(spark, str(tmp_path / "fast"), state_index=idx)
+    try:
+        for rnd in range(3):
+            live = _corpus(spark, rnd)
+            plain.run_round(live, rnd)
+            fast.run_round(live, rnd)
+            if rnd == 1:
+                assert fast.refresh_state_index() == 1  # snapshot at round 1 only
+
+        def rows(df):
+            return sorted(
+                (
+                    r.doc_id,
+                    tuple((s.kind, s.text, s.media_ref, s.offset) for s in (r.spans or ())),
+                    r.last_op,
+                    r.last_crawl_id,
+                )
+                for r in df.collect()
+            )
+
+        # exact-snapshot read (snap == as_of) and delta-merge read (snap < as_of)
+        assert rows(fast.state_as_of(1)) == rows(plain.state_as_of(1))
+        merged = fast.state_as_of(2)
+        assert rows(merged) == rows(plain.state_as_of(2))
+
+        # plan shape: snapshot arrives as a bucketed scan (no exchange above
+        # it); the merge is a full-outer shuffled-hash join; the only
+        # exchanges in the whole read are the two O(delta) log folds
+        merged.count()
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+        assert "ShuffledHashJoin" in plan and "FullOuter" in plan
+        # the base (probe) side of the merge join is the bucketed scan with
+        # NO exchange between them — the join's stream side is printed first,
+        # so the slice from the join node to the bucketed scan is exactly the
+        # base branch. (Total exchange count is AQE-run-dependent at fixture
+        # scale: the tiny versions fold may broadcast or shuffle.)
+        base_branch = plan[plan.index("ShuffledHashJoin") : plan.index("Bucketed: true")]
+        assert "Exchange" not in base_branch
+        assert plan.count("Exchange hashpartitioning") <= 3  # delta folds only
+
+        # refresh is idempotent and itself reads O(delta) through the index
+        assert fast.refresh_state_index() == 2
+        assert fast.refresh_state_index() is None
+        assert rows(fast.state_as_of(2)) == rows(plain.state_as_of(2))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
