@@ -467,6 +467,11 @@ class CrawlEngine:
                 continue
             if vacuum:
                 out[t]["vacuumed"] = len(self.store.vacuum(t))
+        # same cadence, same safety story: refresh the bucketed state index
+        # (stale-until-refreshed is transparent — readers fold the delta)
+        refreshed = self.refresh_state_index(as_of=upto)
+        if refreshed is not None:
+            out["state_index"] = {"snapshot_at": refreshed}
         return out
 
     # -- failure retry (T5) + operation log reads ----------------------------
