@@ -123,6 +123,11 @@ class CrawlEngine:
 
     def visible_docs(self, as_of: int | None = None) -> DataFrame:
         as_of = self.store.last_round() if as_of is None else as_of
+        if self.state_index is not None and self.state_index.exists():
+            # O(delta) via the bucketed index: the visible snapshot is the
+            # non-tombstoned slice of the state fold (non-deleted docs always
+            # have a captured version, so spans is never null here)
+            return D.current_docs(self.state_as_of(as_of))
         lineage = self.store.read("lineage", as_of=as_of)
         versions = self.store.read("versions", as_of=as_of)
         return S.reconstruct_as_of(lineage, versions, as_of)

@@ -550,6 +550,15 @@ def test_bucketed_state_index_matches_log_fold(spark, tmp_path):
         assert "Exchange" not in base_branch
         assert plan.count("Exchange hashpartitioning") <= 3  # delta folds only
 
+        # visible_docs routed through the index ≡ the full-fold reconstruction
+        def vrows(df):
+            return sorted(
+                (r.doc_id, tuple((s.kind, s.text, s.media_ref, s.offset) for s in r.spans))
+                for r in df.collect()
+            )
+
+        assert vrows(fast.visible_docs(2)) == vrows(plain.visible_docs(2))
+
         # refresh is idempotent and itself reads O(delta) through the index
         assert fast.refresh_state_index() == 2
         assert fast.refresh_state_index() is None
