@@ -2336,6 +2336,91 @@ def dedup_chunk_passages(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_span_c4",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(generate_series(0, CAST(ceil(len(t) / {_CHUNK_W}.0) AS INT) - 1)) AS i
+            FROM tok),
+    c AS (SELECT doc_id, i,
+                 array_to_string(t[CAST(i*{_CHUNK_W}+1 AS INT):CAST(i*{_CHUNK_W}+{_CHUNK_W} AS INT)], ' ') AS chunk
+          FROM idx),
+    h AS (SELECT doc_id, i, chunk, {h60_sql('chunk')} AS h FROM c),
+    r AS (SELECT doc_id, i, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+          FROM h)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           COALESCE(STRING_AGG(chunk, ' ' ORDER BY i) FILTER (WHERE rn = 1), '')
+             AS clean_text
+    FROM r
+    GROUP BY doc_id
+    """,
+)
+def dedup_span_c4(spark, sf_dir):
+    """C4-style global span dedup with document reconstruction (Raffel et al.
+    2020 §2.2 'we discard all but one of any three-sentence span occurring
+    more than once'): hash each fixed-width token span, elect one global
+    winner per span hash (first occurrence under the total order
+    ``(doc_id, position)``), drop every other occurrence, and rebuild each
+    document's text from its surviving spans in order. Unlike
+    ``dedup_chunk_passages`` (which only *gates* documents on their dup
+    fraction) this emits the cleaned corpus itself.
+
+    Scale shape (100 TB): the document text NEVER shuffles. Spans are hashed
+    narrowly per row; only ``(h, doc_id, i)`` longs enter the winner
+    aggregate (map-side-combinable ``min(struct)``, no window) and the
+    drop-list join back; the drop positions collapse to one small int array
+    per affected doc, which joins back to the original rows so the rebuild
+    is a narrow per-row ``filter``+``concat_ws`` over the already-local
+    token array. Every shuffled row is ~24 bytes regardless of span length.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n_chunks = F.ceil(F.size("t") / F.lit(float(_CHUNK_W))).cast("int")
+    chunks_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i * _CHUNK_W + 1, _CHUNK_W)),
+    )
+    dc = d.select("doc_id", chunks_arr.alias("chunks"))
+    ch = dc.select(
+        "doc_id", F.posexplode("chunks").alias("i", "chunk")
+    ).select("doc_id", "i", h60(F.col("chunk")).alias("h"))
+    # One global winner per span hash: min over the (doc_id, i) total order.
+    # A hash aggregate (partial combine on the map side) — deliberately not a
+    # window, which would sort every group.
+    win = ch.groupBy("h").agg(
+        F.min(F.struct("doc_id", "i")).alias("w"), F.count("*").alias("n")
+    )
+    drops = (
+        ch.join(win, "h")
+        .where(
+            (F.col("n") > 1)
+            & ~((F.col("doc_id") == F.col("w.doc_id")) & (F.col("i") == F.col("w.i")))
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("drop_i"))
+    )
+    out = dc.join(drops, "doc_id", "left").select(
+        "doc_id",
+        F.size("chunks").cast("long").alias("n_chunks"),
+        F.coalesce(F.size("drop_i"), F.lit(0)).cast("long").alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                "chunks",
+                lambda c, i: ~F.coalesce(
+                    F.array_contains(F.col("drop_i"), i), F.lit(False)
+                ),
+            ),
+        ).alias("clean_text"),
+    )
+    return out
+
+
 #: DSIR (data selection via importance resampling, Xie et al. 2023): score
 #: raw-corpus docs by hashed-ngram importance log-ratio against a target
 #: domain. Here the "target" is a deterministic source subset; features are
@@ -2941,4 +3026,201 @@ def crawl_anchor_text(spark, sf_dir):
             "top_anchor"
         ),
         F.max("cnt").alias("top_anchor_count"),
+    )
+
+
+# ==========================================================================
+# Corpus retrieval + host mirror detection (round 2 extensions)
+# ==========================================================================
+
+#: BM25 scoring constants (k1 = 1.2, b = 0.75). The literals below are
+#: spelled the same way in the Spark expressions and the SQL twin so both
+#: engines parse the identical doubles: 2.2 = k1 + 1, 0.25 = 1 - b.
+_BM25_TERMS = ("hash", "join", "vector", "stream")
+_BM25_TOPK = 25
+
+_BM25_TF_SQL = ",\n        ".join(
+    f"len(list_filter(t, x -> x = '{w}')) AS tf{i}"
+    for i, w in enumerate(_BM25_TERMS)
+)
+_BM25_DF_SQL = ",\n        ".join(
+    f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(len(_BM25_TERMS))
+)
+_BM25_SCORE_SQL = " + ".join(
+    f"(((n - df{i} + 0.5) / (df{i} + 0.5))"
+    f" * ((tf{i} * 2.2) / (tf{i} + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))"
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@register(
+    "search_bm25_topk",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        {_BM25_TF_SQL}
+           FROM tok),
+    st AS (SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl,
+        {_BM25_DF_SQL}
+           FROM tf)
+    SELECT doc_id, dl,
+           CAST({" + ".join(f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(_BM25_TERMS)))} AS INT) AS n_hits,
+           ROUND({_BM25_SCORE_SQL}, 4) AS bm25
+    FROM tf CROSS JOIN st
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def search_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval over the corpus for a fixed conjunctive query
+    (Robertson & Sparck Jones probabilistic ranking; the rational
+    ``(N - df + 0.5)/(df + 0.5)`` idf is used un-logged so both engines
+    evaluate the identical IEEE expression tree — no transcendental calls).
+    This is the retrieval primitive a training-data pipeline uses for corpus
+    audit ("which documents dominate this query?"), targeted
+    decontamination, and hard-negative mining.
+
+    Scale shape (100 TB): the scoring pass is ZERO-shuffle — per-term term
+    frequencies come from narrow ``size(filter(tokens))`` projections (no
+    explode of the token stream), the corpus statistics (N, avgdl, per-term
+    document frequencies) collapse into ONE map-side-combined scalar
+    aggregate that broadcasts back, and the per-term contributions sum in a
+    fixed left-to-right expression (no FP-order nondeterminism). Top-k is
+    ``TakeOrderedAndProject`` — per-partition heaps, no global sort."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    def _is(w):
+        # NB: a `lambda x, w=w:` default-arg closure would make the lambda
+        # binary, which F.filter interprets as the (element, index) form.
+        return lambda x: x == F.lit(w)
+
+    tf_cols = [
+        F.size(F.filter("t", _is(w))).alias(f"tf{i}")
+        for i, w in enumerate(_BM25_TERMS)
+    ]
+    tf = d.select("doc_id", F.size("t").cast("bigint").alias("dl"), *tf_cols)
+    st = tf.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    s = tf.crossJoin(F.broadcast(st))
+    contrib = [
+        ((F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5))
+        * (
+            (F.col(f"tf{i}") * 2.2)
+            / (F.col(f"tf{i}") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl"))))
+        )
+        for i in range(len(_BM25_TERMS))
+    ]
+    score = contrib[0]
+    for c in contrib[1:]:
+        score = score + c
+    hits = sum(
+        (F.col(f"tf{i}") > 0).cast("int") for i in range(len(_BM25_TERMS))
+    )
+    return (
+        s.select(
+            "doc_id",
+            "dl",
+            hits.cast("int").alias("n_hits"),
+            F.round(score, 4).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+#: Mirror detection: docs whose doc_id hashes into this residue class are
+#: also served by a planted "cdn-<source>" mirror host; fingerprints seen on
+#: more than _MIRROR_FP_CAP hosts are boilerplate and excluded from pairing.
+_MIRROR_MOD = 3
+_MIRROR_FP_CAP = 8
+_MIRROR_MIN_OVERLAP = 0.5
+
+
+@register(
+    "crawl_mirror_hosts",
+    f"""
+    WITH f AS (
+      SELECT source || '.example.org' AS host, {h60_sql('text')} AS fp
+      FROM documents
+      UNION ALL
+      SELECT 'cdn-' || source || '.example.org' AS host, {h60_sql('text')} AS fp
+      FROM documents
+      WHERE {h60_sql("CAST(doc_id AS VARCHAR)")} % {_MIRROR_MOD} = 0),
+    hf AS (SELECT DISTINCT host, fp FROM f),
+    sz AS (SELECT host, COUNT(*) AS n FROM hf GROUP BY host),
+    ok AS (SELECT fp FROM hf GROUP BY fp
+           HAVING COUNT(*) BETWEEN 2 AND {_MIRROR_FP_CAP}),
+    pr AS (SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+           FROM hf a JOIN ok USING (fp) JOIN hf b USING (fp)
+           WHERE a.host < b.host
+           GROUP BY a.host, b.host)
+    SELECT host_a, host_b, shared, sa.n AS n_a, sb.n AS n_b,
+           ROUND(shared * 1.0 / LEAST(sa.n, sb.n), 4) AS overlap,
+           shared * 1.0 / LEAST(sa.n, sb.n) >= {_MIRROR_MIN_OVERLAP} AS is_mirror
+    FROM pr
+    JOIN sz sa ON pr.host_a = sa.host
+    JOIN sz sb ON pr.host_b = sb.host
+    """,
+)
+def crawl_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection — the frontier-hygiene twin of content dedup:
+    hosts serving near-identical content sets (CDNs, www/apex aliases,
+    scraped re-hosts) should be fetched once, not once per alias. Hosts are
+    paired by shared exact content fingerprints and scored by overlap
+    coefficient ``shared / min(|a|, |b|)``; the synthetic corpus plants a
+    ``cdn-<source>`` alias carrying a deterministic ~1/{_MIRROR_MOD} subset
+    of each source host's documents, so every cdn pair scores overlap 1.0.
+
+    Scale shape (10^10 URLs): the pair generator joins on FINGERPRINT, never
+    all host pairs — a fingerprint seen on h hosts yields at most h(h-1)/2
+    pairs and fingerprints on more than {_MIRROR_FP_CAP} hosts (boilerplate
+    pages: empty robots, parked-domain templates) are excluded by the same
+    doc-frequency cap that bounds the shingle dedup join, so the blowup is
+    bounded per key. Host content-set sizes are a dimension-sized aggregate
+    broadcast onto the pair counts. Everything else is map-side-combined
+    hash aggregation keyed by (host_a, host_b)."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        h60(F.col("text")).alias("fp"),
+    )
+    cdn = d.where(
+        F.pmod(h60(F.col("doc_id").cast("string")), F.lit(_MIRROR_MOD)) == 0
+    ).select(
+        F.concat(F.lit("cdn-"), F.col("source"), F.lit(".example.org")).alias("host"),
+        h60(F.col("text")).alias("fp"),
+    )
+    hf = base.unionByName(cdn).distinct()
+    sz = hf.groupBy("host").agg(F.count("*").alias("n"))
+    ok = (
+        hf.groupBy("fp")
+        .agg(F.count("*").alias("nh"))
+        .where((F.col("nh") >= 2) & (F.col("nh") <= _MIRROR_FP_CAP))
+        .select("fp")
+    )
+    a = hf.join(ok, "fp").select("fp", F.col("host").alias("host_a"))
+    b = hf.select("fp", F.col("host").alias("host_b"))
+    pr = (
+        a.join(b, "fp")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    ov = F.col("shared") * 1.0 / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        pr.join(F.broadcast(sz.select(F.col("host").alias("host_a"), F.col("n").alias("n_a"))), "host_a")
+        .join(F.broadcast(sz.select(F.col("host").alias("host_b"), F.col("n").alias("n_b"))), "host_b")
+        .select(
+            "host_a", "host_b", "shared", "n_a", "n_b",
+            F.round(ov, 4).alias("overlap"),
+            (ov >= _MIRROR_MIN_OVERLAP).alias("is_mirror"),
+        )
     )

@@ -546,6 +546,33 @@ def test_chunk_passage_dedup_matches_hand_twin(spark, tmp_path):
                           dup_chunk_frac=1.0, kept_tokens=0, keep=False)
 
 
+def test_span_c4_dedup_matches_hand_twin(spark, tmp_path):
+    """C4 global span dedup: one winner per span hash under (doc_id, pos)
+    order; every other occurrence is dropped and the document text is
+    rebuilt from the surviving spans in order (partial tail span included)."""
+    from dataset_crawler_spark.plans.queries import dedup_span_c4
+
+    rows = [
+        "a b c d e f g h",   # both spans are the global winners
+        "a b c d x y z w",   # loses "a b c d" → keeps only "x y z w"
+        "e f g h a b c d",   # loses both spans → empty clean_text
+        "q r s t",           # unique single span
+        "a b c d e f",       # loses full span, keeps partial tail "e f"
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup_span_c4(spark, _docs_fixture(spark, tmp_path, rows)).collect()
+    }
+    assert got[0] == dict(doc_id=0, n_chunks=2, n_dropped=0,
+                          clean_text="a b c d e f g h")
+    assert got[1] == dict(doc_id=1, n_chunks=2, n_dropped=1,
+                          clean_text="x y z w")
+    assert got[2] == dict(doc_id=2, n_chunks=2, n_dropped=2, clean_text="")
+    assert got[3] == dict(doc_id=3, n_chunks=1, n_dropped=0,
+                          clean_text="q r s t")
+    assert got[4] == dict(doc_id=4, n_chunks=2, n_dropped=1, clean_text="e f")
+
+
 def test_dsir_weights_match_python_twin(spark, tmp_path):
     import math
 

@@ -56,6 +56,13 @@ AUDIT = [
     "crawl_trap_hosts",
     "crawl_outlink_degree",
     "crawl_adaptive_budget",
+    # round-2 tail: C4 span dedup shuffles only (h, doc_id, i) longs (text
+    # stays with its scan-side row); BM25 scoring is zero-shuffle (scalar
+    # stats broadcast + TakeOrdered top-k); mirror detection joins on
+    # fingerprint with the doc-frequency cap bounding per-key pair blowup
+    "dedup_span_c4",
+    "search_bm25_topk",
+    "crawl_mirror_hosts",
 ]
 
 INTERESTING = (
