@@ -59,6 +59,10 @@ ANALYTIC_QUERIES = [
     "mm_embed_near_dup",
     "text_fingerprint",
     "sim_cosine_topk",
+    "dedup_span_c4",
+    "search_bm25_topk",
+    "crawl_mirror_hosts",
+    "text_lm_bigram_ppl",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

@@ -3224,3 +3224,77 @@ def crawl_mirror_hosts(spark, sf_dir):
             (ov >= _MIRROR_MIN_OVERLAP).alias("is_mirror"),
         )
     )
+
+
+#: Hashed bigram language model (the CCNet KenLM-filter analog): context and
+#: bigram features hash into bounded bucket spaces so the model table stays
+#: dimension-sized no matter the corpus (count-min-style collisions accepted,
+#: identically in both engines). Add-one smoothing over the bigram space.
+_LM_B1 = 4096
+_LM_B2 = 65536
+_LM_PPL_KEEP = 7.685
+
+
+@register(
+    "text_lm_bigram_ppl",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bi AS (SELECT doc_id,
+                  {h60_sql('t[i]')} % {_LM_B1} AS b1,
+                  {h60_sql("t[i] || ' ' || t[i+1]")} % {_LM_B2} AS b2
+           FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM tok)),
+    m2 AS (SELECT b2, COUNT(*) AS c2 FROM bi GROUP BY b2),
+    m1 AS (SELECT b1, COUNT(*) AS c1 FROM bi GROUP BY b1)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(-SUM(ln((c2 + 1.0) / (c1 + {_LM_B2}))) / COUNT(*), 4)
+             AS nll_per_bigram,
+           -SUM(ln((c2 + 1.0) / (c1 + {_LM_B2}))) / COUNT(*) <= {_LM_PPL_KEEP}
+             AS keep
+    FROM bi JOIN m2 USING (b2) JOIN m1 USING (b1)
+    GROUP BY doc_id
+    """,
+)
+def text_lm_bigram_ppl(spark, sf_dir):
+    """Language-model quality filter, CCNet shape (Wenzek et al. 2020 score
+    documents by KenLM perplexity and keep the low-perplexity head): a
+    hashed add-one-smoothed bigram model is trained over the corpus itself
+    in one aggregate, then every document is scored by mean negative
+    log-likelihood per bigram. Low NLL = fluent-under-corpus-statistics;
+    the keep
+    threshold sits at the fixture's p80 so it splits the real tail (CCNet's
+    head/middle/tail cut).
+
+    Scale shape (100 TB): both model tables are BOUNDED by the hash-bucket
+    constants (≤ {_LM_B1} + {_LM_B2} rows regardless of corpus size —
+    count-min collisions are the standard trade and hit both engines
+    identically), so they BROADCAST and scoring is two map-side joins over
+    the bigram stream plus one per-doc aggregate; document text never
+    shuffles — only (doc_id, b1, b2) longs. The model aggregates themselves
+    are map-side-combined exchanges of at most bucket-count rows per task."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    # Spark array subscripts are 0-based (DuckDB's 1-based i ≡ Spark's i-1).
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> "
+                   "struct(t[i-1] AS p, t[i] AS c))")
+        ).alias("pc"),
+    ).select(
+        "doc_id",
+        F.pmod(h60(F.col("pc.p")), F.lit(_LM_B1)).alias("b1"),
+        F.pmod(h60(F.concat_ws(" ", "pc.p", "pc.c")), F.lit(_LM_B2)).alias("b2"),
+    )
+    m2 = bi.groupBy("b2").agg(F.count("*").alias("c2"))
+    m1 = bi.groupBy("b1").agg(F.count("*").alias("c1"))
+    scored = bi.join(F.broadcast(m2), "b2").join(F.broadcast(m1), "b1")
+    lnp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(_LM_B2))))
+    nll = -F.sum(lnp) / F.count("*")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(nll, 4).alias("nll_per_bigram"),
+        (nll <= _LM_PPL_KEEP).alias("keep"),
+    )

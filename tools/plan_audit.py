@@ -63,6 +63,9 @@ AUDIT = [
     "dedup_span_c4",
     "search_bm25_topk",
     "crawl_mirror_hosts",
+    # LM filter: both model tables bounded by bucket constants → broadcast
+    # joins over the bigram stream; text never shuffles
+    "text_lm_bigram_ppl",
 ]
 
 INTERESTING = (
