@@ -63,6 +63,8 @@ ANALYTIC_QUERIES = [
     "search_bm25_topk",
     "crawl_mirror_hosts",
     "text_lm_bigram_ppl",
+    "sample_weighted_take",
+    "sketch_countmin_topk",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

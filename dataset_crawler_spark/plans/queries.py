@@ -3298,3 +3298,126 @@ def text_lm_bigram_ppl(spark, sf_dir):
         F.round(nll, 4).alias("nll_per_bigram"),
         (nll <= _LM_PPL_KEEP).alias("keep"),
     )
+
+
+#: Weighted-sampling and sketch constants.
+_WS_K = 50
+_WS_U = 1_000_000
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_TOPN = 20
+
+
+@register(
+    "sample_weighted_take",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+               FROM documents),
+    k AS (SELECT doc_id, dl,
+                 ln(({h60_sql("CAST(doc_id AS VARCHAR)")} % {_WS_U} + 0.5)
+                    / {_WS_U}.0) / dl AS es_key
+          FROM t)
+    SELECT doc_id, dl, ROUND(es_key, 8) AS es_key
+    FROM k
+    ORDER BY es_key DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+)
+def sample_weighted_take(spark, sf_dir):
+    """Distributed weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each item draws u ~ U(0,1) (here a deterministic hash
+    uniform, so both engines and every re-run agree) and the k largest
+    ``u^(1/w)`` — equivalently ``ln(u)/w`` — are the sample. Longer
+    documents (w = token count) are proportionally more likely to be drawn;
+    this is the standard one-pass corpus subsampling primitive (token-budget
+    downsampling, per-source quota draws) and, unlike naive
+    ``ORDER BY rand()``, is reproducible and mergeable across partitions.
+
+    Scale shape (100 TB): scoring is a ZERO-shuffle narrow projection (hash,
+    ln, divide per row); selection is ``TakeOrderedAndProject`` — each
+    partition keeps a k-item heap and only k rows per partition reach the
+    driver-side merge. No global sort, no shuffle of the corpus."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+    u = (F.pmod(h60(F.col("doc_id").cast("string")), F.lit(_WS_U)) + 0.5) / float(_WS_U)
+    k = d.select("doc_id", "dl", (F.log(u) / F.col("dl")).alias("es_key"))
+    return (
+        k.select("doc_id", "dl", F.round("es_key", 8).alias("es_key"))
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(_WS_K)
+    )
+
+
+_CMS_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT {j} AS j FROM (SELECT 1)" for j in range(_CMS_D)
+)
+
+
+@register(
+    "sketch_countmin_topk",
+    f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    ex AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    js AS ({_CMS_ROWS_SQL}),
+    cms AS (SELECT j, {h60_sql("CAST(j AS VARCHAR) || '|' || w")} % {_CMS_W} AS idx,
+                   COUNT(*) AS cnt
+            FROM tok CROSS JOIN js
+            GROUP BY j, idx),
+    est AS (SELECT ex.w, ex.c, MIN(cms.cnt) AS est
+            FROM ex CROSS JOIN js
+            JOIN cms ON cms.j = js.j
+                    AND cms.idx = {h60_sql("CAST(js.j AS VARCHAR) || '|' || ex.w")} % {_CMS_W}
+            GROUP BY ex.w, ex.c)
+    SELECT w, c, est, est >= c AS no_underestimate
+    FROM est
+    ORDER BY c DESC, w
+    LIMIT {_CMS_TOPN}
+    """,
+)
+def sketch_countmin_topk(spark, sf_dir):
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan 2005)
+    over the corpus token stream, checked against exact counts for the
+    top-{_CMS_TOPN} heavy hitters. The sketch is {_CMS_D} hash rows ×
+    {_CMS_W} counters — a FIXED-size, merge-associative summary: every
+    partition can build its own and they add elementwise, which is exactly
+    what a 1000-executor frequency pass needs when the key space (URLs,
+    tokens, hosts) is too large to aggregate exactly. ``no_underestimate``
+    asserts the CMS one-sided error guarantee (estimate ≥ truth) per emitted
+    row in BOTH engines.
+
+    Scale shape (100 TB): the sketch build is a map-side-combined aggregate
+    bounded at {_CMS_D}×{_CMS_W} rows per task regardless of corpus size;
+    the probe joins candidate keys against the BROADCAST sketch. The exact
+    side here exists only as the verification twin — at web scale it is
+    replaced by the candidate set being probed."""
+    tok = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    js = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+    keyed = tok.crossJoin(F.broadcast(js)).select(
+        "j",
+        F.pmod(
+            h60(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("w"))),
+            F.lit(_CMS_W),
+        ).alias("idx"),
+    )
+    cms = keyed.groupBy("j", "idx").agg(F.count("*").alias("cnt"))
+    ex = tok.groupBy("w").agg(F.count("*").alias("c"))
+    probe = ex.crossJoin(F.broadcast(js)).select(
+        "w", "c", "j",
+        F.pmod(
+            h60(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("w"))),
+            F.lit(_CMS_W),
+        ).alias("idx"),
+    )
+    est = (
+        probe.join(F.broadcast(cms), ["j", "idx"])
+        .groupBy("w", "c")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return (
+        est.select("w", "c", "est", (F.col("est") >= F.col("c")).alias("no_underestimate"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_CMS_TOPN)
+    )

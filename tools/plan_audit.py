@@ -66,6 +66,10 @@ AUDIT = [
     # LM filter: both model tables bounded by bucket constants → broadcast
     # joins over the bigram stream; text never shuffles
     "text_lm_bigram_ppl",
+    # weighted sample: narrow scoring + TakeOrdered; CMS: bounded map-side
+    # sketch aggregate + broadcast probe
+    "sample_weighted_take",
+    "sketch_countmin_topk",
 ]
 
 INTERESTING = (
