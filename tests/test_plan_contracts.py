@@ -151,3 +151,46 @@ def test_chunk_dedup_and_trap_detector_stay_distributed(spark):
         plan = _plan(q(spark, SF_DIR))
         assert re.search(PY_STAGES, plan) is None, q.__name__
         assert "Exchange SinglePartition" not in plan, q.__name__
+
+
+def test_round2_tail_ops_plan_shapes(spark):
+    """Round-2 tail operators keep their designed physical shapes: BM25 and
+    weighted sampling select top-k via TakeOrderedAndProject (per-partition
+    heaps — never a global sort of the corpus) with at most the one scalar
+    stats funnel; the LM filter and CMS probe their bounded model tables via
+    broadcast joins; span dedup and mirror detection stay equi-join-only
+    (no nested-loop pair blowup). Python stages: none anywhere."""
+    from dataset_crawler_spark.plans.queries import (
+        crawl_mirror_hosts,
+        dedup_span_c4,
+        sample_weighted_take,
+        search_bm25_topk,
+        sketch_countmin_topk,
+        text_lm_bigram_ppl,
+    )
+
+    p = _plan(search_bm25_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange SinglePartition") <= 1  # the 1-row stats agg only
+    assert re.search(PY_STAGES, p) is None
+
+    p = _plan(sample_weighted_take(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange SinglePartition" not in p  # scoring is fully narrow
+    assert re.search(PY_STAGES, p) is None
+
+    p = _plan(text_lm_bigram_ppl(spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 2  # both model tables broadcast
+    assert "SortMergeJoin" not in p
+    assert re.search(PY_STAGES, p) is None
+
+    p = _plan(sketch_countmin_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastHashJoin") >= 1  # CMS probe against broadcast sketch
+    assert re.search(PY_STAGES, p) is None
+
+    for fn in (dedup_span_c4, crawl_mirror_hosts):
+        p = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in p
+        assert re.search(PY_STAGES, p) is None
