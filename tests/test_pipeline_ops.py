@@ -674,3 +674,47 @@ def test_split_leakage_safe_never_splits_a_cluster(spark):
                 (set([r.split for r in rows if r.cluster_id == cid]) for cid in by_cluster))
     n = sum(c.values())
     assert 0.6 < c["train"] / n < 0.95
+
+
+def test_countmin_sketch_is_merge_associative(spark):
+    """The property that makes the CMS a 1000-executor primitive: sketches
+    built independently over disjoint corpus halves, added elementwise,
+    equal the sketch built over the whole corpus EXACTLY (counter-for-
+    counter, not approximately) — so map-side partial aggregation and
+    cross-executor merges are lossless by construction."""
+    from pyspark.sql import functions as F
+
+    from dataset_crawler_spark.functions.hashing import h60
+    from dataset_crawler_spark.plans.queries import _CMS_D, _CMS_W, _t
+
+    sf = "/root/testdata/sf0.001"
+    tok = _t(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    js = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+
+    def cms(df):
+        return (
+            df.crossJoin(F.broadcast(js))
+            .select(
+                "j",
+                F.pmod(
+                    h60(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("w"))),
+                    F.lit(_CMS_W),
+                ).alias("idx"),
+            )
+            .groupBy("j", "idx")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    half_a = tok.where(F.col("doc_id").cast("long") % 2 == 0)
+    half_b = tok.where(F.col("doc_id").cast("long") % 2 == 1)
+    merged = (
+        cms(half_a)
+        .unionByName(cms(half_b))
+        .groupBy("j", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r.j, r.idx): r.cnt for r in cms(tok).collect()}
+    got = {(r.j, r.idx): r.cnt for r in merged.collect()}
+    assert got == full and len(full) > 0
