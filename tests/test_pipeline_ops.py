@@ -718,3 +718,26 @@ def test_countmin_sketch_is_merge_associative(spark):
     full = {(r.j, r.idx): r.cnt for r in cms(tok).collect()}
     got = {(r.j, r.idx): r.cnt for r in merged.collect()}
     assert got == full and len(full) > 0
+
+
+def test_new_topk_ops_partitioning_invariance(spark, tmp_path):
+    """BM25 and the weighted sample pick their top-k via per-partition heaps
+    over FP-scored keys — the result must be byte-identical at any input
+    partitioning (the determinism the fixed-order score expressions and
+    (score, doc_id) tie-breaks exist to guarantee)."""
+    from pyspark.sql import functions as F
+
+    from dataset_crawler_spark.plans.queries import (
+        sample_weighted_take,
+        search_bm25_topk,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for n_parts, sub in ((1, "one"), (13, "many")):
+        src.repartition(n_parts).write.mode("overwrite").parquet(
+            f"{tmp_path}/{sub}/documents.parquet"
+        )
+    for fn in (search_bm25_topk, sample_weighted_take):
+        one = [tuple(r) for r in fn(spark, f"{tmp_path}/one").collect()]
+        many = [tuple(r) for r in fn(spark, f"{tmp_path}/many").collect()]
+        assert one == many and len(one) > 0  # ordered comparison: rank matters
