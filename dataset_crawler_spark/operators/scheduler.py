@@ -263,6 +263,10 @@ def adaptive_host_budgets(
             F.sum((F.col("status") != "success").cast("int")) / F.count("*")
         ).alias("fail_rate")
     )
+    # the output carries a fail_rate column, so drop a pre-existing one from
+    # a previously-adapted dim before joining — otherwise the coalesce below
+    # sees an ambiguous reference
+    hosts = hosts.drop("fail_rate")
     h = hosts.join(F.broadcast(stats), "host", "left").withColumn(
         "fail_rate", F.coalesce(F.col("fail_rate"), F.lit(0.0))
     )

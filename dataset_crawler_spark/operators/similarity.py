@@ -243,6 +243,73 @@ def signband_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _rademacher_planes(dim: int, n_bits: int, table: int) -> np.ndarray:
+    """±1 hyperplanes from h60 md5 parity — no RNG, reproducible bit-for-bit
+    in ANSI SQL (the database-friendly random-projection family of Achlioptas
+    2003: ±1 entries preserve the random-hyperplane LSH guarantees)."""
+    from dataset_crawler_spark.functions.hashing import h60_py
+
+    w = np.empty((n_bits, dim), dtype=np.int64)
+    for b in range(n_bits):
+        for i in range(dim):
+            w[b, i] = 1 if h60_py(f"lsh:{table}:{b}:{i}") % 2 == 0 else -1
+    return w
+
+
+def with_rademacher_signature(
+    df: DataFrame, dim: int, n_bits: int = 12, table: int = 0, quant: int = 1000
+) -> DataFrame:
+    """Add a ``sig`` column: ±1-hyperplane signature over FLOOR-quantized
+    coordinates. All arithmetic is int64 (quantize → integer dot → sign), so
+    the signature is EXACT — no float-summation-order ambiguity — and a SQL
+    engine replicates it bit-for-bit (plans/queries.py engine_sim_lsh_topk
+    twin). Vectorized Arrow UDF: one numpy integer matmul per batch."""
+    planes = _rademacher_planes(dim, n_bits, table)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @pandas_udf("long")
+    def sig(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        q = np.floor(m * quant).astype(np.int64)
+        bits = (q @ planes.T) > 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return df.withColumn("sig", sig(F.col("embedding")))
+
+
+def rademacher_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    quant: int = 1000,
+) -> DataFrame:
+    """:func:`lsh_topk` with the SQL-twinnable ±1 signature: union of
+    ``n_tables`` signature hash-joins, exact cosine re-rank, top-k by
+    (ROUNDED cos desc, neighbor_id) so ranking is bit-identical cross-engine.
+    Same 10^9-vector shape as lsh_topk — band hash joins, no all-pairs."""
+    cands = None
+    for t in range(n_tables):
+        qs = with_rademacher_signature(queries, dim, n_bits, table=t, quant=quant).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "sig"
+        )
+        cs = with_rademacher_signature(corpus, dim, n_bits, table=t, quant=quant).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "sig"
+        )
+        j = qs.join(cs, "sig").where(F.col("query_id") != F.col("neighbor_id")).drop("sig")
+        cands = j if cands is None else cands.unionByName(j)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    cos = F.round(cosine_col(F.col("q_emb"), F.col("c_emb")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cands.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

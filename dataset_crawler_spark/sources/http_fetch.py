@@ -1,0 +1,213 @@
+"""Live HTTP fetch + probe stage — the production FetchFn over real sockets.
+
+This fills the one promise the earlier rounds left open: ``simulated_fetcher``
+(streaming/rounds.py) documents "the production fetcher has the same signature
+with a mapInPandas HTTP stage emitting success/error/exception/time_out per
+request" — this module IS that stage. Reference parity:
+
+- per-request fetch with timeout and per-operation status rows:
+  data_crawler/DataCrawler.java:235-249 (connect/read timeouts),
+  crawl_utils/CrawlerLogs.java:30-48 (status vocabulary
+  success|error|exception|time_out — reused verbatim);
+- endpoint availability probe before crawling:
+  data_crawler/DataCrawler.java:36-57 (LIMIT-1 probe, outcome logged either
+  way) — ``http_prober`` plugs into sources/probe.py's injectable slot;
+- body → interleaved-document parsing mirrors the batch sources: N-Triples
+  bodies follow sources/ntriples.py's span mapping (predicate → kind,
+  literal → text, IRI object → media_ref, line order → offset,
+  DatasetDumpCrawler.java:66-127), JSON bodies follow the engine's native
+  interchange ({"spans": [...]}, the CKAN/metadata path of
+  metadata_crawler/Metadata.java:41-106).
+
+Execution shape (100-TB regime): the scheduled frontier arrives already
+politeness-capped per host (operators/scheduler.py top-k), so the fetch stage
+is embarrassingly parallel — one ``mapInPandas`` pass, each Arrow batch fetched
+with a bounded thread pool (network-latency hiding; threads block on sockets,
+not the GIL). No per-row Python UDF: one Python invocation per BATCH, and the
+result rides back to the JVM as one Arrow batch. Rows keep their input order
+(``Executor.map``), so the stage is deterministic given deterministic servers.
+
+Tests drive this against an in-process loopback ``http.server`` — real
+sockets, zero external network (tests/test_http_fetch.py).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import socket
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+OP_SUCCESS, OP_ERROR, OP_EXCEPTION, OP_TIMEOUT = (
+    "success",
+    "error",
+    "exception",
+    "time_out",
+)
+
+USER_AGENT = "dataset-crawler-spark/0.3"
+
+#: mapInPandas output schema — matches simulated_fetcher's columns so
+#: CrawlEngine.crawl_round treats both fetchers identically (status-aware).
+FETCH_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind string, text string, media_ref string, offset int>>, "
+    "status string, message string"
+)
+
+# Same triple grammar as sources/ntriples.py (kept in sync — parity-tested).
+_TRIPLE_RE = re.compile(r"^\s*<([^>]+)>\s+<([^>]+)>\s+(.*?)\s*\.\s*$")
+_LIT_RE = re.compile(r'^"(.*)"(?:\^\^<[^>]+>|@[A-Za-z-]+)?$')
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def parse_spans(content_type: str, body: bytes) -> list[dict]:
+    """Decode one fetched body into the interleaved span list.
+
+    - ``application/json``: the engine interchange — ``{"spans": [...]}`` with
+      each span ``{kind, text, media_ref, offset}`` (offset defaults to list
+      position); a bare list is treated as the span list itself.
+    - ``application/n-triples``: per-line triples, sources/ntriples.py span
+      mapping, offsets = line order (DatasetDumpCrawler.java:66-127 twin).
+    - anything else: the whole body as a single ``kind='text'`` span.
+    """
+    ctype = (content_type or "").split(";")[0].strip().lower()
+    if ctype == "application/json":
+        payload = json.loads(body.decode("utf-8"))
+        raw = payload["spans"] if isinstance(payload, dict) else payload
+        return [
+            {
+                "kind": s.get("kind", "text"),
+                "text": s.get("text"),
+                "media_ref": s.get("media_ref"),
+                "offset": int(s.get("offset", i)),
+            }
+            for i, s in enumerate(raw)
+        ]
+    if ctype in ("application/n-triples", "text/plain+ntriples", "application/n-quads"):
+        spans: list[dict] = []
+        for line in body.decode("utf-8").splitlines():
+            m = _TRIPLE_RE.match(line)
+            if not m:
+                continue
+            _, pred, obj = m.groups()
+            is_iri = obj.startswith("<") and obj.endswith(">")
+            lit_m = None if is_iri else _LIT_RE.match(obj)
+            lit = lit_m.group(1) if lit_m else None
+            if pred == RDF_TYPE:
+                kind, text, media = "rdf:type", (obj[1:-1] if is_iri else lit), None
+            else:
+                kind, text, media = pred, lit, (obj[1:-1] if is_iri else None)
+            spans.append(
+                {"kind": kind, "text": text, "media_ref": media, "offset": len(spans)}
+            )
+        return spans
+    return [
+        {
+            "kind": "text",
+            "text": body.decode("utf-8", errors="replace"),
+            "media_ref": None,
+            "offset": 0,
+        }
+    ]
+
+
+def _classify(exc: BaseException) -> tuple[str, str]:
+    """Map a fetch failure onto the CrawlerLogs status vocabulary."""
+    if isinstance(exc, urllib.error.HTTPError):
+        return OP_ERROR, f"{exc.code}: {exc.reason}"
+    if isinstance(exc, (socket.timeout, TimeoutError)):
+        return OP_TIMEOUT, f"timed out: {exc}"
+    if isinstance(exc, urllib.error.URLError):
+        if isinstance(exc.reason, (socket.timeout, TimeoutError)):
+            return OP_TIMEOUT, f"timed out: {exc.reason}"
+        return OP_EXCEPTION, f"{type(exc.reason).__name__}: {exc.reason}"
+    return OP_EXCEPTION, f"{type(exc).__name__}: {exc}"
+
+
+def fetch_one(url: str, timeout_s: float, parser=parse_spans) -> tuple:
+    """GET one URL → (status, message, spans|None). Never raises."""
+    req = urllib.request.Request(url, headers={"User-Agent": USER_AGENT})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            body = resp.read()
+            ctype = resp.headers.get("Content-Type", "")
+        try:
+            return OP_SUCCESS, f"fetched {len(body)} bytes", parser(ctype, body)
+        except Exception as exc:  # parse failure ≠ transport failure
+            return OP_EXCEPTION, f"parse: {type(exc).__name__}: {exc}", None
+    except BaseException as exc:
+        status, message = _classify(exc)
+        return status, message, None
+
+
+def http_fetcher(timeout_s: float = 5.0, max_workers: int = 8, parser=parse_spans):
+    """Build the production FetchFn: ``fetch(spark, scheduled) -> live_raw``.
+
+    ``scheduled`` is schedule_round's output (carries ``url_c``); the result
+    has simulated_fetcher's exact shape (doc_id, spans, status, message), so
+    CrawlEngine.crawl_round's status-aware branch, ops_log rows, and
+    retry_frontier requeue work unchanged over real sockets.
+
+    ``max_workers`` bounds the per-task thread pool — with the politeness
+    top-k already enforced upstream, total concurrency against any one host
+    is (tasks holding that host) × max_workers; hosts are hash-spread across
+    tasks by the scheduler's salting, so per-host pressure stays bounded.
+    """
+
+    def fetch(spark: SparkSession, scheduled: DataFrame) -> DataFrame:
+        def run(batches):
+            for pdf in batches:
+                urls = pdf["url_c"].tolist()
+                if not urls:
+                    continue
+                with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                    results = list(
+                        pool.map(lambda u: fetch_one(u, timeout_s, parser), urls)
+                    )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": urls,
+                        "spans": [r[2] for r in results],
+                        "status": [r[0] for r in results],
+                        "message": [r[1] for r in results],
+                    }
+                )
+
+        return scheduled.select("url_c").mapInPandas(run, FETCH_SCHEMA)
+
+    return fetch
+
+
+def http_prober(timeout_s: float = 5.0):
+    """Real-socket Prober for sources/probe.py (DataCrawler.java:36-57 twin):
+    GET each endpoint with a LIMIT-1-ish byte-range; classify with the same
+    vocabulary as the fetch stage. Hosts without a scheme probe as http://."""
+
+    def probe(urls: pd.Series) -> tuple[pd.Series, pd.Series]:
+        statuses, messages = [], []
+        for u in urls:
+            target = u if "://" in u else f"http://{u}/"
+            req = urllib.request.Request(
+                target, headers={"User-Agent": USER_AGENT, "Range": "bytes=0-0"}
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                    resp.read(1)
+                statuses.append(OP_SUCCESS)
+                messages.append("probe ok")
+            except BaseException as exc:
+                status, message = _classify(exc)
+                statuses.append(status)
+                messages.append(f"probe {message}")
+        return (
+            pd.Series(statuses, index=urls.index),
+            pd.Series(messages, index=urls.index),
+        )
+
+    return probe

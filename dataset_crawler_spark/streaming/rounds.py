@@ -618,10 +618,29 @@ def streaming_crawl_rounds(
         reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
     stream = reader.parquet(frontier_stream_dir)
 
+    def _crawl_id_for_batch(batch_id: int) -> int:
+        # Pin batch_id → crawl_id on first sight so a batch replayed after a
+        # crash-between-commit-and-checkpoint reuses its ORIGINAL round id:
+        # the replay then overwrites the same partitions / manifest entry /
+        # feed drop instead of being applied as a second round. Written
+        # atomically (tmp + rename) before the round runs.
+        bdir = os.path.join(engine.store.root, "_stream_batches")
+        os.makedirs(bdir, exist_ok=True)
+        path = os.path.join(bdir, f"{batch_id}.txt")
+        if os.path.exists(path):
+            with open(path) as fh:
+                return int(fh.read())
+        crawl_id = engine.next_round()
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(crawl_id))
+        os.replace(tmp, path)
+        return crawl_id
+
     def one_round(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        crawl_id = engine.next_round()
+        crawl_id = _crawl_id_for_batch(batch_id)
         stats = engine.crawl_round(
             batch_df,
             hosts,
@@ -645,9 +664,15 @@ def streaming_crawl_rounds(
             engine.discovered_frontier(crawl_id).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(stage)
-            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            parts = glob.glob(os.path.join(stage, "part-*.parquet"))
+            if not parts:
+                # a 0-partition discovery writes no part file — nothing to feed
+                return
+            if len(parts) > 1:  # coalesce(1) guarantees one data file
+                raise RuntimeError(f"expected one part file in {stage}, got {parts}")
             shutil.move(
-                part, os.path.join(frontier_stream_dir, f"discovered-{crawl_id}.parquet")
+                parts[0],
+                os.path.join(frontier_stream_dir, f"discovered-{crawl_id}.parquet"),
             )
 
     q = (

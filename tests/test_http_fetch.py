@@ -1,0 +1,210 @@
+"""Real-socket fetch path: mapInPandas HTTP fetcher + prober against an
+in-process loopback HTTP server (no external network).
+
+Covers the production promises of sources/http_fetch.py: per-request status
+vocabulary (CrawlerLogs.java:30-48 parity — success/error/exception/time_out),
+body→span parsing twins (JSON interchange + N-Triples), the full
+CrawlEngine.crawl_round lifecycle over sockets including timeout→ops_log
+rows and retry-requeue, and the S3 endpoint probe upgraded from stub to HTTP.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_crawler_spark.operators import seen as SN
+from dataset_crawler_spark.sources.http_fetch import (
+    fetch_one,
+    http_fetcher,
+    http_prober,
+    parse_spans,
+)
+from dataset_crawler_spark.sources.probe import probe_hosts
+from dataset_crawler_spark.streaming.rounds import CrawlEngine
+
+N_OK = 12  # /doc/0..5 JSON + /nt/0..5 ntriples
+
+
+def _doc_spans(i: int) -> list[dict]:
+    return [
+        {"kind": "title", "text": f"doc {i}", "media_ref": None, "offset": 0},
+        {"kind": "image", "text": None, "media_ref": f"media://img/{i}", "offset": 1},
+        {"kind": "body", "text": f"body text {i} " * (i + 1), "media_ref": None, "offset": 2},
+    ]
+
+
+def _nt_body(i: int) -> str:
+    s = f"http://ex.org/r/{i}"
+    return (
+        f"<{s}> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/T{i % 3}> .\n"
+        f'<{s}> <http://ex.org/name> "resource {i}" .\n'
+        f"<{s}> <http://ex.org/link> <http://ex.org/other/{i}> .\n"
+    )
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # keep pytest output clean
+        pass
+
+    def do_GET(self):
+        if self.path.startswith("/doc/"):
+            i = int(self.path.rsplit("/", 1)[1])
+            body = json.dumps({"spans": _doc_spans(i)}).encode()
+            self._reply(200, "application/json", body)
+        elif self.path.startswith("/nt/"):
+            i = int(self.path.rsplit("/", 1)[1])
+            self._reply(200, "application/n-triples", _nt_body(i).encode())
+        elif self.path == "/slow":
+            time.sleep(3.0)
+            self._reply(200, "text/plain", b"too late")
+        elif self.path == "/missing":
+            self.send_error(404, "not here")
+        elif self.path == "/boom":
+            self.send_error(503, "overloaded")
+        else:
+            self._reply(200, "text/plain", b"hello")
+
+    def _reply(self, code: int, ctype: str, body: bytes):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+# -- unit level: fetch_one + parse_spans (no Spark) --------------------------
+
+
+def test_fetch_one_statuses(server):
+    ok = fetch_one(f"{server}/doc/3", 5.0)
+    assert ok[0] == "success" and [s["kind"] for s in ok[2]] == ["title", "image", "body"]
+
+    err = fetch_one(f"{server}/missing", 5.0)
+    assert err[0] == "error" and "404" in err[1] and err[2] is None
+
+    boom = fetch_one(f"{server}/boom", 5.0)
+    assert boom[0] == "error" and "503" in boom[1]
+
+    slow = fetch_one(f"{server}/slow", 0.5)
+    assert slow[0] == "time_out"
+
+    refused = fetch_one("http://127.0.0.1:1/x", 1.0)  # port 1: nothing listens
+    assert refused[0] == "exception"
+
+
+def test_parse_spans_ntriples_matches_batch_source(server, spark, tmp_path):
+    """The HTTP N-Triples parser and sources/ntriples.py produce identical
+    span sequences for the same body (kind, text, media_ref, order)."""
+    from dataset_crawler_spark.sources.ntriples import dump_to_documents
+
+    body = _nt_body(4)
+    p = tmp_path / "d.nt"
+    p.write_text(body)
+    batch = dump_to_documents(spark, str(p)).collect()
+    assert len(batch) == 1
+    batch_spans = [(s.kind, s.text, s.media_ref, s.offset) for s in batch[0].spans]
+
+    live = parse_spans("application/n-triples", body.encode())
+    live_spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in live]
+    assert live_spans == batch_spans
+
+
+# -- engine level: crawl_round over real sockets ------------------------------
+
+
+def _frontier(spark, server):
+    urls = [f"{server}/doc/{i}" for i in range(6)]
+    urls += [f"{server}/nt/{i}" for i in range(6)]
+    urls += [f"{server}/missing", f"{server}/boom", f"{server}/slow"]
+    rows = [(u, None, 1.0, 0, i, "pending") for i, u in enumerate(urls)]
+    return spark.createDataFrame(
+        rows,
+        "url string, host string, priority double, discovered_crawl_id int, "
+        "seed_rank int, state string",
+    )
+
+
+def _hosts(spark, server):
+    # host_of() strips the port — the scheduler keys hosts by bare hostname
+    return spark.createDataFrame(
+        [("127.0.0.1", 0, 1000, [], True)],
+        "host string, crawl_delay_ms int, max_fetch_per_round int, "
+        "robots_disallow array<string>, is_available boolean",
+    )
+
+
+def test_crawl_round_over_http(spark, tmp_path, server):
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    params = SN.BloomParams.for_capacity(64, fp_rate=0.01, n_shards=4)
+    fetch = http_fetcher(timeout_s=1.0, max_workers=8)
+
+    s0 = eng.crawl_round(
+        _frontier(spark, server), _hosts(spark, server), fetch, 0,
+        bloom_params=params, mode="discover",
+    )
+    assert s0["scheduled"] == N_OK + 3
+    assert s0["fetched"] == N_OK
+    assert s0["failed"] == 3
+
+    ops = eng.store.read("ops_log", as_of=0).where(F.col("stage") == "fetch")
+    by_status = {r["status"]: r["n"] for r in ops.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert by_status["success"] == N_OK
+    assert by_status["error"] == 2       # 404 + 503
+    assert by_status["time_out"] == 1    # /slow under the 1s budget
+
+    # fetched spans match the served fixtures exactly (kind, text, media_ref, order)
+    got = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in eng.store.read("versions", as_of=0).select("doc_id", "spans").collect()
+    }
+    for i in range(6):
+        want = [(d["kind"], d["text"], d["media_ref"], d["offset"]) for d in _doc_spans(i)]
+        assert got[f"{server}/doc/{i}"] == want
+
+    # retry machinery: failures re-enter the frontier with decayed priority…
+    retry = eng.retry_frontier(crawl_id=0)
+    retry_urls = {r.url for r in retry.collect()}
+    assert retry_urls == {f"{server}/missing", f"{server}/boom", f"{server}/slow"}
+
+    # …and the next round fetches ONLY retriable work (seen filter blocks the
+    # N_OK successes; /slow now succeeds with a roomier timeout)
+    s1 = eng.crawl_round(
+        retry, _hosts(spark, server), http_fetcher(timeout_s=5.0), 1,
+        bloom_params=params, mode="discover",
+    )
+    assert s1["scheduled"] == 3
+    assert s1["fetched"] == 1  # /slow recovered; 404/503 still failing
+    slow_doc = eng.store.read("versions", as_of=1).where(
+        F.col("doc_id") == f"{server}/slow"
+    ).collect()
+    assert len(slow_doc) == 1
+    assert [s.text for s in slow_doc[0].spans] == ["too late"]
+
+
+def test_probe_hosts_over_http(spark, server):
+    host = server.split("://")[1]
+    hosts = spark.createDataFrame(
+        [(host, 100, 10, [], True), ("127.0.0.1:1", 100, 10, [], True)],
+        "host string, crawl_delay_ms int, max_fetch_per_round int, "
+        "robots_disallow array<string>, is_available boolean",
+    )
+    probed = {r.host: (r.is_available, r.probe_status) for r in
+              probe_hosts(hosts, prober=http_prober(timeout_s=1.0)).collect()}
+    assert probed[host] == (True, "success")
+    assert probed["127.0.0.1:1"][0] is False
+    assert probed["127.0.0.1:1"][1] == "exception"
