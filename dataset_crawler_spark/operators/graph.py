@@ -57,21 +57,30 @@ def pagerank(
     # edges ⋈ outdegree, materialized once: every iteration joins against it
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ew = e.join(outdeg, "src").select("src", "dst", "deg").localCheckpoint()
-    srcs = ew.select("src").distinct().localCheckpoint()
-    nodes = nodes.localCheckpoint()
+    # dangling flag precomputed ONCE on the checkpointed nodes: the
+    # per-iteration dangling mass becomes a filter+sum instead of a
+    # ranks ⋈ srcs left_anti against a corpus-sized src set every round
+    has_out = (
+        ew.select("src")
+        .distinct()
+        .withColumnRenamed("src", "node")
+        .withColumn("_o", F.lit(True))
+    )
+    nodes = (
+        nodes.join(has_out, "node", "left")
+        .select("node", F.coalesce("_o", F.lit(False)).alias("has_out"))
+        .localCheckpoint()
+    )
 
     n = nodes.count()
-    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank")).localCheckpoint(
+    ranks = nodes.select("node", "has_out", (F.lit(1.0) / n).alias("rank")).localCheckpoint(
         eager=False
     )
     for _ in range(n_iter):
         # dangling mass: scalar control-plane aggregate (also materializes
-        # the non-eager checkpoint of `ranks`)
+        # the non-eager checkpoint of `ranks`) — no join, the flag rides along
         m = (
-            ranks.join(srcs, ranks.node == srcs.src, "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+            ranks.where(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0] or 0.0
         )
         contrib = (
             ew.join(ranks, ew.src == ranks.node)
@@ -83,6 +92,7 @@ def pagerank(
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
+                "has_out",
                 (
                     F.lit(1.0 - damping) / n
                     + damping * (F.coalesce("contrib", F.lit(0.0)) + F.lit(m) / n)
@@ -90,4 +100,4 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select("node", "rank")

@@ -102,6 +102,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # ==========================================================================
 # Flagship / TPC-H-shaped pipeline queries (bench headliners)
+#
+# Naming note: q1/q3/q5 are the only queries not named for a SURVEY.md §2
+# operator id. They stay under their TPC-H names deliberately — they are the
+# plan-audit anchors (BENCH/PLANS.md checks their physical plans for pushed
+# filters + broadcast joins against a widely-understood workload), and
+# renaming them would orphan the r01/r02 CORRECTNESS/BENCH history keyed by
+# these names. Operator-wise they are A2 group-aggregate (q1) and J1/J7
+# dim-join shapes (q3/q5), which COVERAGE.md maps explicitly.
 # ==========================================================================
 
 @register(

@@ -9,12 +9,12 @@ of rows, one Arrow batch per partition) invoking an injectable prober, and
 emits (a) the refreshed hosts dimension and (b) one per-operation status row
 per endpoint for the ops log (streaming/rounds.py K4 vocabulary).
 
-This container has no network, so the default prober is an HONEST
-deterministic stub (hash-derived outcomes, clearly labeled); the Spark-side
-plumbing — batch shape, schema, status rows, engine wiring — is the
-production path. Swap ``prober`` for a real HTTP/SPARQL head request on a
-cluster; the signature is (urls: pd.Series) -> (status: pd.Series,
-message: pd.Series) with the CrawlerLogs status vocabulary.
+The default prober is a deterministic stub (hash-derived outcomes, clearly
+labeled) so tests never need a network; the PRODUCTION prober exists too —
+``sources/http_fetch.http_prober`` issues real GET probes with the same
+(urls: pd.Series) -> (status, message) signature and CrawlerLogs status
+vocabulary, and is exercised over an in-process loopback HTTP server in
+tests/test_http_fetch.py::test_probe_hosts_over_http.
 """
 
 from __future__ import annotations

@@ -239,6 +239,8 @@ class CrawlEngine:
         cuckoo_buckets: int = 1 << 12,
         extra_ops: DataFrame | None = None,
         discover_links: bool = False,
+        adapt_budgets: bool = False,
+        budget_lookback: int = 3,
     ) -> dict:
         """One complete crawl round (the reference's single_run iteration,
         IncrementalDatasetCrawler.java:121-185, distributed):
@@ -273,6 +275,15 @@ class CrawlEngine:
         if seen_filter not in ("bloom", "cuckoo"):
             raise ValueError(f"unknown seen_filter {seen_filter!r}")
         prev_round = crawl_id - 1 if crawl_id > 0 else None
+        if adapt_budgets and prev_round is not None and self.store.committed_rounds():
+            # failure-driven politeness: the budget the politeness window
+            # enforces THIS round is the one adapted from the last
+            # ``budget_lookback`` rounds' per-fetch outcomes — a failing host
+            # shrinks its own next-round schedule (T3 ∘ adaptive_host_budgets,
+            # end-to-end; see test_lifecycle adaptive-budget round test)
+            hosts = self.adaptive_hosts(
+                hosts, as_of=prev_round, lookback=budget_lookback
+            )
         discover = mode == "discover"
         cuckoo = seen_filter == "cuckoo"
         seen = self.seen_urls_as_of(prev_round) if discover else None
@@ -410,6 +421,7 @@ class CrawlEngine:
         bloom_params: SN.BloomParams | None = None,
         max_rounds: int = 25,
         seen_filter: str = "bloom",
+        adapt_budgets: bool = False,
     ) -> list[dict]:
         """Crawl to link closure: round 0 schedules the seeds, every later
         round schedules the URLs discovered by the previous round's fetches,
@@ -447,6 +459,7 @@ class CrawlEngine:
                 mode="discover",
                 seen_filter=seen_filter,
                 discover_links=True,
+                adapt_budgets=adapt_budgets,
             )
             out.append(stats)
             if stats["scheduled"] == 0:
@@ -689,8 +702,10 @@ def simulated_fetcher(corpus: DataFrame) -> FetchFn:
     joined against a given corpus (doc_id == canonical url). Status-aware:
     scheduled URLs absent from the corpus come back as ``error`` rows (the
     404 path), so the ops log and retry machinery see real failures. The
-    production fetcher has the same signature with a ``mapInPandas`` HTTP
-    stage emitting success/error/exception/time_out per request."""
+    PRODUCTION fetcher with the same signature is
+    ``sources/http_fetch.http_fetcher`` — a ``mapInPandas`` HTTP stage
+    emitting success/error/exception/time_out per request, exercised over a
+    loopback server in tests/test_http_fetch.py."""
 
     def fetch(spark: SparkSession, scheduled: DataFrame) -> DataFrame:
         s = scheduled.select(F.col("url_c").alias("doc_id"))

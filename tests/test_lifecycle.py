@@ -496,6 +496,80 @@ def test_adaptive_hosts_backs_off_failing_host(spark, tmp_path):
     }
 
 
+def test_adaptive_budget_shrinks_next_round_schedule(spark, tmp_path):
+    """End-to-end budget adaptation INSIDE the composed round (T3 ∘ adaptive
+    backoff): with ``adapt_budgets=True`` the politeness window of round N
+    enforces the budget adapted from round N-1's ops log — a host that failed
+    every fetch is squeezed to the floor budget next round, while a healthy
+    host keeps its configured budget. Expected counts are the pure-Python
+    fold of the same formulas (budget' = max(1, floor(b·(1-fail_rate))))."""
+    schema = (
+        "url string, host string, priority double, discovered_crawl_id int, "
+        "seed_rank int, state string"
+    )
+    fail_urls = [f"https://fail.example.org/d/{i}" for i in range(8)]
+    good_urls = [f"https://good.example.org/d/{i}" for i in range(4)]
+    frontier0 = spark.createDataFrame(
+        [(u, "fail.example.org", 1.0, 0, i, "pending") for i, u in enumerate(fail_urls)]
+        + [(u, "good.example.org", 1.0, 0, i, "pending") for i, u in enumerate(good_urls)],
+        schema,
+    )
+    hosts = spark.createDataFrame(
+        [("fail.example.org", 10, 8, [], True), ("good.example.org", 10, 8, [], True)],
+        "host string, crawl_delay_ms int, max_fetch_per_round int, "
+        "robots_disallow array<string>, is_available boolean",
+    )
+    # corpus only has good's docs → every fail.example.org fetch errors
+    corpus = spark.createDataFrame(
+        [(u, [("text", f"g{i}", None, 0)]) for i, u in enumerate(good_urls)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+
+    # round 0: no history yet — budgets are the configured ones even with
+    # adapt_budgets on; everything schedulable is scheduled
+    s0 = eng.crawl_round(frontier0, hosts, simulated_fetcher(corpus), 0,
+                         mode="discover", adapt_budgets=True)
+    assert s0["scheduled"] == 12
+    assert s0["failed"] == 8
+
+    # round 1: retry of the 8 failures + 4 fresh good URLs. fail_rate(fail)=1.0
+    # → budget max(1, floor(8·0)) = 1; fail_rate(good)=0 → budget stays 8.
+    fresh_good = [f"https://good.example.org/n/{i}" for i in range(4)]
+    frontier1 = eng.retry_frontier(0).unionByName(
+        spark.createDataFrame(
+            [(u, "good.example.org", 1.0, 1, i, "pending") for i, u in enumerate(fresh_good)],
+            schema,
+        )
+    )
+    corpus1 = corpus.unionByName(
+        spark.createDataFrame(
+            [(u, [("text", f"n{i}", None, 0)]) for i, u in enumerate(fresh_good)],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+    )
+    s1 = eng.crawl_round(frontier1, hosts, simulated_fetcher(corpus1), 1,
+                         mode="discover", adapt_budgets=True)
+    assert s1["scheduled"] == 1 + 4  # squeezed fail host + fresh good URLs
+    per_host = {
+        r.host: r.n
+        for r in eng.ops_log_as_of(1).where(F.col("crawl_id") == 1)
+        .groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_host == {"fail.example.org": 1, "good.example.org": 4}
+
+    # static-budget control: the same round 1 WITHOUT adaptation schedules all
+    # 8 retries — proving the shrink came from the adapted dim, not the data
+    eng2 = CrawlEngine(spark, str(tmp_path / "store2"))
+    eng2.crawl_round(frontier0, hosts, simulated_fetcher(corpus), 0, mode="discover")
+    s1_static = eng2.crawl_round(
+        eng2.retry_frontier(0), hosts, simulated_fetcher(corpus), 1, mode="discover"
+    )
+    assert s1_static["scheduled"] == 8
+
+
 def test_bucketed_state_index_matches_log_fold(spark, tmp_path):
     """The bucketed state index (sources/state_table.py) is a pure storage
     layout: state reads through it must equal the full log fold row-for-row,

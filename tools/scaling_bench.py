@@ -138,6 +138,17 @@ and the datagen parity suite).
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
+    # machine-readable twin, folded into bench.py's JSON so every round
+    # artifact self-describes its scaling evidence
+    summary = {
+        "widths_urls_per_sec": {str(w): res[w]["value"] for w in WIDTHS},
+        "efficiency_pre_saturation": headline,
+        "efficiency_raw": eff,
+        "note": "pre-saturation pair local[2]->local[8]; 8->32 measures the "
+        "single-JVM DRAM ceiling, not the plan (BENCH/BASELINE.md)",
+    }
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=1)
     print(json.dumps({"widths": {w: res[w]["value"] for w in WIDTHS}, "efficiency": eff}))
 
 
