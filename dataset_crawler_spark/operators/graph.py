@@ -18,10 +18,18 @@ independent power iteration.
 
 Dangling nodes (no out-edges) leak rank mass; the standard fix is uniform
 redistribution. The dangling mass is ONE scalar aggregate per iteration — a
-control-plane action like the CC convergence check, not data movement.
-Lineage is cut per iteration with non-eager ``localCheckpoint`` (the
-dangling-mass aggregate is the action that materializes it), so the loop's
-plan does not grow.
+filter+sum over a precomputed ``has_out`` flag, a control-plane action like
+the CC convergence check, not data movement. Lineage is cut per iteration
+with non-eager ``localCheckpoint`` (the dangling-mass aggregate is the
+action that materializes it), so the loop's plan does not grow.
+
+Shuffle budget per iteration (measured at 1M nodes / 5M edges —
+BENCH/GRAPH_SCALE.md): the static sides (edges⋈outdegree, nodes+flag) are
+``repartition(key).cache()`` — InMemoryRelation preserves outputPartitioning
+where a localCheckpoint'ed ExistingRDD loses it — so only the ranks side and
+the contribution aggregate move each round. On a real cluster the same
+contract comes from an Iceberg ``bucket(node)`` table layout, which also
+survives executor loss (cache does not).
 """
 
 from __future__ import annotations
@@ -54,9 +62,14 @@ def pagerank(
     else:
         nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
 
-    # edges ⋈ outdegree, materialized once: every iteration joins against it
+    # edges ⋈ outdegree, materialized once: every iteration joins against it.
+    # Pre-partitioned by src and CACHED (not localCheckpoint: a checkpointed
+    # ExistingRDD loses its outputPartitioning and the join would re-exchange
+    # it every iteration, while InMemoryRelation keeps it) — so after this one
+    # exchange the edge table never moves again; each iteration shuffles only
+    # the much smaller ranks side. Static table ⇒ no lineage growth to cut.
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ew = e.join(outdeg, "src").select("src", "dst", "deg").localCheckpoint()
+    ew = e.join(outdeg, "src").select("src", "dst", "deg").repartition("src").cache()
     # dangling flag precomputed ONCE on the checkpointed nodes: the
     # per-iteration dangling mass becomes a filter+sum instead of a
     # ranks ⋈ srcs left_anti against a corpus-sized src set every round
@@ -66,10 +79,13 @@ def pagerank(
         .withColumnRenamed("src", "node")
         .withColumn("_o", F.lit(True))
     )
+    # likewise pre-partitioned + cached by node: the per-iteration
+    # nodes ⋈ contrib left join shuffles only the contrib side
     nodes = (
         nodes.join(has_out, "node", "left")
         .select("node", F.coalesce("_o", F.lit(False)).alias("has_out"))
-        .localCheckpoint()
+        .repartition("node")
+        .cache()
     )
 
     n = nodes.count()
