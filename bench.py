@@ -255,8 +255,14 @@ def main() -> None:
         "cpus": int(cpus),
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
-        "load_contaminated": load_start / int(cpus) > 0.3,
     }
+    # flag on EITHER stamp: contamination that starts mid-bench must not
+    # pass as clean. loadavg_end includes this bench's own load decaying,
+    # so the end threshold is above the all-cores-busy baseline.
+    out["load_contaminated"] = (
+        load_start / int(cpus) > 0.3
+        or out["loadavg_end"] / int(cpus) > 1.5
+    )
     # Fold in the latest two-parallelism scaling evidence (written by
     # tools/scaling_bench.py) so the round artifact is self-describing:
     # efficiency_pre_saturation is the north_rule's N→4N criterion measured

@@ -2136,8 +2136,9 @@ def engine_sim_lsh_topk(spark, sf_dir):
     rademacher_lsh_topk) — integer arithmetic end-to-end for the signature, so
     the DuckDB twin reproduces candidate generation bit-for-bit and the whole
     path is value-hash-checked (this was the library's one rows-only query
-    through round 2). Recall vs brute force stays pinned by
-    tests/test_similarity_multimodal.py."""
+    through round 2). Because the oracle implements the SAME candidate
+    algorithm, recall is pinned independently vs brute force by
+    tests/test_similarity_multimodal.py::test_rademacher_lsh_topk_recall_and_determinism."""
     from dataset_crawler_spark.operators import similarity as SIM
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataset_crawler_spark.sources.http_fetch import OP_SUCCESS, fetch_one
+from dataset_crawler_spark.sources.http_fetch import OP_SUCCESS, fetch_one, span_dict
 
 #: documents + per-page fetch status (page_url keys the ops row); ``pos`` is
 #: the document's global position in endpoint order (page offset + in-page
@@ -132,9 +132,10 @@ def paged_endpoint_scan(
 
 def _page_docs(body: str) -> list[dict]:
     """JSON page body → list of {doc_id, spans} dicts. Accepts a bare list
-    of documents or ``{"docs": [...]}``; rows without a doc_id are skipped
-    (the reference tolerates malformed endpoint rows the same way —
-    DataCrawler.java result-set null guards)."""
+    of documents or ``{"docs": [...]}``; rows without a doc_id and docs with
+    malformed span objects are skipped (the reference tolerates malformed
+    endpoint rows the same way — DataCrawler.java result-set null guards).
+    Span normalization is http_fetch.span_dict — one shared rule set."""
     try:
         payload = json.loads(body)
     except ValueError:
@@ -147,15 +148,10 @@ def _page_docs(body: str) -> list[dict]:
     for d in payload:
         if not isinstance(d, dict) or "doc_id" not in d:
             continue
-        spans = [
-            {
-                "kind": s.get("kind", "text"),
-                "text": s.get("text"),
-                "media_ref": s.get("media_ref"),
-                "offset": int(s.get("offset", i)),
-            }
-            for i, s in enumerate(d.get("spans", []))
-        ]
+        try:
+            spans = [span_dict(s, i) for i, s in enumerate(d.get("spans", []))]
+        except Exception:  # malformed span object ⇒ skip the doc, not the job
+            continue
         docs.append({"doc_id": d["doc_id"], "spans": spans})
     return docs
 
@@ -167,6 +163,7 @@ def scan_until_exhausted(
     max_docs: int | None = None,
     first_chunk_pages: int = 4,
     timeout_s: float = 5.0,
+    on_error: str = "raise",
 ) -> DataFrame:
     """The reference's "loop until the page comes back empty" semantics
     (DataCrawler.java:242-249), distributed: fetch OFFSET windows in
@@ -175,26 +172,64 @@ def scan_until_exhausted(
     capacity (some page was short ⇒ the endpoint is exhausted) or when
     ``max_docs`` (the reference's ``max_res_instances`` cap,
     DataCrawler.java:75) is reached. Driver control flow is per-CHUNK
-    (O(log pages) rounds), never per-page."""
-    out: DataFrame | None = None
-    fetched = 0
-    offset = 0
-    pages = first_chunk_pages
-    while True:
-        chunk = paged_endpoint_scan(
-            spark, endpoint, page_size, pages, first_offset=offset, timeout_s=timeout_s
-        ).cache()
-        n = chunk.count()
-        out = chunk if out is None else out.unionByName(chunk)
-        fetched += n
-        offset += pages * page_size
-        if n < pages * page_size:  # a short/empty page ⇒ exhausted
-            break
-        if max_docs is not None and fetched >= max_docs:
-            break
-        pages *= 2
-    if max_docs is None:
-        return out
-    # deterministic cap: the FIRST max_docs in endpoint order — exactly the
-    # reference's max_res_instances cut, not an arbitrary-partition limit
-    return out.orderBy("pos").limit(max_docs)
+    (O(log pages) rounds), never per-page.
+
+    A short chunk caused by a FAILED window (non-success fetch status) is
+    not exhaustion — with ``on_error="raise"`` (default) it raises listing
+    the failed page offsets so the caller can retry; ``on_error="skip"``
+    keeps scanning past failed windows and stops only on a genuinely short
+    successful chunk (failed windows' docs are simply missing — the caller
+    opted into partial results)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+    chunks: list[DataFrame] = []
+    try:
+        out: DataFrame | None = None
+        fetched = 0
+        offset = 0
+        pages = first_chunk_pages
+        while True:
+            page_rows = paged_endpoint_scan(
+                spark, endpoint, page_size, pages, first_offset=offset,
+                timeout_s=timeout_s, return_status=True,
+            ).cache()
+            chunks.append(page_rows)
+            failed = (
+                page_rows.where(F.col("status") != OP_SUCCESS)
+                .select("page_offset", "status", "message")
+                .collect()
+            )
+            if failed and on_error == "raise":
+                offs = sorted(r.page_offset for r in failed)
+                raise RuntimeError(
+                    f"{len(failed)} page window(s) failed at offsets {offs[:10]}"
+                    f"{'…' if len(offs) > 10 else ''}: "
+                    f"{failed[0].status}: {failed[0].message}"
+                )
+            chunk = page_rows.where(F.col("doc_id").isNotNull()).select(
+                "pos", "doc_id", "spans"
+            )
+            n = chunk.count()
+            out = chunk if out is None else out.unionByName(chunk)
+            fetched += n
+            offset += pages * page_size
+            # a short chunk ⇒ exhausted, unless the shortfall came from
+            # failed windows we were told to skip
+            if n + len(failed) * page_size < pages * page_size:
+                break
+            if max_docs is not None and fetched >= max_docs:
+                break
+            pages *= 2
+        if max_docs is not None:
+            # deterministic cap: the FIRST max_docs in endpoint order —
+            # exactly the reference's max_res_instances cut, not an
+            # arbitrary LIMIT
+            out = out.orderBy("pos").limit(max_docs)
+        # pin the result to local blocks so the caches can be released (the
+        # chunks are already materialized — this re-fetches nothing)
+        return out.localCheckpoint()
+    finally:
+        # without this, every fetched page body stays in executor storage
+        # for the application lifetime
+        for c in chunks:
+            c.unpersist()

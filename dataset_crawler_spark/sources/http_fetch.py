@@ -66,6 +66,19 @@ _LIT_RE = re.compile(r'^"(.*)"(?:\^\^<[^>]+>|@[A-Za-z-]+)?$')
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
+def span_dict(s: dict, i: int) -> dict:
+    """Normalize one JSON span object to the interleaved span shape
+    (shared by parse_spans and sources/endpoint_scan._page_docs so the
+    defaulting rules can never diverge). Raises on non-dict input — callers
+    decide their malformation policy."""
+    return {
+        "kind": s.get("kind", "text"),
+        "text": s.get("text"),
+        "media_ref": s.get("media_ref"),
+        "offset": i if s.get("offset") is None else int(s["offset"]),
+    }
+
+
 def parse_spans(content_type: str, body: bytes) -> list[dict]:
     """Decode one fetched body into the interleaved span list.
 
@@ -80,15 +93,7 @@ def parse_spans(content_type: str, body: bytes) -> list[dict]:
     if ctype == "application/json":
         payload = json.loads(body.decode("utf-8"))
         raw = payload["spans"] if isinstance(payload, dict) else payload
-        return [
-            {
-                "kind": s.get("kind", "text"),
-                "text": s.get("text"),
-                "media_ref": s.get("media_ref"),
-                "offset": int(s.get("offset", i)),
-            }
-            for i, s in enumerate(raw)
-        ]
+        return [span_dict(s, i) for i, s in enumerate(raw)]
     if ctype in ("application/n-triples", "text/plain+ntriples", "application/n-quads"):
         spans: list[dict] = []
         for line in body.decode("utf-8").splitlines():
@@ -141,7 +146,7 @@ def fetch_one(url: str, timeout_s: float, parser=parse_spans) -> tuple:
             return OP_SUCCESS, f"fetched {len(body)} bytes", parser(ctype, body)
         except Exception as exc:  # parse failure ≠ transport failure
             return OP_EXCEPTION, f"parse: {type(exc).__name__}: {exc}", None
-    except BaseException as exc:
+    except Exception as exc:  # NOT BaseException: Ctrl-C/SystemExit propagate
         status, message = _classify(exc)
         return status, message, None
 
@@ -201,7 +206,7 @@ def http_prober(timeout_s: float = 5.0):
                     resp.read(1)
                 statuses.append(OP_SUCCESS)
                 messages.append("probe ok")
-            except BaseException as exc:
+            except Exception as exc:
                 status, message = _classify(exc)
                 statuses.append(status)
                 messages.append(f"probe {message}")

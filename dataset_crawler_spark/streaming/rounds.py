@@ -631,6 +631,13 @@ def streaming_crawl_rounds(
         reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
     stream = reader.parquet(frontier_stream_dir)
 
+    # Pins are scoped to THIS checkpoint: batch ids restart at 0 under a new
+    # checkpoint dir, and an unscoped pin would hand a fresh stream round 0's
+    # id — overwriting committed history instead of appending a new round.
+    import hashlib
+
+    ckpt_ns = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
     def _crawl_id_for_batch(batch_id: int) -> int:
         # Pin batch_id → crawl_id on first sight so a batch replayed after a
         # crash-between-commit-and-checkpoint reuses its ORIGINAL round id:
@@ -639,7 +646,7 @@ def streaming_crawl_rounds(
         # atomically (tmp + rename) before the round runs.
         bdir = os.path.join(engine.store.root, "_stream_batches")
         os.makedirs(bdir, exist_ok=True)
-        path = os.path.join(bdir, f"{batch_id}.txt")
+        path = os.path.join(bdir, f"{ckpt_ns}-{batch_id}.txt")
         if os.path.exists(path):
             with open(path) as fh:
                 return int(fh.read())

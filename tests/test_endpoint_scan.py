@@ -116,3 +116,18 @@ def test_scan_until_exhausted_finds_everything(spark, server):
 
     nothing = scan_until_exhausted(spark, f"{server}/nothing", page_size=10)
     assert nothing.count() == 0
+
+
+def test_scan_until_exhausted_failed_window_is_not_exhaustion(spark, server):
+    """A failed (503) window must not masquerade as end-of-endpoint: the
+    default raises naming the offset; on_error='skip' scans PAST the failed
+    window to the true end instead of truncating at the first short chunk."""
+    with pytest.raises(RuntimeError, match="offsets \\[20\\]"):
+        scan_until_exhausted(spark, f"{server}/flaky", page_size=10,
+                             first_chunk_pages=4)
+
+    skipped = scan_until_exhausted(spark, f"{server}/flaky", page_size=10,
+                                   first_chunk_pages=4, on_error="skip")
+    ids = {r.doc_id for r in skipped.collect()}
+    want = {f"http://ex.org/r/{i}" for i in range(N_DOCS) if not 20 <= i < 30}
+    assert ids == want  # everything except the dead window — no truncation

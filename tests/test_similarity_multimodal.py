@@ -44,6 +44,31 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_rademacher_lsh_topk_recall_and_determinism(spark):
+    """The SQL-twinnable ±1-hyperplane LSH (what engine_sim_lsh_topk ships)
+    must hold real recall vs brute force — the DuckDB oracle implements the
+    SAME candidate generation, so a recall collapse would keep every gate
+    green; only this pin catches it."""
+    from dataset_crawler_spark.operators.similarity import rademacher_lsh_topk
+
+    e = _emb(spark).cache()
+    dim = len(e.first().embedding)
+    q = e.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, e, k=3)
+    approx = rademacher_lsh_topk(q, e, k=3, dim=dim, n_bits=4, n_tables=16)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"rademacher LSH recall too low: {recall}"
+
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in approx.collect())
+    b = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in rademacher_lsh_topk(q, e, k=3, dim=dim, n_bits=4, n_tables=16).collect()
+    )
+    assert a == b
+
+
 def test_lsh_deterministic(spark):
     e = _emb(spark)
     q = e.where(F.col("vec_id") < 5)

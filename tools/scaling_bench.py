@@ -3,9 +3,12 @@
 The north_rule's criterion — throughput scaling efficiency ≥ 0.8 between N
 and 4N executors — cannot use a real cluster in this sandbox; per the driver
 contract it is evidenced by running the SAME job on the SAME input at two
-parallelism levels. This tool sweeps local[2,4,8,16,32], reports the steady
-state schedule-round throughput at each width, and the efficiency of every
-4× pair, then writes BENCH/BASELINE.md.
+parallelism levels. This tool sweeps local[2,4,8,16,32] for the throughput
+curve, then measures the HEADLINE pre-saturation pair (2→8) with
+interleaved paired runs — both widths back-to-back inside one machine-weather
+window, median of per-pair ratios — because absolute throughput on this VM
+drifts ±25% between windows and unpaired ratios inherit that drift. Writes
+BENCH/BASELINE.md + BENCH/scaling.json.
 
 Why the full curve and not just 8 vs 32: all widths share ONE machine's
 memory bus. The frontier pipeline is string/shuffle-heavy, and on this box
@@ -49,6 +52,9 @@ def run(cpus: int, sf_dir: str, crawl_only: bool) -> dict:
 REPS = 2  # full sweep repetitions: per-width spread = the noise evidence
 
 
+N_PAIRS = 3  # interleaved (8, 2) pairs for the headline estimator
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps: dict[int, list[dict]] = {w: [] for w in WIDTHS}
@@ -70,9 +76,22 @@ def main() -> None:
         f"{n}->{4 * n}": round(res[4 * n]["value"] / res[n]["value"] / 4.0, 3)
         for n in (2, 4, 8)
     }
-    # a >1.0 ratio can only be measurement noise / width-dependent constant
-    # overhead amortization — clamp the headline, report the raw pairs below
-    headline = min(1.0, eff["2->8"])
+
+    # HEADLINE estimator: interleaved paired runs of the pre-saturation pair.
+    # Absolute throughput on this box drifts up to ±25% between measurement
+    # windows (co-tenant memory-bandwidth pressure loadavg cannot see), so an
+    # unpaired ratio mixes numerator and denominator from different windows;
+    # running 8-wide and 2-wide BACK-TO-BACK and taking the per-pair ratio
+    # cancels the multiplicative drift. Median of pairs, each clamped to ≤1.0
+    # (a superlinear ratio can only be noise / fixed-overhead amortization).
+    pairs = []
+    for i in range(N_PAIRS):
+        v8 = run(8, sf_dir, crawl_only=True)["value"]
+        v2 = run(2, sf_dir, crawl_only=True)["value"]
+        pairs.append({"w8": v8, "w2": v2, "ratio": round(v8 / v2 / 4.0, 3)})
+        print(json.dumps({"pair": i, **pairs[-1]}), flush=True)
+    clamped = sorted(min(1.0, p["ratio"]) for p in pairs)
+    headline = clamped[len(clamped) // 2]
     n_urls = res[32]["queries"]["_n_urls"]
 
     def row(w):
@@ -99,18 +118,24 @@ long-lived crawler pays once are excluded).
 |---|---|---|---|---|
 {rows}
 
-## Scaling efficiency, every 4× pair (raw, from best-of-sweep throughputs)
+## Scaling efficiency
+
+**Headline (pre-saturation pair local[2] → local[8]): {headline} — median of
+{N_PAIRS} INTERLEAVED paired runs** (8-wide then 2-wide back-to-back per
+pair; per-pair ratios {", ".join(str(p["ratio"]) for p in pairs)}, each
+clamped to ≤1.0 before the median). Pairing is the load-bearing methodology:
+absolute throughput on this box drifts up to ±25% between measurement windows
+under co-tenant memory-bandwidth pressure that loadavg cannot see, so an
+unpaired ratio mixes numerator and denominator from different windows; the
+per-pair ratio cancels the multiplicative drift. A raw ratio above 1.0 is
+superlinear and therefore measurement artifact — clamped.
+
+Unpaired best-of-sweep pairs, for completeness (these carry the ±0.15
+cross-window uncertainty the paired design removes):
 
 | N → 4N | efficiency |
 |---|---|
 {effrows}
-
-**Headline (pre-saturation pair, local[2] → local[8], clamped to ≤1.0): {headline}**
-
-A raw ratio above 1.0 is superlinear and therefore measurement artifact
-(noise, or fixed per-round overhead amortizing differently across widths) —
-the headline is clamped and the raw pairs plus per-sweep spread are shown
-above so the variance is visible rather than folded into the claim.
 
 All widths share one machine's DRAM bus: the pipeline is string/shuffle
 heavy, and ~8-16 threads saturate memory bandwidth on this box — beyond that
@@ -143,9 +168,13 @@ and the datagen parity suite).
     summary = {
         "widths_urls_per_sec": {str(w): res[w]["value"] for w in WIDTHS},
         "efficiency_pre_saturation": headline,
-        "efficiency_raw": eff,
-        "note": "pre-saturation pair local[2]->local[8]; 8->32 measures the "
-        "single-JVM DRAM ceiling, not the plan (BENCH/BASELINE.md)",
+        "pre_saturation_pair": "2->8",
+        "method": f"median of {N_PAIRS} interleaved paired runs, per-pair "
+        "ratios clamped to <=1.0 (pairing cancels cross-window machine drift)",
+        "paired_runs": pairs,
+        "efficiency_raw_best_of": eff,
+        "note": "8->32 measures the single-JVM DRAM ceiling, not the plan "
+        "(BENCH/BASELINE.md)",
     }
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(summary, f, indent=1)

@@ -5,8 +5,8 @@ grows 10×: runs bench.py's crawl stage (canonicalize → bloom probe →
 exact-confirm anti-join → robots gate → salted politeness top-k) at
 sf ∈ {0.1, 0.3, 1} — 4M / 12M / 40M frontier URLs — on the same local[32]
 session config, and additionally measures the bloom probe-strategy crossover
-(broadcast shards vs shard-local cogroup) at the smallest and largest SF via
-SPARK_GRAFT_PROBE. Input parquet per (n_urls, n_hosts) is materialized once
+(broadcast shards vs shard-local cogroup) at EVERY SF via SPARK_GRAFT_PROBE,
+so the gap's trend with seen-set size is measured, not interpolated. Input parquet per (n_urls, n_hosts) is materialized once
 under the bench cache and reused (datagen is deterministic).
 
 Writes BENCH/sf_sweep.json + BENCH/SF_SWEEP.md (own file — BENCH/BASELINE.md
