@@ -189,6 +189,37 @@ def http_fetcher(timeout_s: float = 5.0, max_workers: int = 8, parser=parse_span
     return fetch
 
 
+def fetch_texts(
+    df: DataFrame, url_col: str, timeout_s: float = 5.0, max_workers: int = 8
+) -> DataFrame:
+    """Dimension-scale raw-text GET: every input row keeps its columns and
+    gains (status, message, body). The fetch stage for per-host control
+    documents — robots.txt, sitemap XML — where the caller parses the body
+    itself (sources/robots.py); cardinality = hosts, never the frontier.
+    Same mapInPandas + bounded-thread-pool shape as :func:`http_fetcher`."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", status string, message string, body string"
+    raw = lambda ctype, body: body.decode("utf-8", errors="replace")  # noqa: E731
+
+    def run(batches):
+        for pdf in batches:
+            urls = pdf[url_col].tolist()
+            if not urls:
+                continue
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                results = list(
+                    pool.map(lambda u: fetch_one(u, timeout_s, parser=raw), urls)
+                )
+            res = pdf.copy()
+            res["status"] = [r[0] for r in results]
+            res["message"] = [r[1] for r in results]
+            res["body"] = [r[2] for r in results]
+            yield res
+
+    return df.mapInPandas(run, out_schema)
+
+
 def http_prober(timeout_s: float = 5.0):
     """Real-socket Prober for sources/probe.py (DataCrawler.java:36-57 twin):
     GET each endpoint with a LIMIT-1-ish byte-range; classify with the same

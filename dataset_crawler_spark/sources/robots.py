@@ -174,3 +174,97 @@ def sitemap_seeds(
             F.lit("pending").alias("state"),
         )
     )
+
+
+# -- live composition: robots + sitemaps over real sockets -------------------
+
+def fetch_robots(
+    hosts: DataFrame, url_col: str = "robots_url", timeout_s: float = 5.0
+) -> DataFrame:
+    """(host, robots_url) → (host, robots_url, status, message, body): one
+    live GET per host (sources/http_fetch.fetch_texts). Feed the result to
+    :func:`hosts_dim_over_http` — or fetch once and ALSO hand it to
+    :func:`sitemap_frontier_over_http` so robots.txt is requested a single
+    time per host per round."""
+    from dataset_crawler_spark.sources.http_fetch import fetch_texts
+
+    return fetch_texts(hosts.select("host", url_col), url_col, timeout_s=timeout_s)
+
+
+def hosts_dim_over_http(
+    hosts: DataFrame,
+    url_col: str = "robots_url",
+    default_delay_ms: int = 500,
+    default_budget: int = 100,
+    timeout_s: float = 5.0,
+) -> DataFrame:
+    """(host, robots_url) → scheduler hosts dimension via LIVE robots.txt
+    GETs (sources/http_fetch.fetch_texts — one request per host, dimension
+    cardinality). Robots-spec failure semantics (the documented Google
+    treatment, which is the de-facto standard):
+
+    - 2xx       → parse the body (disallow prefixes + crawl-delay);
+    - 4xx       → no robots file ⇒ allow-all (empty rules, default delay);
+    - 5xx/timeout/connection failure → the crawler cannot KNOW the rules ⇒
+      conservative: the host is marked unavailable this round (the
+      availability gate excludes it; it re-probes next round).
+
+    Returns (host, crawl_delay_ms, max_fetch_per_round, robots_disallow,
+    is_available, robots_status) — drop ``robots_status`` for the plain
+    scheduler schema.
+    """
+    # accept either the raw (host, robots_url) dim or an already-fetched
+    # frame from fetch_robots (has status/body) — one GET per host either way
+    if "body" in hosts.columns and "status" in hosts.columns:
+        fetched = hosts
+    else:
+        fetched = fetch_robots(hosts, url_col=url_col, timeout_s=timeout_s)
+    ok = F.col("status") == "success"
+    not_found = (F.col("status") == "error") & F.col("message").rlike("^4")
+    dim = hosts_dim_from_robots(
+        fetched.select("host", F.when(ok, F.col("body")).alias("robots_txt")),
+        default_delay_ms=default_delay_ms,
+        default_budget=default_budget,
+    )
+    avail = fetched.select(
+        "host",
+        (ok | not_found).alias("_avail"),
+        F.col("status").alias("robots_status"),
+    )
+    return dim.drop("is_available").join(avail, "host").select(
+        "host", "crawl_delay_ms", "max_fetch_per_round", "robots_disallow",
+        F.col("_avail").alias("is_available"), "robots_status",
+    )
+
+
+def sitemap_frontier_over_http(
+    robots_fetched: DataFrame,
+    priority: float = 1.0,
+    seed_rank: int = 0,
+    timeout_s: float = 5.0,
+) -> DataFrame:
+    """Fetched robots bodies → live sitemap fetch → pending FRONTIER rows.
+
+    ``robots_fetched``: (host, body, status) as produced inside
+    :func:`hosts_dim_over_http` (or any (host, robots_txt) frame renamed to
+    ``body`` with status='success'). Extracts the global ``Sitemap:``
+    directives, GETs each sitemap document (dimension-scale — one request
+    per directive), and turns its ``<loc>`` entries into seed frontier rows
+    (:func:`sitemap_seeds` semantics). One recursion level: a sitemap-index
+    whose <loc>s are themselves sitemaps enters the frontier as URLs and is
+    handled by the discovery loop, matching the bounded-per-round design.
+    """
+    from dataset_crawler_spark.sources.http_fetch import fetch_texts
+
+    maps = sitemap_urls(
+        robots_fetched.where(F.col("status") == "success")
+        .select("host", F.col("body").alias("robots_txt"))
+    )
+    fetched = fetch_texts(maps, "sitemap_url", timeout_s=timeout_s)
+    return sitemap_seeds(
+        fetched.where(F.col("status") == "success").select(
+            "host", F.col("body").alias("sitemap_xml")
+        ),
+        priority=priority,
+        seed_rank=seed_rank,
+    )

@@ -53,7 +53,24 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def do_GET(self):
-        if self.path.startswith("/doc/"):
+        if self.path == "/robots.txt":
+            body = (
+                "# loopback fixture\n"
+                "User-agent: *\n"
+                "Disallow: /private/\n"
+                "Disallow: /tmp/\n"
+                "Crawl-delay: 2\n"
+                f"Sitemap: http://{self.headers['Host']}/sitemap.xml\n"
+            ).encode()
+            self._reply(200, "text/plain", body)
+        elif self.path == "/sitemap.xml":
+            locs = "".join(
+                f"<url><loc>http://{self.headers['Host']}/doc/{i}</loc></url>"
+                for i in range(4)
+            )
+            body = f'<?xml version="1.0"?><urlset>{locs}</urlset>'.encode()
+            self._reply(200, "application/xml", body)
+        elif self.path.startswith("/doc/"):
             i = int(self.path.rsplit("/", 1)[1])
             body = json.dumps({"spans": _doc_spans(i)}).encode()
             self._reply(200, "application/json", body)
@@ -61,7 +78,7 @@ class _Handler(BaseHTTPRequestHandler):
             i = int(self.path.rsplit("/", 1)[1])
             self._reply(200, "application/n-triples", _nt_body(i).encode())
         elif self.path == "/slow":
-            time.sleep(3.0)
+            time.sleep(4.0)
             self._reply(200, "text/plain", b"too late")
         elif self.path == "/missing":
             self.send_error(404, "not here")
@@ -151,7 +168,9 @@ def _hosts(spark, server):
 def test_crawl_round_over_http(spark, tmp_path, server):
     eng = CrawlEngine(spark, str(tmp_path / "store"))
     params = SN.BloomParams.for_capacity(64, fp_rate=0.01, n_shards=4)
-    fetch = http_fetcher(timeout_s=1.0, max_workers=8)
+    # generous per-request timeout: transient multi-second stalls on this
+    # loaded VM must not flake the success paths; /slow sleeps 4 s, above it
+    fetch = http_fetcher(timeout_s=2.0, max_workers=8)
 
     s0 = eng.crawl_round(
         _frontier(spark, server), _hosts(spark, server), fetch, 0,
@@ -165,7 +184,7 @@ def test_crawl_round_over_http(spark, tmp_path, server):
     by_status = {r["status"]: r["n"] for r in ops.groupBy("status").agg(F.count("*").alias("n")).collect()}
     assert by_status["success"] == N_OK
     assert by_status["error"] == 2       # 404 + 503
-    assert by_status["time_out"] == 1    # /slow under the 1s budget
+    assert by_status["time_out"] == 1    # /slow under the 2s budget
 
     # fetched spans match the served fixtures exactly (kind, text, media_ref, order)
     got = {
@@ -184,7 +203,7 @@ def test_crawl_round_over_http(spark, tmp_path, server):
     # …and the next round fetches ONLY retriable work (seen filter blocks the
     # N_OK successes; /slow now succeeds with a roomier timeout)
     s1 = eng.crawl_round(
-        retry, _hosts(spark, server), http_fetcher(timeout_s=5.0), 1,
+        retry, _hosts(spark, server), http_fetcher(timeout_s=8.0), 1,
         bloom_params=params, mode="discover",
     )
     assert s1["scheduled"] == 3
@@ -208,3 +227,40 @@ def test_probe_hosts_over_http(spark, server):
     assert probed[host] == (True, "success")
     assert probed["127.0.0.1:1"][0] is False
     assert probed["127.0.0.1:1"][1] == "exception"
+
+
+def test_robots_and_sitemaps_over_http(spark, server):
+    """Live robots.txt → hosts dimension with spec failure semantics (2xx
+    parse / 4xx allow-all / 5xx unavailable), and robots Sitemap: directives
+    → live sitemap fetch → seed frontier rows."""
+    from dataset_crawler_spark.sources.robots import (
+        fetch_robots,
+        hosts_dim_over_http,
+        sitemap_frontier_over_http,
+    )
+
+    hosts = spark.createDataFrame(
+        [
+            ("good.host", f"{server}/robots.txt"),
+            ("bare.host", f"{server}/missing"),   # 404 ⇒ allow-all
+            ("down.host", f"{server}/boom"),      # 503 ⇒ unavailable
+        ],
+        "host string, robots_url string",
+    )
+    fetched = fetch_robots(hosts).cache()
+    dim = {r.host: r for r in hosts_dim_over_http(fetched).collect()}
+
+    assert dim["good.host"].is_available
+    assert sorted(dim["good.host"].robots_disallow) == ["/private/", "/tmp/"]
+    assert dim["good.host"].crawl_delay_ms == 2000
+    assert dim["bare.host"].is_available
+    assert dim["bare.host"].robots_disallow == []
+    assert dim["bare.host"].crawl_delay_ms == 500  # default
+    assert not dim["down.host"].is_available
+    assert dim["down.host"].robots_status == "error"
+
+    seeds = sitemap_frontier_over_http(fetched).collect()
+    urls = {r.url for r in seeds}
+    assert urls == {f"{server}/doc/{i}" for i in range(4)}
+    assert all(r.state == "pending" and r.priority == 1.0 for r in seeds)
+    fetched.unpersist()
