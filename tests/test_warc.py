@@ -1,0 +1,111 @@
+"""WARC source: record splitting, header/payload extraction, document
+mapping (text vs media spans), multi-file + gzip reads."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from dataset_crawler_spark.sources.warc import read_warc, warc_to_documents
+
+
+def _record(warc_type: str, uri: str | None, payload: str, rec_id: str) -> str:
+    h = [f"WARC-Type: {warc_type}"]
+    if uri:
+        h.append(f"WARC-Target-URI: {uri}")
+    h += [
+        "WARC-Date: 2026-01-02T03:04:05Z",
+        f"WARC-Record-ID: <urn:uuid:{rec_id}>",
+        f"Content-Length: {len(payload)}",
+    ]
+    return "WARC/1.0\r\n" + "\r\n".join(h) + "\r\n\r\n" + payload + "\r\n\r\n"
+
+
+def _http(status: str, ctype: str, body: str) -> str:
+    return (
+        f"HTTP/1.1 {status}\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n{body}"
+    )
+
+
+HTML_BODY = "<html><body>hello warc\r\n\r\nsecond paragraph</body></html>"
+
+WARC_A = (
+    _record("warcinfo", None, "software: test-fixture 0.1", "aaaa0000")
+    + _record(
+        "request", "http://ex.org/page1", "GET /page1 HTTP/1.1\r\nHost: ex.org\r\n", "aaaa0001"
+    )
+    + _record(
+        "response", "http://ex.org/page1", _http("200 OK", "text/html; charset=utf-8", HTML_BODY),
+        "aaaa0002",
+    )
+    + _record(
+        "response", "http://ex.org/img7", _http("200 OK", "image/jpeg", "\x01\x02JFIFdata"),
+        "aaaa0003",
+    )
+    + _record(
+        "response", "http://ex.org/gone", _http("404 Not Found", "text/html", "nope"),
+        "aaaa0004",
+    )
+)
+
+WARC_B = _record(
+    "response", "http://ex.org/doc.json", _http("200 OK", "application/json", '{"k": 1}'),
+    "bbbb0000",
+)
+
+
+def test_read_warc_records_and_fields(spark, tmp_path):
+    p = tmp_path / "a.warc"
+    p.write_text(WARC_A)
+    rows = {r.record_id: r for r in read_warc(spark, str(p)).collect()}
+    assert len(rows) == 5
+    info = rows["<urn:uuid:aaaa0000>"]
+    assert info.warc_type == "warcinfo" and info.target_uri is None
+    assert info.http_status is None and info.body == "software: test-fixture 0.1"
+
+    page = rows["<urn:uuid:aaaa0002>"]
+    assert page.warc_type == "response"
+    assert page.target_uri == "http://ex.org/page1"
+    assert page.http_status == 200 and page.content_type == "text/html"
+    # body preserved exactly, including its INTERNAL \r\n\r\n (split limit 3)
+    assert page.body == HTML_BODY
+
+    assert rows["<urn:uuid:aaaa0004>"].http_status == 404
+
+
+def test_warc_to_documents_text_and_media(spark, tmp_path):
+    (tmp_path / "a.warc").write_text(WARC_A)
+    (tmp_path / "b.warc").write_text(WARC_B)
+    docs = {r.doc_id: r.spans for r in
+            warc_to_documents(spark, str(tmp_path)).collect()}
+    # 2xx responses only: request/warcinfo/404 records are dropped
+    assert set(docs) == {"http://ex.org/page1", "http://ex.org/img7", "http://ex.org/doc.json"}
+
+    (s,) = docs["http://ex.org/page1"]
+    assert (s.kind, s.text, s.media_ref, s.offset) == ("text", HTML_BODY, None, 0)
+
+    (s,) = docs["http://ex.org/img7"]
+    assert (s.kind, s.text, s.media_ref, s.offset) == (
+        "image", None, "http://ex.org/img7", 0
+    )
+
+    (s,) = docs["http://ex.org/doc.json"]
+    assert s.kind == "text" and s.text == '{"k": 1}'
+
+
+def test_warc_gzip_read(spark, tmp_path):
+    with gzip.open(tmp_path / "a.warc.gz", "wt") as fh:
+        fh.write(WARC_A)
+    n = warc_to_documents(spark, str(tmp_path / "a.warc.gz")).count()
+    assert n == 2  # same 2xx responses as the plain file
+
+
+def test_warc_scan_is_codegen_only(spark, tmp_path):
+    """The parse must stay JVM-side: no Python eval nodes in the plan."""
+    (tmp_path / "a.warc").write_text(WARC_A)
+    df = warc_to_documents(spark, str(tmp_path / "a.warc"))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
