@@ -1,11 +1,30 @@
 """CLI entry point — the spark-submit deployment story (north_rule).
 
-Runs end-to-end crawl rounds (schedule → fetch → diff → commit) over the
-deterministic synthetic corpus, printing one JSON stats line per round.
+Three subcommands, one JSON stats line per round on stdout:
 
-Local smoke run::
+``synthetic`` (default — flags without a subcommand route here for backward
+compatibility): end-to-end rounds (schedule → fetch → diff → commit) over the
+deterministic synthetic corpus — the no-network smoke/bench path::
 
     python -m dataset_crawler_spark --rounds 2 --n-urls 20000 --n-hosts 50
+
+``crawl``: the real thing — point the engine at live URLs. Seeds come from
+``--seed-url`` (repeatable) and/or a ``--seed-file`` (sources/seeds.py TSV);
+per-host politeness is built by fetching each host's robots.txt over HTTP
+(sources/robots.py hosts_dim_over_http — 4xx ⇒ allow-all, 5xx ⇒ host skipped
+this round), fetching is the mapInPandas HTTP stage (sources/http_fetch.py),
+and rounds run to link closure with outlink discovery and failure-adaptive
+budgets::
+
+    python -m dataset_crawler_spark crawl --seed-url https://example.org/ \
+        --rounds 5 --store /data/crawl_store
+
+``ingest-warc``: load an archived crawl (Common Crawl WARC segment) into the
+store as one committed round — the batch twin of ``crawl`` for data that was
+already fetched::
+
+    python -m dataset_crawler_spark ingest-warc --path 's3a://…/segment/*.warc.gz' \
+        --store /data/crawl_store
 
 Cluster run (the engine is a plain package — zip it and submit; the
 SparkSession then comes from spark-submit's master, not local[N])::
@@ -13,11 +32,7 @@ SparkSession then comes from spark-submit's master, not local[N])::
     zip -r dataset_crawler_spark.zip dataset_crawler_spark
     spark-submit --py-files dataset_crawler_spark.zip \
         --master yarn --num-executors 400 \
-        crawl_main.py --rounds 10 --store hdfs://.../crawl_store
-
-The simulated fetcher stands in for the HTTP stage (this sandbox has no
-network); swap ``fetch_fn`` for a ``mapInPandas`` HTTP fetcher with the same
-(doc_id, spans, status, message) contract in production.
+        crawl_main.py crawl --seed-file hdfs://…/seeds.tsv --store hdfs://…/store
 """
 
 from __future__ import annotations
@@ -28,28 +43,29 @@ import sys
 import tempfile
 
 
-def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser(prog="dataset_crawler_spark")
+def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--store", default=None, help="snapshot store root (default: temp dir)")
     p.add_argument("--rounds", type=int, default=2)
-    p.add_argument("--n-urls", type=int, default=20_000)
-    p.add_argument("--n-hosts", type=int, default=50)
-    p.add_argument("--mode", choices=["discover", "full"], default="discover")
     p.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default="bloom")
     p.add_argument("--cores", default=None, help="local[N] cores (ignored under spark-submit)")
-    p.add_argument("--probe-endpoints", action="store_true",
-                   help="run the availability probe stage before each round")
-    args = p.parse_args(argv)
 
-    from dataset_crawler_spark import datagen
-    from dataset_crawler_spark.operators import seen as SN
+
+def _engine(args):
     from dataset_crawler_spark.session import get_spark
-    from dataset_crawler_spark.sources import probe as PR
-    from dataset_crawler_spark.streaming.rounds import CrawlEngine, simulated_fetcher
+    from dataset_crawler_spark.streaming.rounds import CrawlEngine
 
     spark = get_spark("crawl_cli", cores=args.cores)
     store = args.store or tempfile.mkdtemp(prefix="crawl_store_")
-    eng = CrawlEngine(spark, store)
+    return spark, store, CrawlEngine(spark, store)
+
+
+def run_synthetic(args) -> int:
+    from dataset_crawler_spark import datagen
+    from dataset_crawler_spark.operators import seen as SN
+    from dataset_crawler_spark.sources import probe as PR
+    from dataset_crawler_spark.streaming.rounds import simulated_fetcher
+
+    spark, store, eng = _engine(args)
     n_docs = max(args.n_urls // 4, 100)
     frontier = datagen.frontier(spark, args.n_urls, n_hosts=args.n_hosts)
     hosts = datagen.hosts(spark, args.n_hosts)
@@ -74,6 +90,129 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"round": rnd, "store": store, **stats}))
     return 0
+
+
+def run_crawl(args) -> int:
+    from pyspark.sql import functions as F
+
+    from dataset_crawler_spark.functions.urls import canonicalize_url, host_of
+    from dataset_crawler_spark.operators import seen as SN
+    from dataset_crawler_spark.sources.http_fetch import http_fetcher
+    from dataset_crawler_spark.sources.robots import hosts_dim_over_http
+    from dataset_crawler_spark.sources.seeds import read_seed_list
+
+    spark, store, eng = _engine(args)
+
+    seeds = None
+    if args.seed_file:
+        # (seed_rank, seed_id, url, description) → FRONTIER rows; file order
+        # becomes seed_rank so the pinned crawl order honors the seed file
+        seeds = read_seed_list(spark, args.seed_file).select(
+            "url",
+            F.lit(None).cast("string").alias("host"),
+            F.lit(1.0).alias("priority"),
+            F.lit(0).cast("int").alias("discovered_crawl_id"),
+            F.col("seed_rank").cast("int").alias("seed_rank"),
+            F.lit("pending").alias("state"),
+        )
+    if args.seed_url:
+        inline = spark.createDataFrame(
+            [(u, None, 1.0, 0, i, "pending") for i, u in enumerate(args.seed_url)],
+            "url string, host string, priority double, discovered_crawl_id int, "
+            "seed_rank int, state string",
+        )
+        seeds = inline if seeds is None else seeds.unionByName(inline)
+    if seeds is None:
+        print("crawl: need --seed-url and/or --seed-file", file=sys.stderr)
+        return 2
+
+    # politeness dimension from LIVE robots.txt, one GET per distinct host.
+    # The dim key matches the scheduler's host_of (port-stripped), but the
+    # robots URL keeps the full origin — scheme and port included
+    canon = canonicalize_url(F.col("url"))
+    hosts = (
+        seeds.select(
+            host_of(canon).alias("host"),
+            F.regexp_extract(
+                canon, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1
+            ).alias("origin"),
+        )
+        .where((F.length("host") > 0) & (F.length("origin") > 0))
+        .groupBy("host")
+        .agg(F.min("origin").alias("origin"))
+        .select(
+            "host", F.concat(F.col("origin"), F.lit("/robots.txt")).alias("robots_url")
+        )
+    )
+    dim = hosts_dim_over_http(hosts, timeout_s=args.timeout).drop("robots_status")
+    dim = dim.withColumn("max_fetch_per_round", F.lit(args.host_budget))
+
+    params = SN.BloomParams.for_capacity(args.capacity, fp_rate=0.01, n_shards=32)
+    stats = eng.crawl_closure(
+        seeds,
+        dim,
+        http_fetcher(timeout_s=args.timeout),
+        bloom_params=params,
+        max_rounds=args.rounds,
+        seen_filter=args.seen_filter,
+        adapt_budgets=True,
+    )
+    for rnd, s in enumerate(stats):
+        print(json.dumps({"round": rnd, "store": store, **s}))
+    return 0
+
+
+def run_ingest_warc(args) -> int:
+    from dataset_crawler_spark.sources.warc import warc_to_documents
+
+    spark, store, eng = _engine(args)
+    docs = warc_to_documents(spark, args.path)
+    crawl_id = eng.next_round()
+    stats = eng.run_round(docs, crawl_id, description=f"warc ingest {args.path}",
+                          partial=args.partial)
+    print(json.dumps({"round": crawl_id, "store": store, **stats}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    # backward compatibility: bare flags mean the synthetic smoke run
+    if not argv or argv[0].startswith("-"):
+        argv = ["synthetic", *argv]
+
+    p = argparse.ArgumentParser(prog="dataset_crawler_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("synthetic", help="deterministic no-network smoke/bench rounds")
+    _add_common(ps)
+    ps.add_argument("--n-urls", type=int, default=20_000)
+    ps.add_argument("--n-hosts", type=int, default=50)
+    ps.add_argument("--mode", choices=["discover", "full"], default="discover")
+    ps.add_argument("--probe-endpoints", action="store_true",
+                    help="run the availability probe stage before each round")
+    ps.set_defaults(fn=run_synthetic)
+
+    pc = sub.add_parser("crawl", help="live crawl from seed URLs (robots + HTTP fetch)")
+    _add_common(pc)
+    pc.add_argument("--seed-url", action="append", default=[],
+                    help="seed URL (repeatable)")
+    pc.add_argument("--seed-file", default=None, help="TSV seed list (sources/seeds.py)")
+    pc.add_argument("--timeout", type=float, default=10.0, help="per-request seconds")
+    pc.add_argument("--host-budget", type=int, default=100,
+                    help="max fetches per host per round")
+    pc.add_argument("--capacity", type=int, default=1_000_000,
+                    help="bloom capacity (expected total URLs)")
+    pc.set_defaults(fn=run_crawl)
+
+    pw = sub.add_parser("ingest-warc", help="load WARC file(s) as one committed round")
+    _add_common(pw)
+    pw.add_argument("--path", required=True, help="WARC path/glob (.warc or .warc.gz)")
+    pw.add_argument("--partial", action="store_true",
+                    help="treat as partial snapshot (adds only; no deletes)")
+    pw.set_defaults(fn=run_ingest_warc)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,66 @@
+"""CLI subcommands end-to-end: synthetic smoke, live crawl against the
+loopback server (robots → schedule → HTTP fetch → discovery closure), and
+WARC ingest — the spark-submit deployment surface."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_crawler_spark.__main__ import main
+from dataset_crawler_spark.sources.snapshots import SnapshotStore
+
+# reuse the HTTP fixture server (robots.txt + sitemap + /doc endpoints)
+from tests.test_http_fetch import _Handler  # noqa: F401
+from tests.test_http_fetch import _doc_spans, server  # noqa: F401
+from tests.test_warc import WARC_A
+
+
+def test_cli_synthetic_backcompat(spark, tmp_path, capsys):
+    # bare flags (no subcommand) must keep routing to the synthetic runner
+    rc = main(["--rounds", "1", "--n-urls", "2000", "--n-hosts", "10",
+               "--store", str(tmp_path / "s")])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["round"] == 0 and line["fetched"] > 0
+
+
+def test_cli_crawl_live(spark, tmp_path, server, capsys):
+    store = str(tmp_path / "live")
+    rc = main([
+        "crawl",
+        "--seed-url", f"{server}/doc/0",
+        "--seed-url", f"{server}/doc/1",
+        "--store", store, "--rounds", "2", "--timeout", "5",
+    ])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["scheduled"] == 2 and lines[0]["fetched"] == 2
+
+    st = SnapshotStore(store, spark)
+    got = {r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+           for r in st.read("versions", as_of=lines[-1]["round"]).collect()}
+    for i in (0, 1):
+        want = [(d["kind"], d["text"], d["media_ref"], d["offset"])
+                for d in _doc_spans(i)]
+        assert got[f"{server}/doc/{i}"] == want
+
+
+def test_cli_crawl_requires_seeds(capsys):
+    assert main(["crawl"]) == 2
+
+
+def test_cli_ingest_warc(spark, tmp_path, capsys):
+    p = tmp_path / "a.warc"
+    p.write_text(WARC_A)
+    store = str(tmp_path / "warcstore")
+    rc = main(["ingest-warc", "--path", str(p), "--store", store])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["added"] == 2  # the two 2xx responses
+
+    st = SnapshotStore(store, spark)
+    docs = {r.doc_id for r in st.read("versions", as_of=0).collect()}
+    assert docs == {"http://ex.org/page1", "http://ex.org/img7"}
