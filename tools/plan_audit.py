@@ -70,6 +70,14 @@ AUDIT = [
     # sketch aggregate + broadcast probe
     "sample_weighted_take",
     "sketch_countmin_topk",
+    # round-3: pagerank's FINAL iteration join must show the cached
+    # pre-partitioned static sides (no exchange on the edge table — only the
+    # ranks side and the contribution aggregate move); the rademacher LSH
+    # runs its signatures as vectorized Arrow stages (2 per table) with the
+    # candidate join relational
+    "graph_host_pagerank",
+    "crawl_outlink_pagerank",
+    "engine_sim_lsh_topk",
 ]
 
 INTERESTING = (
