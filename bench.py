@@ -171,6 +171,38 @@ def bench_crawl_round(spark, sf: float) -> tuple[dict, float]:
     times["schedule_round_sec"] = round(best, 3)
     urls_per_sec = n_urls / best
 
+    # Bucketed-frontier variant (sources/frontier_table.py): the engine-owned
+    # drop layout — canonicalized + bucketed by url_c at write time — runs the
+    # dedup aggregate and exact-confirm join exchange-free, no bloom pass
+    # needed. Output equality vs the bloom+plain path is pinned by
+    # tests/test_scheduler.py; this is its throughput at bench scale. The
+    # headline `value` stays on the bloom path (the north-star-mandated
+    # membership design for frontiers the engine does not own).
+    from dataset_crawler_spark.sources.frontier_table import BucketedFrontierTable
+
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ft = BucketedFrontierTable(
+        spark,
+        f"frontier_bucketed_{n_urls}_{n_hosts}_{n_buckets}",
+        os.path.join(CACHE_ROOT, f"frontier_bucketed_{n_urls}_{n_hosts}_{n_buckets}"),
+        n_buckets,
+    )
+    if os.path.exists(ft.location):
+        ft.ensure_registered()
+    else:
+        ft.append(frontier)
+    fb = ft.read()
+
+    def one_round_bucketed() -> float:
+        t0 = time.time()
+        _force(SCH.schedule_round(fb, hosts, seen_urls=seen_urls))
+        return time.time() - t0
+
+    one_round_bucketed()  # warm
+    best_b = min(one_round_bucketed() for _ in range(3))
+    times["schedule_round_bucketed_sec"] = round(best_b, 3)
+    times["_urls_per_sec_bucketed"] = round(n_urls / best_b, 1)
+
     times["_n_urls"] = n_urls
     times["_n_seen"] = n_seen
     times["_n_scheduled"] = n_sched

@@ -211,12 +211,19 @@ def schedule_round(
     carrying it through the dedup with ``max(seen)`` is exact. The confirm
     anti-join then consumes the aggregate's partitioning directly — zero
     additional candidate-side exchange.
+
+    PRE-CANONICALIZED frontiers: a frontier that already carries a ``url_c``
+    column is trusted (the engine's own drops canonicalize at WRITE time —
+    canon is idempotent, and writing the drop bucketed by url_c with the
+    seen table's bucket count makes the dedup aggregate and the exact-confirm
+    join both exchange-free: the one write-time exchange over the much
+    smaller per-round drop replaces a per-schedule exchange over the whole
+    frontier; measured in BENCH/BASELINE.md "bucketed frontier" note).
     """
-    raw = (
-        frontier.where(F.col("state") == "pending")
-        .withColumn("url_c", canonicalize_url(F.col("url")))
-        .select("url_c", "seed_rank", "priority", "discovered_crawl_id")
-    )
+    src = frontier.where(F.col("state") == "pending")
+    if "url_c" not in frontier.columns:
+        src = src.withColumn("url_c", canonicalize_url(F.col("url")))
+    raw = src.select("url_c", "seed_rank", "priority", "discovered_crawl_id")
     agg_cols = [
         F.min("seed_rank").alias("seed_rank"),
         F.max("priority").alias("priority"),

@@ -187,3 +187,46 @@ def test_budget_respected(spark):
         .where(F.col("n") > F.col("max_fetch_per_round"))
     )
     assert over.count() == 0
+
+
+def test_bucketed_frontier_path_matches_plain_and_drops_exchanges(spark, tmp_path):
+    """The bucketed-frontier layout (sources/frontier_table.py): writing the
+    drop canonicalized + bucketed by url_c makes schedule_round's dedup
+    aggregate and exact-confirm join exchange-free, with OUTPUT IDENTICAL to
+    the bloom+plain path. Pins both the equality and the plan shape (no
+    url_c-keyed exchange anywhere in the bucketed plan)."""
+    from dataset_crawler_spark.sources.frontier_table import BucketedFrontierTable
+    from dataset_crawler_spark.sources.seen_table import BucketedSeenTable
+
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    frontier = datagen.frontier(spark, 4000, n_hosts=20)
+    hosts = datagen.hosts(spark, 20)
+    seen_plain = (
+        frontier.where(F.xxhash64("url") % 3 == 0)
+        .select(SCH.canonicalize_url(F.col("url")).alias("url_c"))
+        .distinct()
+    )
+    st = BucketedSeenTable(spark, "t_seen_bf", str(tmp_path / "seen"), n_buckets)
+    st.append(seen_plain, 0)
+    seen = st.read()
+    ft = BucketedFrontierTable(spark, "t_frontier_bf", str(tmp_path / "frontier"), n_buckets)
+    ft.append(frontier)
+
+    params = SN.BloomParams.for_capacity(4000, fp_rate=0.01, n_shards=4)
+    bloom = SN.bloom_build(seen, "url_c", params)
+    cols = ["url_c", "host", "seed_rank", "priority", "rank_in_host", "scheduled_offset_ms"]
+    plain = SCH.schedule_round(
+        frontier, hosts, bloom_state=bloom, bloom_params=params, seen_urls=seen
+    ).select(cols)
+    bucketed = SCH.schedule_round(ft.read(), hosts, seen_urls=seen).select(cols)
+
+    assert plain.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(plain).count() == 0
+
+    bucketed.collect()
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(url_c" not in plan
+    assert "Exchange hashpartitioning(_seen_url" not in plan
+    # cleanup catalog entries for other tests in this session
+    spark.sql("DROP TABLE t_seen_bf")
+    spark.sql("DROP TABLE t_frontier_bf")
