@@ -59,12 +59,23 @@ class CrawlEngine:
         resurrect: bool = False,
         seen_index=None,
         state_index=None,
+        frontier_index=None,
     ):
         """``seen_index``: optional :class:`sources.seen_table.BucketedSeenTable`
         — a bucketed-by-url_c performance index over the committed ``fetched``
         partitions. When set, each round appends to it and the scheduler's
         exact-confirm anti-join reads it exchange-free (the 10^10-URL layout);
         the store's ``fetched`` table remains the source of truth for resume.
+
+        ``frontier_index``: optional
+        :class:`sources.frontier_table.BucketedFrontierTable` — the engine's
+        STANDING frontier, canonicalized + bucketed by url_c at write. Feed
+        drops in with :meth:`add_frontier`; ``crawl_round(None, …)`` then
+        schedules straight off the bucketed scan: dedup aggregate and
+        exact-confirm join run exchange-free, and with ``bloom_params=None``
+        the whole membership check is the exact bucketed anti-join (the
+        measured 3× fast path — BENCH schedule_round_bucketed_sec; pair with
+        ``seen_index`` for the exchange-free seen side).
 
         ``state_index``: optional :class:`sources.state_table.BucketedStateTable`
         — a bucketed-by-doc_id materialized fold of the state table. When set,
@@ -79,6 +90,15 @@ class CrawlEngine:
         self.resurrect = resurrect
         self.seen_index = seen_index
         self.state_index = state_index
+        self.frontier_index = frontier_index
+
+    def add_frontier(self, frontier: DataFrame) -> None:
+        """Append FRONTIER rows to the standing bucketed frontier (requires
+        ``frontier_index``); canonicalization happens at write so every later
+        schedule over the index skips it (and its exchange)."""
+        if self.frontier_index is None:
+            raise ValueError("engine has no frontier_index configured")
+        self.frontier_index.append(frontier)
 
     # -- state --------------------------------------------------------------
 
@@ -228,7 +248,7 @@ class CrawlEngine:
 
     def crawl_round(
         self,
-        frontier: DataFrame,
+        frontier: DataFrame | None,
         hosts: DataFrame,
         fetch_fn: FetchFn,
         crawl_id: int,
@@ -274,6 +294,11 @@ class CrawlEngine:
             raise ValueError(f"unknown crawl mode {mode!r}")
         if seen_filter not in ("bloom", "cuckoo"):
             raise ValueError(f"unknown seen_filter {seen_filter!r}")
+        if frontier is None:
+            if self.frontier_index is None:
+                raise ValueError("frontier=None needs a configured frontier_index")
+            # standing-frontier fast path: bucketed scan, pre-canonical url_c
+            frontier = self.frontier_index.read()
         prev_round = crawl_id - 1 if crawl_id > 0 else None
         if adapt_budgets and prev_round is not None and self.store.committed_rounds():
             # failure-driven politeness: the budget the politeness window

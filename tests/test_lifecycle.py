@@ -570,6 +570,50 @@ def test_adaptive_budget_shrinks_next_round_schedule(spark, tmp_path):
     assert s1_static["scheduled"] == 8
 
 
+def test_engine_standing_bucketed_frontier_fast_path(spark, tmp_path):
+    """Engine-level fast path: a standing frontier in the bucketed index
+    (frontier_index + seen_index, no bloom) consumes the same URLs round by
+    round as the classic bloom+plain engine under the same budgets — the
+    3× schedule layout is reachable through CrawlEngine, not just the
+    operator."""
+    from dataset_crawler_spark.sources.frontier_table import BucketedFrontierTable
+    from dataset_crawler_spark.sources.seen_table import BucketedSeenTable
+
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    frontier = _frontier(spark)
+    # tight budgets force the standing frontier to drain over several rounds
+    hosts = spark.createDataFrame(
+        [(f"host{i:04d}.example.org", 100, 7, [], True) for i in range(N_HOSTS)],
+        "host string, crawl_delay_ms int, max_fetch_per_round int, "
+        "robots_disallow array<string>, is_available boolean",
+    )
+    corpus = _corpus(spark, 0)
+    params = SN.BloomParams.for_capacity(N_DOCS, fp_rate=0.01, n_shards=8)
+
+    plain = CrawlEngine(spark, str(tmp_path / "plain"))
+    fast = CrawlEngine(
+        spark, str(tmp_path / "fast"),
+        seen_index=BucketedSeenTable(spark, "t_lf_seen", str(tmp_path / "si"), n_buckets),
+        frontier_index=BucketedFrontierTable(spark, "t_lf_frontier", str(tmp_path / "fi"), n_buckets),
+    )
+    fast.add_frontier(frontier)
+
+    for rnd in range(2):
+        sp = plain.crawl_round(frontier, hosts, simulated_fetcher(corpus), rnd,
+                               bloom_params=params, mode="discover")
+        sf = fast.crawl_round(None, hosts, simulated_fetcher(corpus), rnd,
+                              mode="discover")
+        assert (sp["scheduled"], sp["fetched"]) == (sf["scheduled"], sf["fetched"])
+        a = {r.url_c for r in plain.store.read("fetched", as_of=rnd)
+             .where(F.col("crawl_id") == rnd).collect()}
+        b = {r.url_c for r in fast.store.read("fetched", as_of=rnd)
+             .where(F.col("crawl_id") == rnd).collect()}
+        assert a == b  # identical pinned crawl order under identical budgets
+
+    spark.sql("DROP TABLE t_lf_seen")
+    spark.sql("DROP TABLE t_lf_frontier")
+
+
 def test_bucketed_state_index_matches_log_fold(spark, tmp_path):
     """The bucketed state index (sources/state_table.py) is a pure storage
     layout: state reads through it must equal the full log fold row-for-row,
