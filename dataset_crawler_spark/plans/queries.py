@@ -1584,6 +1584,66 @@ def sim_cosine_topk(spark, sf_dir):
 
 
 @register(
+    "dedup_semantic_survivors",
+    """
+    WITH RECURSIVE sig AS (
+      SELECT vec_id, band,
+             string_agg(CASE WHEN embedding[CAST(band*8 + i AS INT)] > 0
+                             THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+      FROM embeddings, range(8) rb(band), range(1, 9) ri(i)
+      GROUP BY vec_id, band),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT vec_a, vec_b
+      FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+                JOIN embeddings eb ON eb.vec_id = vec_b
+      WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.35),
+    edges AS (SELECT vec_a AS ea, vec_b AS eb FROM pairs
+              UNION SELECT vec_b, vec_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+    comp AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT c.vec_id, s.cluster_size, s.cluster_size - 1 AS n_pruned
+    FROM comp c JOIN sizes s USING (cluster_id)
+    WHERE c.vec_id = c.cluster_id
+    """,
+)
+def dedup_semantic_survivors(spark, sf_dir):
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, scalable
+    variant): embedding-space near-dup EDGES from banded sign-LSH + exact
+    cosine confirm (no all-pairs product), transitive closure via the
+    iterative connected-components operator, then prune every cluster to one
+    deterministic representative (min vec_id — the same keep policy as the
+    lexical ``dedup_cluster_components``, so the two layers compose).
+    Returns the SURVIVORS only, each with its cluster size and the number of
+    semantically-redundant vectors it displaced. At 100 TB the plan is the
+    signlsh band join (hash join per band) + O(log d) CC rounds + one hash
+    agg — every stage already individually scale-audited; nothing here adds
+    a new shuffle shape."""
+    from dataset_crawler_spark.operators import clustering as CL
+    from dataset_crawler_spark.operators import similarity as SIM
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = SIM.signband_near_dup_pairs(
+        e, threshold=0.35, n_bands=8, bits_per_band=8
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    labeled = CL.dedup_clusters(pairs, e.select("vec_id"), id_col="vec_id")
+    return (
+        labeled.where(F.col("vec_id") == F.col("cluster_id"))
+        .select(
+            "vec_id",
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_pruned"),
+        )
+    )
+
+
+@register(
     "text_langid",
     f"""
     WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
