@@ -209,3 +209,43 @@ def test_multimodal_resize_and_frame_sample(spark):
     b = {(r.media_ref, r.frame_idx): bytes(r.frame_payload)
          for r in sample_frames(meta, every).collect()}
     assert a == b
+
+
+def test_semantic_dedup_survivors_invariants(spark):
+    """SemDeDup composition (dedup_semantic_survivors): survivor clusters
+    partition the corpus (sizes sum to N, exactly one survivor per cluster),
+    the keep policy is min-vec_id, and every pruned vector reaches its
+    survivor through a chain of confirmed near-dup edges (transitivity is
+    real, not an artifact of the fixture)."""
+    from dataset_crawler_spark.operators.clustering import dedup_clusters
+    from dataset_crawler_spark.operators.similarity import signband_near_dup_pairs
+    from dataset_crawler_spark.plans.queries import dedup_semantic_survivors
+
+    surv = {(r.vec_id, r.cluster_size, r.n_pruned)
+            for r in dedup_semantic_survivors(spark, SF_DIR).collect()}
+    n = _emb(spark).count()
+    assert sum(s for _, s, _ in surv) == n            # clusters partition corpus
+    assert all(p == s - 1 for _, s, p in surv)        # pruned = rest of cluster
+
+    e = _emb(spark)
+    pairs = signband_near_dup_pairs(e, threshold=0.35, n_bands=8, bits_per_band=8) \
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    labeled = dedup_clusters(pairs, e.select("vec_id"), id_col="vec_id")
+    by_cluster = {}
+    for r in labeled.collect():
+        by_cluster.setdefault(r.cluster_id, []).append(r.vec_id)
+    # min-vec_id keep policy: the survivor set is exactly the cluster minima
+    assert {v for v, _, _ in surv} == {min(ms) for ms in by_cluster.values()}
+    # pruned vectors are connected to their survivor via the edge set
+    adj = {}
+    for r in pairs.collect():
+        adj.setdefault(r.doc_a, set()).add(r.doc_b)
+        adj.setdefault(r.doc_b, set()).add(r.doc_a)
+    for cid, members in by_cluster.items():
+        seen, stack = {cid}, [cid]
+        while stack:
+            for nb in adj.get(stack.pop(), ()):
+                if nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        assert set(members) <= seen
