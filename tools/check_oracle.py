@@ -3,10 +3,16 @@ compare row count, column names, and order-insensitive values — a local twin
 of the driver's CORRECTNESS gate. Usage:
 
     python tools/check_oracle.py [name ...]
+
+Set SPARK_GRAFT_ORACLE_SF to another testdata dir (e.g.
+/root/testdata/sf0.1) to re-run the whole gate at a different scale —
+correctness at a 10× input catches scale-dependent divergence (sampling
+thresholds, LIMIT ties, overflow) that the driver's fixed sf0.01 cannot.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 from collections import Counter
 
@@ -17,7 +23,7 @@ sys.path.insert(0, ".")
 from dataset_crawler_spark.plans import queries as QL  # noqa: E402
 from dataset_crawler_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings",
