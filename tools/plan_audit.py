@@ -78,6 +78,9 @@ AUDIT = [
     "graph_host_pagerank",
     "crawl_outlink_pagerank",
     "engine_sim_lsh_topk",
+    # semantic dedup: the audited signlsh band join + the CC fixpoint's
+    # final labeling join — no new shuffle shape beyond those two families
+    "dedup_semantic_survivors",
 ]
 
 INTERESTING = (
