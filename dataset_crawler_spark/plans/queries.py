@@ -1624,7 +1624,10 @@ def dedup_semantic_survivors(spark, sf_dir):
     semantically-redundant vectors it displaced. At 100 TB the plan is the
     signlsh band join (hash join per band) + O(log d) CC rounds + one hash
     agg — every stage already individually scale-audited; nothing here adds
-    a new shuffle shape."""
+    a new shuffle shape. The fixture's 8×8 band config is a SMALL-N setting:
+    bits_per_band must track log2(N) (measured at 1M vectors — 15.6e9
+    candidate pairs at 8-bit bands vs 2.0e6 at 20-bit, 14.4 s end-to-end;
+    tools/semdedup_scale_probe.py, BENCH/BASELINE.md)."""
     from dataset_crawler_spark.operators import clustering as CL
     from dataset_crawler_spark.operators import similarity as SIM
 
