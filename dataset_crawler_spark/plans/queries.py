@@ -75,6 +75,9 @@ _DRIVER_FIRST = [
     "engine_sim_lsh_topk",
     "mm_decode_stub_meta",
     "text_fingerprint",
+    # new in round 3 — needs its first driver row (displaces only a query
+    # that already has a green r02 row)
+    "dedup_semantic_survivors",
 ]
 
 
