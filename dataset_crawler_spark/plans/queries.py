@@ -75,9 +75,10 @@ _DRIVER_FIRST = [
     "engine_sim_lsh_topk",
     "mm_decode_stub_meta",
     "text_fingerprint",
-    # new in round 3 — needs its first driver row (displaces only a query
-    # that already has a green r02 row)
+    # new in round 3 — need their first driver rows (displace only queries
+    # that already have green r02 rows)
     "dedup_semantic_survivors",
+    "engine_incremental_signlsh",
 ]
 
 
@@ -1513,6 +1514,67 @@ def dedup_embedding_signlsh(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return SIM.signband_near_dup_pairs(e, threshold=0.35, n_bands=8, bits_per_band=8)
+
+
+@register(
+    "engine_incremental_signlsh",
+    """
+    WITH sig AS (
+      SELECT vec_id, band,
+             string_agg(CASE WHEN embedding[CAST(band*8 + i AS INT)] > 0
+                             THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+      FROM embeddings, range(8) rb(band), range(1, 9) ri(i)
+      GROUP BY vec_id, band),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos
+    FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+              JOIN embeddings eb ON eb.vec_id = vec_b
+    WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.35
+    """,
+)
+def engine_incremental_signlsh(spark, sf_dir):
+    """Incremental EMBEDDING near-dup index — the sign-LSH twin of
+    `engine_incremental_minhash`: ingest the embedding corpus in two rounds
+    (vec_id parity) through the same persisted band-index discipline
+    (operators/dedup_index.py incremental_band_pairs — new×index plus
+    new×new, never old×old), then exact-confirm the union of per-round
+    candidates. The DuckDB twin is the from-scratch BATCH signlsh pair set:
+    the value-hash match proves round-at-a-time embedding ingestion loses
+    and invents no pair — a 100-TB vector corpus re-dedups per crawl round
+    at |new| cost instead of |corpus| cost."""
+    from dataset_crawler_spark.operators import dedup_index as DI
+    from dataset_crawler_spark.operators.similarity import (
+        cosine_col,
+        signband_signatures,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def sigs(part):
+        return signband_signatures(part, n_bands=8, bits_per_band=8).select(
+            F.col("vec_id").alias("doc_id"), "band", F.col("sig").alias("band_sig")
+        )
+
+    s0 = sigs(e.where(F.col("vec_id") % 2 == 0))
+    s1 = sigs(e.where(F.col("vec_id") % 2 != 0))
+    cand = (
+        DI.incremental_band_pairs(None, s0)
+        .unionByName(DI.incremental_band_pairs(s0, s1))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb"))
+    cos = F.round(cosine_col(F.col("_ea"), F.col("_eb")), 4)
+    return (
+        cand.select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
+        .join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= 0.35)
+    )
 
 
 @register(
