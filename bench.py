@@ -65,6 +65,8 @@ ANALYTIC_QUERIES = [
     "text_lm_bigram_ppl",
     "sample_weighted_take",
     "sketch_countmin_topk",
+    "dedup_semantic_survivors",
+    "engine_incremental_signlsh",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
