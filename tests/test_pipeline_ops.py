@@ -403,6 +403,43 @@ def test_incremental_index_recrawl_replaces_stale_bands(spark, tmp_path):
     assert ("A", "C") in pairs1 and ("A", "B") not in pairs1
 
 
+def test_incremental_signlsh_index_through_store(spark, tmp_path):
+    """Embedding twin of the minhash lifecycle: three-round ingestion of the
+    embeddings table through a SnapshotStore-persisted sign-LSH band index —
+    the union of per-round candidate pairs must equal the from-scratch batch
+    signband pair set over all vectors (the plan-level equivalence that
+    `engine_incremental_signlsh` value-hash-checks, here driven through the
+    actual persistence layer round by round)."""
+    from dataset_crawler_spark.operators import dedup_index as DI
+    from dataset_crawler_spark.operators.similarity import signband_signatures
+    from dataset_crawler_spark.sources.snapshots import SnapshotStore
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+    def sigs(part):
+        return signband_signatures(part, n_bands=8, bits_per_band=8).select(
+            F.col("vec_id").alias("doc_id"), "band", F.col("sig").alias("band_sig")
+        )
+
+    store = SnapshotStore(str(tmp_path / "store"), spark)
+    got = set()
+    for rnd in range(3):
+        new = sigs(emb.where(F.col("vec_id") % 3 == rnd))
+        idx = store.read("band_sigs") if rnd else None
+        if idx is not None and not idx.columns:
+            idx = None
+        pairs = DI.incremental_band_pairs(idx, new)
+        got |= {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        store.append("band_sigs", new, rnd)
+        store.commit_round(rnd)
+
+    want = {(r.doc_a, r.doc_b) for r in DI.band_pairs(sigs(emb)).collect()}
+    assert got == want
+    assert len(want) > 0
+
+
 # --------------------------------------------------------------------------
 # as-of join
 # --------------------------------------------------------------------------
