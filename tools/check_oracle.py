@@ -44,7 +44,12 @@ def rows_to_multiset(cols, rows):
 
 
 def main(names):
-    spark = get_spark("oracle_check", cores=8, shuffle_partitions=8)
+    # SPARK_GRAFT_ORACLE_CORES: gate at a different parallelism — a pass at
+    # two widths proves every query's VALUES are width-independent (the
+    # north-rule determinism-under-parallelism requirement, checked against
+    # an engine that has no notion of Spark partitioning at all)
+    cores = int(os.environ.get("SPARK_GRAFT_ORACLE_CORES", "8"))
+    spark = get_spark("oracle_check", cores=cores, shuffle_partitions=cores)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
