@@ -81,6 +81,9 @@ AUDIT = [
     # semantic dedup: the audited signlsh band join + the CC fixpoint's
     # final labeling join — no new shuffle shape beyond those two families
     "dedup_semantic_survivors",
+    # incremental embedding index: band hash-joins only (new×index, new×new)
+    # — per-round cost ∝ |new|, no corpus-sized side beyond the index scan
+    "engine_incremental_signlsh",
 ]
 
 INTERESTING = (
