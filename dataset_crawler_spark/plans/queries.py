@@ -79,6 +79,7 @@ _DRIVER_FIRST = [
     # that already have green r02 rows)
     "dedup_semantic_survivors",
     "engine_incremental_signlsh",
+    "dedup_substring_exact",
 ]
 
 
@@ -2649,6 +2650,135 @@ def dedup_span_c4(spark, sf_dir):
         ).alias("clean_text"),
     )
     return out
+
+
+#: Exact-substring dedup window width (tokens). Lee et al. 2022 use 50 BPE
+#: tokens at production scale; 8 keeps the fixture's injected duplicates
+#: detectable while organic overlap stays rare.
+_SUBSTR_K = 8
+
+
+@register(
+    "dedup_substring_exact",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(0, CAST(len(t) - {_SUBSTR_K} AS INT))) AS i
+      FROM tok WHERE len(t) >= {_SUBSTR_K}),
+    win AS (
+      SELECT doc_id, i,
+             {h60_sql(f"array_to_string(t[CAST(i+1 AS INT):CAST(i+{_SUBSTR_K} AS INT)], ' ')")} AS h
+      FROM idx),
+    r AS (
+      SELECT doc_id, i,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS n
+      FROM win),
+    marked AS (SELECT doc_id, i FROM r WHERE n > 1 AND rn > 1),
+    flagged AS (
+      SELECT doc_id, i,
+             CASE WHEN i >= COALESCE(MAX(i + {_SUBSTR_K}) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM marked),
+    isl AS (
+      SELECT doc_id, i,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, island, MIN(i) AS s, MAX(i) + {_SUBSTR_K} AS e
+      FROM isl GROUP BY doc_id, island),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_dup_spans,
+             CAST(SUM(e - s) AS BIGINT) AS n_dup_tokens
+      FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
+           ROUND(COALESCE(p.n_dup_tokens, 0) * 1.0 / len(t.t), 4) AS dup_token_frac
+    FROM tok t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring_exact(spark, sf_dir):
+    """Alignment-free exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): hash EVERY
+    k-token window at stride 1, keep one global occurrence per window hash
+    (first under the ``(doc_id, position)`` total order), and merge each
+    document's other duplicated windows into maximal duplicated spans
+    (gaps-and-islands over window starts). Stride-1 is the point — the
+    stride-k ops (`dedup_chunk_passages`, `dedup_span_c4`) miss any shared
+    passage offset from a chunk boundary; this is the shuffle-native
+    replacement for their suffix array.
+
+    Scale shape (100 TB): text never shuffles. Window hashing is a narrow
+    per-row transform; the three exchanges move only ~24-byte
+    ``(h, doc_id, i)`` longs — the winner aggregate (map-side-combinable
+    ``min(struct)``), the join back, and the per-doc island window. The
+    honest cost vs stride-k chunking is k× more hashed rows, which is the
+    price of the alignment-free guarantee (Lee et al. pay the same blowup
+    in suffix-array space)."""
+    k = _SUBSTR_K
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n = F.size("t")
+    # guard: Spark's sequence(0, n-k) is DESCENDING for n < k (DuckDB's
+    # generate_series is empty) — emit no windows for short docs
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    win = d.select(
+        "doc_id",
+        F.explode(starts).alias("i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "i",
+        h60(F.concat_ws(" ", F.slice("t", F.col("i") + 1, k))).alias("h"),
+    )
+    g = win.groupBy("h").agg(
+        F.min(F.struct("doc_id", "i")).alias("w"), F.count("*").alias("n")
+    )
+    marked = (
+        win.join(g, "h")
+        .where(
+            (F.col("n") > 1)
+            & ~((F.col("doc_id") == F.col("w.doc_id")) & (F.col("i") == F.col("w.i")))
+        )
+        .select("doc_id", "i")
+    )
+    prev_end = F.max(F.col("i") + k).over(
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    isl = marked.withColumn(
+        "new_island",
+        (F.col("i") >= F.coalesce(prev_end, F.lit(-1))).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), (F.max("i") + k).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("n_dup_tokens"),
+    )
+    return d.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+        F.round(F.coalesce("n_dup_tokens", F.lit(0)) / n, 4).alias("dup_token_frac"),
+    )
 
 
 #: DSIR (data selection via importance resampling, Xie et al. 2023): score

@@ -84,6 +84,9 @@ AUDIT = [
     # incremental embedding index: band hash-joins only (new×index, new×new)
     # — per-round cost ∝ |new|, no corpus-sized side beyond the index scan
     "engine_incremental_signlsh",
+    # exact-substring dedup: text must never shuffle — only (h, doc_id, i)
+    # longs through the winner agg, join-back, and per-doc island window
+    "dedup_substring_exact",
 ]
 
 INTERESTING = (
