@@ -67,6 +67,7 @@ ANALYTIC_QUERIES = [
     "sketch_countmin_topk",
     "dedup_semantic_survivors",
     "engine_incremental_signlsh",
+    "dedup_substring_exact",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

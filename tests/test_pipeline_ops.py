@@ -610,6 +610,48 @@ def test_span_c4_dedup_matches_hand_twin(spark, tmp_path):
     assert got[4] == dict(doc_id=4, n_chunks=2, n_dropped=1, clean_text="e f")
 
 
+def test_substring_exact_dedup_alignment_free(spark, tmp_path):
+    """ExactSubstr vs chunking, the discriminating case: a 12-token shared
+    run sitting at DIFFERENT phases mod chunk-width in the two documents.
+    Stride-4 chunk hashing (`dedup_chunk_passages`) sees zero duplicated
+    chunks; the stride-1 substring op marks the full run, merged into one
+    maximal span. Plus: full-copy doc (frac 1.0), two separated runs (two
+    spans), and a doc shorter than the window (no windows, frac 0.0)."""
+    from dataset_crawler_spark.plans.queries import (
+        dedup_chunk_passages,
+        dedup_substring_exact,
+    )
+
+    t = [f"t{i}" for i in range(20)]
+    rows = [
+        " ".join(t),                                       # 0: unique base
+        " ".join(["x0", "x1"] + t[3:15] + ["y0", "y1"]),   # 1: run at phase 2 vs 3
+        " ".join(t),                                       # 2: exact copy of 0
+        " ".join(t[0:9] + [f"u{i}" for i in range(5)] + t[10:19]),  # 3: two runs
+        "s0 s1 s2",                                        # 4: shorter than k
+    ]
+    sf = _docs_fixture(spark, tmp_path, rows)
+    got = {r["doc_id"]: r.asDict() for r in dedup_substring_exact(spark, sf).collect()}
+
+    assert got[0] == dict(doc_id=0, n_tokens=20, n_dup_spans=0,
+                          n_dup_tokens=0, dup_token_frac=0.0)
+    # doc 1: windows at starts 2..6 all duplicated → one merged span [2, 14)
+    assert got[1] == dict(doc_id=1, n_tokens=16, n_dup_spans=1,
+                          n_dup_tokens=12, dup_token_frac=0.75)
+    assert got[2] == dict(doc_id=2, n_tokens=20, n_dup_spans=1,
+                          n_dup_tokens=20, dup_token_frac=1.0)
+    # doc 3: spans [0, 9) and [14, 23) — 9 tokens each
+    assert got[3] == dict(doc_id=3, n_tokens=23, n_dup_spans=2,
+                          n_dup_tokens=18, dup_token_frac=round(18 / 23, 4))
+    assert got[4] == dict(doc_id=4, n_tokens=3, n_dup_spans=0,
+                          n_dup_tokens=0, dup_token_frac=0.0)
+
+    # the same misaligned run is INVISIBLE to stride-4 chunk hashing
+    chunks = {r["doc_id"]: r.asDict()
+              for r in dedup_chunk_passages(spark, sf).collect()}
+    assert chunks[1]["n_dup_chunks"] == 0
+
+
 def test_dsir_weights_match_python_twin(spark, tmp_path):
     import math
 
