@@ -2772,12 +2772,18 @@ def dedup_substring_exact(spark, sf_dir):
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s")).cast("long").alias("n_dup_tokens"),
     )
-    return d.join(per_doc, "doc_id", "left").select(
+    # project the token COUNT before the join — at corpus scale per_doc is
+    # |docs|-sized (no broadcast), and joining the full token array would
+    # shuffle the text this operator exists to keep scan-local
+    lens = d.select("doc_id", n.cast("long").alias("n_tokens"))
+    return lens.join(per_doc, "doc_id", "left").select(
         "doc_id",
-        n.cast("long").alias("n_tokens"),
+        "n_tokens",
         F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
         F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
-        F.round(F.coalesce("n_dup_tokens", F.lit(0)) / n, 4).alias("dup_token_frac"),
+        F.round(
+            F.coalesce("n_dup_tokens", F.lit(0)) / F.col("n_tokens"), 4
+        ).alias("dup_token_frac"),
     )
 
 

@@ -98,6 +98,7 @@ class CrawlEngine:
         schedule over the index skips it (and its exchange)."""
         if self.frontier_index is None:
             raise ValueError("engine has no frontier_index configured")
+        self.frontier_index.ensure_registered()
         self.frontier_index.append(frontier)
 
     # -- state --------------------------------------------------------------
@@ -297,7 +298,10 @@ class CrawlEngine:
         if frontier is None:
             if self.frontier_index is None:
                 raise ValueError("frontier=None needs a configured frontier_index")
-            # standing-frontier fast path: bucketed scan, pre-canonical url_c
+            # standing-frontier fast path: bucketed scan, pre-canonical url_c.
+            # Re-attach first — a fresh session's catalog doesn't know the
+            # on-disk table yet (resume path; same discipline as seen_index)
+            self.frontier_index.ensure_registered()
             frontier = self.frontier_index.read()
         prev_round = crawl_id - 1 if crawl_id > 0 else None
         if adapt_budgets and prev_round is not None and self.store.committed_rounds():

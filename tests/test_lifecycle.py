@@ -596,22 +596,23 @@ def test_engine_standing_bucketed_frontier_fast_path(spark, tmp_path):
         seen_index=BucketedSeenTable(spark, "t_lf_seen", str(tmp_path / "si"), n_buckets),
         frontier_index=BucketedFrontierTable(spark, "t_lf_frontier", str(tmp_path / "fi"), n_buckets),
     )
-    fast.add_frontier(frontier)
+    try:
+        fast.add_frontier(frontier)
 
-    for rnd in range(2):
-        sp = plain.crawl_round(frontier, hosts, simulated_fetcher(corpus), rnd,
-                               bloom_params=params, mode="discover")
-        sf = fast.crawl_round(None, hosts, simulated_fetcher(corpus), rnd,
-                              mode="discover")
-        assert (sp["scheduled"], sp["fetched"]) == (sf["scheduled"], sf["fetched"])
-        a = {r.url_c for r in plain.store.read("fetched", as_of=rnd)
-             .where(F.col("crawl_id") == rnd).collect()}
-        b = {r.url_c for r in fast.store.read("fetched", as_of=rnd)
-             .where(F.col("crawl_id") == rnd).collect()}
-        assert a == b  # identical pinned crawl order under identical budgets
-
-    spark.sql("DROP TABLE t_lf_seen")
-    spark.sql("DROP TABLE t_lf_frontier")
+        for rnd in range(2):
+            sp = plain.crawl_round(frontier, hosts, simulated_fetcher(corpus), rnd,
+                                   bloom_params=params, mode="discover")
+            sf = fast.crawl_round(None, hosts, simulated_fetcher(corpus), rnd,
+                                  mode="discover")
+            assert (sp["scheduled"], sp["fetched"]) == (sf["scheduled"], sf["fetched"])
+            a = {r.url_c for r in plain.store.read("fetched", as_of=rnd)
+                 .where(F.col("crawl_id") == rnd).collect()}
+            b = {r.url_c for r in fast.store.read("fetched", as_of=rnd)
+                 .where(F.col("crawl_id") == rnd).collect()}
+            assert a == b  # identical pinned crawl order under identical budgets
+    finally:  # the session-scoped fixture outlives tmp_path — always detach
+        spark.sql("DROP TABLE IF EXISTS t_lf_seen")
+        spark.sql("DROP TABLE IF EXISTS t_lf_frontier")
 
 
 def test_bucketed_state_index_matches_log_fold(spark, tmp_path):

@@ -47,17 +47,15 @@ spark.stop()
 
 
 def test_spark_submit_pyfiles_smoke(tmp_path):
+    import pyspark
+
     spark_submit = shutil.which("spark-submit") or os.path.join(
-        os.path.dirname(sys.modules["pyspark"].__file__)
-        if "pyspark" in sys.modules
-        else "",
-        "bin",
-        "spark-submit",
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
     )
-    if not spark_submit or not os.path.exists(spark_submit):
+    if not os.path.exists(spark_submit):
         import pytest
 
-        pytest.skip("no spark-submit on PATH")
+        pytest.skip("no spark-submit available")
 
     zip_path = str(tmp_path / "dcs.zip")
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
