@@ -652,6 +652,57 @@ def test_substring_exact_dedup_alignment_free(spark, tmp_path):
     assert chunks[1]["n_dup_chunks"] == 0
 
 
+def test_substring_exact_dedup_hypothesis_vs_python_twin(spark, tmp_path):
+    """Property: on arbitrary small-alphabet corpora (forcing heavy window
+    collisions, nested/adjacent/overlapping duplicate runs), the operator
+    matches a from-first-principles Python implementation of the spec:
+    every k-window keyed by CONTENT, one global winner under (doc_id, i),
+    other occurrences merged into maximal spans."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dataset_crawler_spark.plans.queries import _SUBSTR_K, dedup_substring_exact
+
+    k = _SUBSTR_K
+    doc = st.lists(st.sampled_from("ab"), min_size=1, max_size=3 * k)
+
+    def python_twin(token_lists):
+        windows = {}  # content -> list[(doc, i)] in (doc, i) order
+        for d_id, t in enumerate(token_lists):
+            for i in range(len(t) - k + 1):
+                windows.setdefault(tuple(t[i : i + k]), []).append((d_id, i))
+        marked = {}
+        for occ in windows.values():
+            if len(occ) > 1:
+                for d_id, i in occ[1:]:  # occ is already in (doc, i) order
+                    marked.setdefault(d_id, set()).add(i)
+        out = {}
+        for d_id, t in enumerate(token_lists):
+            spans, cur = [], None
+            for i in sorted(marked.get(d_id, ())):
+                if cur and i < cur[1]:
+                    cur[1] = max(cur[1], i + k)
+                else:
+                    cur = [i, i + k]
+                    spans.append(cur)
+            n_dup = sum(e - s for s, e in spans)
+            out[d_id] = (len(t), len(spans), n_dup, round(n_dup / len(t), 4))
+        return out
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def check(token_lists):
+        sf = _docs_fixture(spark, tmp_path, [" ".join(t) for t in token_lists])
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_spans, r.n_dup_tokens, r.dup_token_frac)
+            for r in dedup_substring_exact(spark, sf).collect()
+        }
+        assert got == python_twin(token_lists)
+
+    check()
+
+
 def test_dsir_weights_match_python_twin(spark, tmp_path):
     import math
 
