@@ -652,6 +652,63 @@ def test_substring_exact_dedup_alignment_free(spark, tmp_path):
     assert chunks[1]["n_dup_chunks"] == 0
 
 
+def test_training_shard_export_roundtrip(spark, tmp_path):
+    """The export sink materializes pack_token_bins' layout faithfully:
+    every doc lands exactly once with its text, per-(shard, bin) token sums
+    equal the assignment plan, the manifest verifies, and a re-export is
+    content-identical (deterministic artifact). A corrupted copy (one shard
+    dir dropped) must fail verify_manifest."""
+    import os
+    import shutil as _sh
+
+    from dataset_crawler_spark.plans.queries import pack_token_bins
+    from dataset_crawler_spark.sources.training_export import (
+        read_training_shards,
+        verify_manifest,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = pack_token_bins(spark, SF_DIR)
+    out = str(tmp_path / "export")
+    summary = write_training_shards(docs, plan, out)
+    assert summary["n_docs"] == docs.count()
+
+    back = read_training_shards(spark, out)
+    assert back.count() == summary["n_docs"]
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+    # per-(shard, bin) token sums match the assignment plan exactly
+    key = lambda df: {  # noqa: E731
+        (r.shard, r.bin_id): r.s
+        for r in df.groupBy("shard", "bin_id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    assert key(back) == key(plan)
+    # text round-trips
+    one = back.limit(1).collect()[0]
+    src = docs.where(F.col("doc_id") == one.doc_id).collect()[0]
+    assert one.text == src.text
+    verify_manifest(spark, out)
+
+    # determinism: second export has identical content
+    out2 = str(tmp_path / "export2")
+    write_training_shards(docs, plan, out2)
+    b2 = read_training_shards(spark, out2)
+    assert back.exceptAll(b2).unionByName(b2.exceptAll(back)).count() == 0
+
+    # integrity: dropping a shard dir must be caught
+    shard_dirs = [p for p in os.listdir(f"{out}/shards") if p.startswith("shard=")]
+    _sh.rmtree(f"{out}/shards/{shard_dirs[0]}")
+    try:
+        verify_manifest(spark, out)
+        raise AssertionError("verify_manifest accepted a corrupted artifact")
+    except ValueError:
+        pass
+
+
 def test_substring_exact_dedup_hypothesis_vs_python_twin(spark, tmp_path):
     """Property: on arbitrary small-alphabet corpora (forcing heavy window
     collisions, nested/adjacent/overlapping duplicate runs), the operator
