@@ -1,6 +1,12 @@
 """CLI entry point — the spark-submit deployment story (north_rule).
 
-Three subcommands, one JSON stats line per round on stdout:
+Four subcommands, one JSON stats line per round on stdout
+(``export-shards`` additionally closes the loop from crawl store to
+training artifact: visible corpus → token-packed shard files + manifest,
+sources/training_export.py)::
+
+    python -m dataset_crawler_spark export-shards --store /data/crawl_store \
+        --out /data/corpus_v1 --bin-tokens 2048
 
 ``synthetic`` (default — flags without a subcommand route here for backward
 compatibility): end-to-end rounds (schedule → fetch → diff → commit) over the
@@ -174,6 +180,25 @@ def run_ingest_warc(args) -> int:
     return 0
 
 
+def run_export_shards(args) -> int:
+    from dataset_crawler_spark.sources.training_export import (
+        pack_assignments,
+        spans_to_text,
+        write_training_shards,
+    )
+
+    spark, store, eng = _engine(args)
+    as_of = args.as_of if args.as_of is not None else eng.store.last_round()
+    if as_of is None:
+        print("export-shards: store has no committed rounds", file=sys.stderr)
+        return 2
+    docs = spans_to_text(eng.visible_docs(as_of))
+    plan = pack_assignments(docs, n_shards=args.n_shards, budget=args.bin_tokens)
+    summary = write_training_shards(docs, plan, args.out)
+    print(json.dumps({"store": store, "as_of": as_of, "out": args.out, **summary}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     # backward compatibility: bare flags mean the synthetic smoke run
@@ -210,6 +235,19 @@ def main(argv: list[str] | None = None) -> int:
     pw.add_argument("--partial", action="store_true",
                     help="treat as partial snapshot (adds only; no deletes)")
     pw.set_defaults(fn=run_ingest_warc)
+
+    pe = sub.add_parser(
+        "export-shards",
+        help="export the visible corpus as packed training shards + manifest",
+    )
+    _add_common(pe)
+    pe.add_argument("--out", required=True, help="output root for shards/ + manifest/")
+    pe.add_argument("--as-of", type=int, default=None,
+                    help="round to export (default: last committed)")
+    pe.add_argument("--n-shards", type=int, default=8)
+    pe.add_argument("--bin-tokens", type=int, default=2048,
+                    help="token budget per packed bin")
+    pe.set_defaults(fn=run_export_shards)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1211,23 +1211,10 @@ def pack_token_bins(spark, sf_dir):
     / budget)`` — contiguous greedy packing where a bin may overflow by less
     than one document (the standard concat-then-chunk trainer layout). One
     shuffle (by shard), one window cumsum, all codegen."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.pmod(h60(F.col("doc_id").cast("string")), F.lit(_PACK_SHARDS)).alias("shard"),
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return d.select(
-        "shard",
-        "doc_id",
-        "n_tokens",
-        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET)
-        .cast("long")
-        .alias("bin_id"),
+    from dataset_crawler_spark.sources.training_export import pack_assignments
+
+    return pack_assignments(
+        _t(spark, sf_dir, "documents"), n_shards=_PACK_SHARDS, budget=_PACK_BUDGET
     )
 
 

@@ -25,8 +25,50 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from dataset_crawler_spark.functions.hashing import h60
+
+
+def pack_assignments(
+    docs: DataFrame, n_shards: int = 8, budget: int = 2048
+) -> DataFrame:
+    """(shard, doc_id, n_tokens, bin_id) packing plan over (doc_id, text)
+    docs — the ONE implementation behind the `pack_token_bins` query
+    (plans/queries.py, where the DuckDB twin pins it) and the export CLI.
+    Shard by h60(doc_id) (uniform — no hot key in the window shuffle), pack
+    greedily in doc_id order: bin_id = floor(cum_tokens_before / budget)."""
+    d = docs.select(
+        "doc_id",
+        F.pmod(h60(F.col("doc_id").cast("string")), F.lit(n_shards)).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+def spans_to_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) from interleaved (doc_id, spans) state — text spans
+    in offset order, space-joined (the trainer-facing flattening; media
+    spans are referenced by their own modality pipeline, not inlined)."""
+    texts = F.expr(
+        "transform(array_sort(filter(spans, s -> s.kind = 'text'), "
+        "(a, b) -> case when a.offset < b.offset then -1 "
+        "when a.offset > b.offset then 1 else 0 end), s -> s.text)"
+    )
+    return docs.select("doc_id", F.concat_ws(" ", texts).alias("text"))
 
 
 def write_training_shards(

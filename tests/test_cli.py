@@ -64,3 +64,42 @@ def test_cli_ingest_warc(spark, tmp_path, capsys):
     st = SnapshotStore(store, spark)
     docs = {r.doc_id for r in st.read("versions", as_of=0).collect()}
     assert docs == {"http://ex.org/page1", "http://ex.org/img7"}
+
+
+def test_cli_export_shards_closes_the_loop(spark, tmp_path, capsys):
+    """crawl store → training artifact in one subcommand: synthetic rounds
+    populate a store, export-shards flattens the visible interleaved docs
+    (text spans in offset order), packs them, writes shards + manifest, and
+    the artifact verifies and covers exactly the visible corpus."""
+    from dataset_crawler_spark.sources.training_export import (
+        read_training_shards,
+        verify_manifest,
+    )
+    from dataset_crawler_spark.streaming.rounds import CrawlEngine
+
+    store = str(tmp_path / "s")
+    assert main(["--rounds", "2", "--n-urls", "2000", "--n-hosts", "10",
+                 "--store", store]) == 0
+    out = str(tmp_path / "corpus")
+    rc = main(["export-shards", "--store", store, "--out", out,
+               "--n-shards", "4", "--bin-tokens", "256"])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["as_of"] == 1 and line["n_shards"] == 4
+
+    verify_manifest(spark, out)
+    back = read_training_shards(spark, out)
+    eng = CrawlEngine(spark, store)
+    visible = {r.doc_id for r in eng.visible_docs(1).select("doc_id").collect()}
+    assert {r.doc_id for r in back.select("doc_id").collect()} == visible
+    assert line["n_docs"] == len(visible)
+    # flattened text is the doc's text spans in offset order
+    one = back.where(F.length("text") > 0).limit(1).collect()[0]
+    spans = eng.visible_docs(1).where(F.col("doc_id") == one.doc_id).collect()[0].spans
+    want = " ".join(s.text for s in sorted(spans, key=lambda s: s.offset)
+                    if s.kind == "text")
+    assert one.text == want
+
+    # empty store is a clean error, not a stack trace
+    assert main(["export-shards", "--store", str(tmp_path / "nope"),
+                 "--out", str(tmp_path / "x")]) == 2
