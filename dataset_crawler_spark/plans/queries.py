@@ -1191,7 +1191,8 @@ _PACK_SHARDS = 8
     WITH t AS (
       SELECT doc_id,
              {h60_sql("CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS} AS shard,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             CAST(CASE WHEN text = '' THEN 0
+                       ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens
       FROM documents),
     c AS (
       SELECT shard, doc_id, n_tokens,

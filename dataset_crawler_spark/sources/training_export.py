@@ -42,7 +42,12 @@ def pack_assignments(
     d = docs.select(
         "doc_id",
         F.pmod(h60(F.col("doc_id").cast("string")), F.lit(n_shards)).alias("shard"),
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        # split('') is [''] — an empty doc (e.g. a media-only doc flattened
+        # by spans_to_text) is 0 tokens, not a phantom 1
+        F.when(F.length("text") == 0, F.lit(0))
+        .otherwise(F.size(F.split("text", " ")))
+        .cast("long")
+        .alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")
@@ -81,34 +86,46 @@ def write_training_shards(
     ``<path>/shards/shard=<s>/`` parquet (rows sorted by bin_id, doc_id)
     and ``<path>/manifest/`` with per-shard totals. Returns the corpus-level
     summary the caller logs."""
-    joined = (
-        assignments.join(docs.select("doc_id", "text"), "doc_id")
-        .repartition("shard")
-        .sortWithinPartitions("shard", "bin_id", "doc_id")
-    )
-    (
-        joined.write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(os.path.join(path, "shards"))
-    )
-    manifest = assignments.groupBy("shard").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        (F.max("bin_id") + 1).alias("n_bins"),
-    )
-    manifest.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "manifest")
-    )
-    row = assignments.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.count_distinct("shard").alias("n_shards"),
-    ).collect()[0]
-    return {
-        "n_docs": row.n_docs,
-        "n_tokens": row.n_tokens,
-        "n_shards": row.n_shards,
-    }
+    spark = docs.sparkSession
+    # the plan feeds three consumers (manifest, shard write, summary) and is
+    # itself a window over the corpus — materialize it once
+    assignments = assignments.persist()
+    try:
+        # manifest first: a tiny per-shard aggregate, collected so the
+        # summary and the shard-writer fan-out come for free (no extra jobs)
+        man_rows = (
+            assignments.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.count_distinct("bin_id").alias("n_bins"),  # non-empty bins
+            )
+            .collect()
+        )
+        n_shards = len(man_rows)
+        joined = (
+            assignments.join(docs.select("doc_id", "text"), "doc_id")
+            # explicit fan-out: one writer task per shard (hash collisions
+            # double up a few tasks, never the default-200 pile-up)
+            .repartition(max(n_shards, 1), "shard")
+            .sortWithinPartitions("shard", "bin_id", "doc_id")
+        )
+        (
+            joined.write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(path, "shards"))
+        )
+        spark.createDataFrame(
+            sorted((r.shard, r.n_docs, r.n_tokens, r.n_bins) for r in man_rows),
+            "shard long, n_docs long, n_tokens long, n_bins long",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "manifest"))
+        return {
+            "n_docs": sum(r.n_docs for r in man_rows),
+            "n_tokens": sum(r.n_tokens for r in man_rows),
+            "n_shards": n_shards,
+        }
+    finally:
+        assignments.unpersist()
 
 
 def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
