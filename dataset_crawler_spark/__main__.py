@@ -101,10 +101,12 @@ def run_synthetic(args) -> int:
 def run_crawl(args) -> int:
     from pyspark.sql import functions as F
 
-    from dataset_crawler_spark.functions.urls import canonicalize_url, host_of
     from dataset_crawler_spark.operators import seen as SN
     from dataset_crawler_spark.sources.http_fetch import http_fetcher
-    from dataset_crawler_spark.sources.robots import hosts_dim_over_http
+    from dataset_crawler_spark.sources.robots import (
+        hosts_dim_over_http,
+        robots_urls_of,
+    )
     from dataset_crawler_spark.sources.seeds import read_seed_list
 
     spark, store, eng = _engine(args)
@@ -132,26 +134,18 @@ def run_crawl(args) -> int:
         print("crawl: need --seed-url and/or --seed-file", file=sys.stderr)
         return 2
 
-    # politeness dimension from LIVE robots.txt, one GET per distinct host.
-    # The dim key matches the scheduler's host_of (port-stripped), but the
-    # robots URL keeps the full origin — scheme and port included
-    canon = canonicalize_url(F.col("url"))
-    hosts = (
-        seeds.select(
-            host_of(canon).alias("host"),
-            F.regexp_extract(
-                canon, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1
-            ).alias("origin"),
+    # politeness dimension from LIVE robots.txt, one GET per distinct host —
+    # bootstrapped from the seed hosts, then extended per round for every
+    # newly DISCOVERED host via the same fetch (host_dim_fn below), so
+    # cross-host outlinks are crawled under that host's own robots rules
+    # instead of silently dropped by the scheduler's host join
+    def fetch_dim(hosts_df):
+        d = hosts_dim_over_http(hosts_df, timeout_s=args.timeout).drop(
+            "robots_status"
         )
-        .where((F.length("host") > 0) & (F.length("origin") > 0))
-        .groupBy("host")
-        .agg(F.min("origin").alias("origin"))
-        .select(
-            "host", F.concat(F.col("origin"), F.lit("/robots.txt")).alias("robots_url")
-        )
-    )
-    dim = hosts_dim_over_http(hosts, timeout_s=args.timeout).drop("robots_status")
-    dim = dim.withColumn("max_fetch_per_round", F.lit(args.host_budget))
+        return d.withColumn("max_fetch_per_round", F.lit(args.host_budget))
+
+    dim = fetch_dim(robots_urls_of(seeds))
 
     params = SN.BloomParams.for_capacity(args.capacity, fp_rate=0.01, n_shards=32)
     stats = eng.crawl_closure(
@@ -162,6 +156,7 @@ def run_crawl(args) -> int:
         max_rounds=args.rounds,
         seen_filter=args.seen_filter,
         adapt_budgets=True,
+        host_dim_fn=fetch_dim,
     )
     for rnd, s in enumerate(stats):
         print(json.dumps({"round": rnd, "store": store, **s}))
@@ -193,6 +188,12 @@ def run_export_shards(args) -> int:
         print("export-shards: store has no committed rounds", file=sys.stderr)
         return 2
     docs = spans_to_text(eng.visible_docs(as_of))
+    if args.dedup_substring:
+        from dataset_crawler_spark.operators.substr import (
+            remove_duplicate_substrings,
+        )
+
+        docs = remove_duplicate_substrings(docs, k=args.dedup_substring)
     plan = pack_assignments(docs, n_shards=args.n_shards, budget=args.bin_tokens)
     summary = write_training_shards(docs, plan, args.out)
     print(json.dumps({"store": store, "as_of": as_of, "out": args.out, **summary}))
@@ -247,6 +248,9 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--n-shards", type=int, default=8)
     pe.add_argument("--bin-tokens", type=int, default=2048,
                     help="token budget per packed bin")
+    pe.add_argument("--dedup-substring", type=int, default=None, metavar="K",
+                    help="cut every duplicated K-token span before packing "
+                         "(Lee et al. ExactSubstr removal; operators/substr.py)")
     pe.set_defaults(fn=run_export_shards)
 
     args = p.parse_args(argv)

@@ -45,12 +45,22 @@ def pagerank(
     nodes: DataFrame | None = None,
     n_iter: int = 8,
     damping: float = DAMPING,
+    broadcast_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` damped power iterations.
 
     ``edges``: (src, dst) directed edge list (parallel edges count once —
     deduped here). ``nodes``: optional (node) universe; isolated nodes get
     teleport-only rank; defaults to nodes appearing in ``edges``.
+
+    Physical strategy is size-aware (same values either way — pinned by
+    tests/test_pipeline_ops.py): at or below ``broadcast_threshold`` nodes
+    the per-iteration ranks/contrib sides ride BROADCAST joins (a host graph
+    is thousands of rows — pre-partitioning the static sides costs two
+    exchange+cache materializations that dwarf the tiny joins they save);
+    above it the static sides are ``repartition(key).cache()`` so only the
+    ranks side and the contribution aggregate move each iteration
+    (BENCH/GRAPH_SCALE.md: 1M-node probe, 2→8 efficiency 0.77).
     """
     e = edges.select("src", "dst").distinct()
     if nodes is None:
@@ -63,32 +73,43 @@ def pagerank(
         nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
 
     # edges ⋈ outdegree, materialized once: every iteration joins against it.
-    # Pre-partitioned by src and CACHED (not localCheckpoint: a checkpointed
-    # ExistingRDD loses its outputPartitioning and the join would re-exchange
-    # it every iteration, while InMemoryRelation keeps it) — so after this one
-    # exchange the edge table never moves again; each iteration shuffles only
-    # the much smaller ranks side. Static table ⇒ no lineage growth to cut.
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ew = e.join(outdeg, "src").select("src", "dst", "deg").repartition("src").cache()
-    # dangling flag precomputed ONCE on the checkpointed nodes: the
-    # per-iteration dangling mass becomes a filter+sum instead of a
-    # ranks ⋈ srcs left_anti against a corpus-sized src set every round
+    ew = e.join(outdeg, "src").select("src", "dst", "deg")
+    # dangling flag precomputed ONCE: the per-iteration dangling mass becomes
+    # a filter+sum instead of a ranks ⋈ srcs left_anti against a corpus-sized
+    # src set every round
     has_out = (
         ew.select("src")
         .distinct()
         .withColumnRenamed("src", "node")
         .withColumn("_o", F.lit(True))
     )
-    # likewise pre-partitioned + cached by node: the per-iteration
-    # nodes ⋈ contrib left join shuffles only the contrib side
-    nodes = (
-        nodes.join(has_out, "node", "left")
-        .select("node", F.coalesce("_o", F.lit(False)).alias("has_out"))
-        .repartition("node")
-        .cache()
+    nodes = nodes.join(has_out, "node", "left").select(
+        "node", F.coalesce("_o", F.lit(False)).alias("has_out")
     )
 
+    # size probe picks the strategy (n is needed for the teleport term anyway)
     n = nodes.count()
+    small = n <= broadcast_threshold
+    if small:
+        ew = ew.cache()
+        nodes = nodes.cache()
+    else:
+        # pre-partitioned by join key and CACHED (not localCheckpoint: a
+        # checkpointed ExistingRDD loses its outputPartitioning and the join
+        # would re-exchange it every iteration, while InMemoryRelation keeps
+        # it) — after this one exchange the static tables never move again.
+        ew = ew.repartition("src").cache()
+        nodes = nodes.repartition("node").cache()
+
+    # dangling is a STATIC property (has_out never changes): when no node
+    # is dangling, m ≡ 0 every iteration and the per-iteration scalar
+    # collect — n_iter driver-blocking jobs — is skipped entirely; the
+    # non-eager checkpoints then all materialize inside the single final
+    # action (each level is pinned as the computation flows through it, so
+    # lineage is still cut per iteration).
+    has_dangling = nodes.where(~F.col("has_out")).limit(1).count() > 0
+
     ranks = nodes.select("node", "has_out", (F.lit(1.0) / n).alias("rank")).localCheckpoint(
         eager=False
     )
@@ -96,16 +117,19 @@ def pagerank(
         # dangling mass: scalar control-plane aggregate (also materializes
         # the non-eager checkpoint of `ranks`) — no join, the flag rides along
         m = (
-            ranks.where(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0] or 0.0
+            (ranks.where(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0] or 0.0)
+            if has_dangling
+            else 0.0
         )
+        rhs = F.broadcast(ranks) if small else ranks
         contrib = (
-            ew.join(ranks, ew.src == ranks.node)
+            ew.join(rhs, F.col("src") == F.col("node"))
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
             .withColumnRenamed("dst", "node")
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(F.broadcast(contrib) if small else contrib, "node", "left")
             .select(
                 "node",
                 "has_out",
@@ -116,4 +140,10 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    return ranks.select("node", "rank")
+    # pin the result to local blocks, then release the static-side caches —
+    # long-lived sessions (bench loops, multi-round engines) must not
+    # accumulate executor storage across pagerank calls
+    out = ranks.select("node", "rank").localCheckpoint()
+    ew.unpersist()
+    nodes.unpersist()
+    return out

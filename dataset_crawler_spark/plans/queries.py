@@ -42,44 +42,51 @@ def register(name: str, sql: str | None):
 # surfaced first; the repo gate (tools/check_oracle.py) always checks all
 # registered queries regardless of this ordering.
 _DRIVER_FIRST = [
-    # never driver-sampled (r01+r02)
-    "decontaminate_ngram",
-    "text_repetition_filter",
+    # Round-4 rotation (VERDICT r3 ask #3): the driver samples the FIRST ~50
+    # registrations; every r03-sampled query was green except
+    # mix_source_token_shares, so the window now leads with (a) that fixed
+    # red row, (b) queries NEW this round, and (c) the 34 queries whose
+    # latest green row is r01/r02 — after this round every query has a
+    # fresh-code driver row in CORRECTNESS_r03 ∪ r04.
     "mix_source_token_shares",
-    "a9_exact_quantiles",
-    "temporal_asof_join",
-    "temporal_sessionize",
-    "mm_resize_geometry",
-    "mm_embed_near_dup",
-    "engine_refresh_priorities",
-    "dedup_chunk_passages",
-    "dedup_span_c4",
-    "dsir_importance_weights",
-    "text_pii_scrub",
-    "crawl_trap_hosts",
-    "crawl_outlink_degree",
-    "crawl_adaptive_budget",
-    "crawl_outlink_pagerank",
-    "split_leakage_safe",
-    "report_corpus_rollup",
-    "crawl_anchor_text",
-    "search_bm25_topk",
-    "crawl_mirror_hosts",
-    "text_lm_bigram_ppl",
-    "sample_weighted_take",
-    "sketch_countmin_topk",
-    # driver-sampled only in round 1
-    "engine_bloom_seen_stats",
-    "engine_interleaved_lineage",
-    "engine_sim_ivf_topk",
-    "engine_sim_lsh_topk",
-    "mm_decode_stub_meta",
-    "text_fingerprint",
-    # new in round 3 — need their first driver rows (displace only queries
-    # that already have green r02 rows)
-    "dedup_semantic_survivors",
-    "engine_incremental_signlsh",
-    "dedup_substring_exact",
+    # new in round 4 — first driver rows
+    "dedup_substring_removal",
+    "engine_incremental_substr",
+    # latest green row r02 (never re-sampled since)
+    "j14_equivalence_self_join",
+    "k2_upsert_merge",
+    "j2_history_6way",
+    "a1_count_distinct_per_type",
+    "a3_conditional_count",
+    "a4_fingerprint_xor",
+    "a5_group_collect_sorted",
+    "a6_last_value_per_key",
+    "a7_distinct_keyset",
+    "w1_last_state_fold",
+    "o4_topk_per_group",
+    "set_except_keys",
+    "set_intersect_keys",
+    "f_string_suite",
+    "f7_time_bucket_counts",
+    "crawl_url_canonicalize",
+    "crawl_politeness_topk",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "engine_incremental_minhash",
+    "dedup_simhash16",
+    "dedup_cluster_components",
+    "sample_stratified",
+    "pack_token_bins",
+    "pipeline_training_corpus",
+    "graph_host_pagerank",
+    "dedup_embedding_cosine",
+    "dedup_embedding_signlsh",
+    "sim_signlsh_topk",
+    "sim_cosine_topk",
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
 ]
 
 
@@ -1938,9 +1945,9 @@ _MIX_ALPHA = 0.5  # smoothing exponent: weight ∝ token_share^alpha, renormaliz
                   n_tokens * 1.0 / SUM(n_tokens) OVER () AS share
            FROM s)
     SELECT source, n_docs, n_tokens,
-           ROUND(share, 6) AS token_share,
+           ROUND(share, 4) AS token_share,
            ROUND(POW(share, {_MIX_ALPHA})
-                 / SUM(POW(share, {_MIX_ALPHA})) OVER (), 6) AS mix_weight
+                 / SUM(POW(share, {_MIX_ALPHA})) OVER (), 4) AS mix_weight
     FROM sh
     """,
 )
@@ -1949,7 +1956,15 @@ def mix_source_token_shares(spark, sf_dir):
     standard temperature-smoothed sampling weight share^alpha / Σ share^alpha
     (alpha < 1 upweights small domains). One hash aggregate over the corpus
     (map-side partial sums) into a per-source table small enough that the
-    two global windows run on a handful of rows."""
+    two global windows run on a handful of rows.
+
+    Rounded at 4 decimals (the suite convention): the Σ pow(share, α) window
+    denominator is a float sum whose partial-aggregation order is not fixed,
+    so its last ulp can differ run-to-run and engine-to-engine; at 4dp the
+    nearest fixture value sits ~1e-6 from a rounding boundary (measured at
+    sf0.01 and sf0.1), nine orders of magnitude above the ~1e-15 drift, so
+    the rounded output is bitwise stable. 6dp put one value inside the drift
+    band of a boundary and flaked the driver hash in round 3."""
     d = _t(spark, sf_dir, "documents")
     s = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -1967,8 +1982,8 @@ def mix_source_token_shares(spark, sf_dir):
         "source",
         "n_docs",
         "n_tokens",
-        F.round("share", 6).alias("token_share"),
-        F.round(smoothed / F.sum(smoothed).over(wall), 6).alias("mix_weight"),
+        F.round("share", 4).alias("token_share"),
+        F.round(smoothed / F.sum(smoothed).over(wall), 4).alias("mix_weight"),
     )
 
 
@@ -2645,10 +2660,10 @@ def dedup_span_c4(spark, sf_dir):
 #: detectable while organic overlap stays rare.
 _SUBSTR_K = 8
 
-
-@register(
-    "dedup_substring_exact",
-    f"""
+#: Shared CTE chain (through the merged dup spans) for the ExactSubstr
+#: family twins — winner order (doc_id, i); the incremental twin swaps in
+#: ingestion order. Mirrors operators/substr.py stage by stage.
+_SUBSTR_SPANS_CTE = f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     idx AS (
       SELECT doc_id, t, unnest(generate_series(0, CAST(len(t) - {_SUBSTR_K} AS INT))) AS i
@@ -2676,7 +2691,14 @@ _SUBSTR_K = 8
       FROM flagged),
     spans AS (
       SELECT doc_id, island, MIN(i) AS s, MAX(i) + {_SUBSTR_K} AS e
-      FROM isl GROUP BY doc_id, island),
+      FROM isl GROUP BY doc_id, island)
+"""
+
+
+@register(
+    "dedup_substring_exact",
+    _SUBSTR_SPANS_CTE
+    + """,
     per_doc AS (
       SELECT doc_id, COUNT(*) AS n_dup_spans,
              CAST(SUM(e - s) AS BIGINT) AS n_dup_tokens
@@ -2706,56 +2728,12 @@ def dedup_substring_exact(spark, sf_dir):
     ``min(struct)``), the join back, and the per-doc island window. The
     honest cost vs stride-k chunking is k× more hashed rows, which is the
     price of the alignment-free guarantee (Lee et al. pay the same blowup
-    in suffix-array space)."""
-    k = _SUBSTR_K
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
-    )
-    n = F.size("t")
-    # guard: Spark's sequence(0, n-k) is DESCENDING for n < k (DuckDB's
-    # generate_series is empty) — emit no windows for short docs
-    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    win = d.select(
-        "doc_id",
-        F.explode(starts).alias("i"),
-        F.col("t"),
-    ).select(
-        "doc_id",
-        "i",
-        h60(F.concat_ws(" ", F.slice("t", F.col("i") + 1, k))).alias("h"),
-    )
-    g = win.groupBy("h").agg(
-        F.min(F.struct("doc_id", "i")).alias("w"), F.count("*").alias("n")
-    )
-    marked = (
-        win.join(g, "h")
-        .where(
-            (F.col("n") > 1)
-            & ~((F.col("doc_id") == F.col("w.doc_id")) & (F.col("i") == F.col("w.i")))
-        )
-        .select("doc_id", "i")
-    )
-    prev_end = F.max(F.col("i") + k).over(
-        Window.partitionBy("doc_id").orderBy("i").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-    )
-    isl = marked.withColumn(
-        "new_island",
-        (F.col("i") >= F.coalesce(prev_end, F.lit(-1))).cast("int"),
-    ).withColumn(
-        "island",
-        F.sum("new_island").over(
-            Window.partitionBy("doc_id").orderBy("i").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        ),
-    )
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("i").alias("s"), (F.max("i") + k).alias("e")
-    )
+    in suffix-array space). Implementation shared with the removal query,
+    the incremental index, and the export gate: operators/substr.py."""
+    from dataset_crawler_spark.operators import substr as SUB
+
+    d = _t(spark, sf_dir, "documents")
+    spans = _substr_spans_from(d)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s")).cast("long").alias("n_dup_tokens"),
@@ -2763,7 +2741,9 @@ def dedup_substring_exact(spark, sf_dir):
     # project the token COUNT before the join — at corpus scale per_doc is
     # |docs|-sized (no broadcast), and joining the full token array would
     # shuffle the text this operator exists to keep scan-local
-    lens = d.select("doc_id", n.cast("long").alias("n_tokens"))
+    lens = SUB.tokens_of(d).select(
+        "doc_id", F.size("t").cast("long").alias("n_tokens")
+    )
     return lens.join(per_doc, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
@@ -2773,6 +2753,110 @@ def dedup_substring_exact(spark, sf_dir):
             F.coalesce("n_dup_tokens", F.lit(0)) / F.col("n_tokens"), 4
         ).alias("dup_token_frac"),
     )
+
+
+def _substr_spans_from(docs):
+    """Batch ExactSubstr dup spans (operators/substr.py stages with the
+    cross-engine h60 hasher so every DuckDB twin replicates them)."""
+    from dataset_crawler_spark.operators import substr as SUB
+
+    win = SUB.window_hashes(docs, _SUBSTR_K, hash_fn=h60)
+    return SUB.merge_spans(SUB.duplicated_starts(win), _SUBSTR_K)
+
+
+@register(
+    "dedup_substring_removal",
+    _SUBSTR_SPANS_CTE
+    + """,
+    cov AS (
+      SELECT doc_id, unnest(generate_series(CAST(s AS INT), CAST(e - 1 AS INT))) AS pos
+      FROM spans),
+    cl AS (SELECT doc_id, LIST(pos) AS cov FROM cov GROUP BY doc_id),
+    pd AS (
+      SELECT doc_id, COUNT(*) AS n_dup_spans,
+             CAST(SUM(e - s) AS BIGINT) AS n_dup_tokens
+      FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
+           COALESCE(array_to_string(
+             [t.t[i] FOR i IN generate_series(1, len(t.t))
+              IF NOT COALESCE(list_contains(c.cov, i - 1), FALSE)], ' '), '')
+             AS clean_text
+    FROM tok t LEFT JOIN pd p USING (doc_id) LEFT JOIN cl c USING (doc_id)
+    """,
+)
+def dedup_substring_removal(spark, sf_dir):
+    """ExactSubstr REMOVAL artifact (Lee et al. 2022 §4): where
+    `dedup_substring_exact` only reports each document's duplicated spans,
+    this cuts them out of the token stream and emits the cleaned corpus —
+    the text that actually ships to training (the `export-shards
+    --dedup-substring` CLI gate runs exactly this before packing). Same
+    marking pipeline (operators/substr.py), then the spans collapse to one
+    small int-pair array per affected doc and join back to the token
+    arrays, so the rebuild is a narrow per-row filter + concat_ws — text
+    still moves only through the one doc_id equi-join.
+
+    Reference-semantics anchor: the diff core's span ops
+    (CrawlOperations.java:507-593) — spans here are token ranges."""
+    from dataset_crawler_spark.operators import substr as SUB
+
+    d = _t(spark, sf_dir, "documents")
+    return SUB.cut_spans(d, _substr_spans_from(d))
+
+
+@register(
+    "engine_incremental_substr",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(0, CAST(len(t) - {_SUBSTR_K} AS INT))) AS i
+      FROM tok WHERE len(t) >= {_SUBSTR_K}),
+    win AS (
+      SELECT doc_id, i,
+             {h60_sql(f"array_to_string(t[CAST(i+1 AS INT):CAST(i+{_SUBSTR_K} AS INT)], ' ')")} AS h
+      FROM idx),
+    r AS (
+      SELECT doc_id, i,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY (doc_id % 2), doc_id, i) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS n
+      FROM win),
+    marked AS (SELECT doc_id, i FROM r WHERE n > 1 AND rn > 1),
+    flagged AS (
+      SELECT doc_id, i,
+             CASE WHEN i >= COALESCE(MAX(i + {_SUBSTR_K}) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM marked),
+    isl AS (
+      SELECT doc_id, i,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM flagged)
+    SELECT doc_id, CAST(MIN(i) AS INT) AS s, CAST(MAX(i) + {_SUBSTR_K} AS INT) AS e
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def engine_incremental_substr(spark, sf_dir):
+    """Incremental ExactSubstr index equivalence, value-hash-checked: ingest
+    the corpus in two rounds (doc_id parity) through the standing
+    window-hash index — each round marks only ITS documents' windows
+    (within-round non-winners plus hashes already in the index) and emits
+    its dup spans — and return the union of per-round span outputs. The
+    DuckDB twin is the BATCH span set under the same ingestion total order
+    (round, doc_id, i): the oracle proves round-at-a-time ingestion loses
+    and invents nothing, so a 100-TB corpus substring-dedups per crawl
+    round at |new windows| cost instead of |corpus| cost. Mirrors the
+    minhash/signlsh incremental twins (operators/dedup_index.py)."""
+    from dataset_crawler_spark.operators import substr as SUB
+
+    d = _t(spark, sf_dir, "documents")
+    w0 = SUB.window_hashes(d.where(F.col("doc_id") % 2 == 0), _SUBSTR_K, hash_fn=h60)
+    w1 = SUB.window_hashes(d.where(F.col("doc_id") % 2 != 0), _SUBSTR_K, hash_fn=h60)
+    s0 = SUB.merge_spans(SUB.incremental_dup_starts(None, w0), _SUBSTR_K)
+    s1 = SUB.merge_spans(SUB.incremental_dup_starts(w0, w1), _SUBSTR_K)
+    return s0.unionByName(s1)
 
 
 #: DSIR (data selection via importance resampling, Xie et al. 2023): score

@@ -214,7 +214,13 @@ def scan_until_exhausted(
             fetched += n
             offset += pages * page_size
             # a short chunk ⇒ exhausted, unless the shortfall came from
-            # failed windows we were told to skip
+            # failed windows we were told to skip. An ALL-failed chunk is
+            # also terminal: under "skip" it is indistinguishable from
+            # scanning past the end of an endpoint that errors beyond its
+            # last page, and doubling into it would otherwise request an
+            # exponentially growing window against a dead endpoint forever.
+            if len(failed) >= pages:
+                break
             if n + len(failed) * page_size < pages * page_size:
                 break
             if max_docs is not None and fetched >= max_docs:

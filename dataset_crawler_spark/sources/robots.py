@@ -178,6 +178,32 @@ def sitemap_seeds(
 
 # -- live composition: robots + sitemaps over real sockets -------------------
 
+def robots_urls_of(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """(host, robots_url) for every distinct host in a frame of URLs — the
+    dimension-key derivation shared by the crawl CLI's seed bootstrap and
+    the closure loop's per-round refresh for newly DISCOVERED hosts. The
+    dim key matches the scheduler's ``host_of`` (port-stripped) while the
+    robots URL keeps the full origin — scheme and port included."""
+    from dataset_crawler_spark.functions.urls import canonicalize_url, host_of
+
+    canon = canonicalize_url(F.col(url_col))
+    return (
+        urls.select(
+            host_of(canon).alias("host"),
+            F.regexp_extract(
+                canon, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1
+            ).alias("origin"),
+        )
+        .where((F.length("host") > 0) & (F.length("origin") > 0))
+        .groupBy("host")
+        .agg(F.min("origin").alias("origin"))
+        .select(
+            "host",
+            F.concat(F.col("origin"), F.lit("/robots.txt")).alias("robots_url"),
+        )
+    )
+
+
 def fetch_robots(
     hosts: DataFrame, url_col: str = "robots_url", timeout_s: float = 5.0
 ) -> DataFrame:

@@ -8,13 +8,17 @@ the file reader itself (``spark.read.text`` with the record marker as
 whole parse stays inside WholeStageCodegen, no Python in the path, and a
 1000-file Common Crawl segment parallelizes file-per-task like any text scan.
 
-Format recap (ISO 28500): each record starts with ``WARC/1.0\\r\\n``, then
-WARC headers, ``\\r\\n\\r\\n``, then the payload; ``response`` records carry a
-full HTTP response (status line + headers + ``\\r\\n\\r\\n`` + body).
-Splitting on the version marker instead of walking Content-Length is the one
-simplification (a body containing a literal line ``WARC/1.0`` would
-over-split — vanishingly rare in practice and detectable as a record with no
-``WARC-Type``); the trade buys a fully relational, splittable scan. Gzipped
+Format recap (ISO 28500): each record starts with ``WARC/<version>\\r\\n``,
+then WARC headers, ``\\r\\n\\r\\n``, then the payload; ``response`` records
+carry a full HTTP response (status line + headers + ``\\r\\n\\r\\n`` + body).
+The split marker is the version-family prefix ``WARC/1.`` so both WARC/1.0
+and WARC/1.1 files (wget/warcio default to 1.1) split identically — each
+record's remnant minor-version line (``0\\r\\n`` / ``1\\r\\n``) rides
+harmlessly at the head of the header block, which is parsed with multiline
+anchors. Splitting on the version marker instead of walking Content-Length
+is the one simplification (a body containing a literal line ``WARC/1.x``
+would over-split — vanishingly rare in practice and detectable as a record
+with no ``WARC-Type``); the trade buys a fully relational, splittable scan. Gzipped
 ``.warc.gz`` inputs work through Spark's codec support but are
 one-task-per-file (gzip is unsplittable) — Common Crawl's ~1 GB shard
 convention makes file-level parallelism the real axis there, same as every
@@ -32,7 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-RECORD_MARKER = "WARC/1.0\r\n"
+# version-family prefix: matches WARC/1.0 and WARC/1.1 record heads alike
+RECORD_MARKER = "WARC/1."
 
 _TEXTUAL = ("text/", "application/json", "application/xml", "application/xhtml")
 

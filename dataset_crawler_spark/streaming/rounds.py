@@ -451,6 +451,7 @@ class CrawlEngine:
         max_rounds: int = 25,
         seen_filter: str = "bloom",
         adapt_budgets: bool = False,
+        host_dim_fn=None,
     ) -> list[dict]:
         """Crawl to link closure: round 0 schedules the seeds, every later
         round schedules the URLs discovered by the previous round's fetches,
@@ -469,7 +470,21 @@ class CrawlEngine:
         the frontier table never materializes the whole 10^10-URL closure
         at once — the discovered table grows round by round and history
         stays in the seen set.
+
+        ``host_dim_fn``: optional ``(host, robots_url) frame → hosts-dim
+        rows`` (same columns as ``hosts``). When given, each round derives
+        the frontier's hosts missing from the dim and extends it via the
+        callable — so outlinks onto NEWLY DISCOVERED hosts get a robots
+        fetch + politeness row instead of being silently dropped by the
+        scheduler's inner host join. Without it the crawl is scoped to the
+        hosts present in ``hosts`` (the seed hosts, for the CLI) — the
+        documented same-host closure regime. The dim is dimension-scale
+        (one row per host), so the per-round anti-join is a broadcast
+        against the frontier and the extended dim is checkpointed to keep
+        the loop's plan flat and the robots fetch one-shot.
         """
+        from dataset_crawler_spark.sources.robots import robots_urls_of
+
         out = []
         for _ in range(max_rounds):
             crawl_id = self.next_round()
@@ -478,6 +493,14 @@ class CrawlEngine:
                 if crawl_id == 0
                 else self.discovered_frontier(crawl_id - 1)
             )
+            if host_dim_fn is not None:
+                new_hosts = robots_urls_of(frontier).join(
+                    F.broadcast(hosts.select("host")), "host", "left_anti"
+                )
+                if new_hosts.limit(1).count() > 0:
+                    hosts = hosts.unionByName(
+                        host_dim_fn(new_hosts).select(*hosts.columns)
+                    ).localCheckpoint()
             stats = self.crawl_round(
                 frontier,
                 hosts,

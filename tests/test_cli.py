@@ -100,6 +100,18 @@ def test_cli_export_shards_closes_the_loop(spark, tmp_path, capsys):
                     if s.kind == "text")
     assert one.text == want
 
+    # the removal gate is wired through the flag: cleaned export still
+    # verifies and ships every visible doc (the planted-duplicate semantics
+    # are pinned in test_pipeline_ops; this pins the CLI plumbing)
+    out_d = str(tmp_path / "corpus_dedup")
+    rc = main(["export-shards", "--store", store, "--out", out_d,
+               "--n-shards", "4", "--bin-tokens", "256",
+               "--dedup-substring", "8"])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["n_docs"] == len(visible)
+    verify_manifest(spark, out_d)
+
     # empty store is a clean error, not a stack trace
     assert main(["export-shards", "--store", str(tmp_path / "nope"),
                  "--out", str(tmp_path / "x")]) == 2

@@ -156,6 +156,65 @@ def test_expand_frontier_matches_python_twin_on_random_graphs(spark):
         assert got == want, f"trial {trial}"
 
 
+def test_crawl_closure_discovers_new_hosts_via_host_dim_fn(spark, tmp_path):
+    """Cross-host outlinks: the scheduler's inner host join drops URLs on
+    hosts absent from the dim, so a closure given only seed-host dim rows is
+    same-host-scoped; with ``host_dim_fn`` the loop derives each round's
+    missing hosts and extends the dim (the CLI wires a live robots fetch
+    here), so the crawl follows discovery onto new hosts under their own
+    politeness rows."""
+
+    def xu(name):
+        return f"https://x.example.org/d/{name}"
+
+    corpus = spark.createDataFrame(
+        [
+            (_u("a"), [("link", None, xu("b"), 0), ("text", "seed doc", None, 1)]),
+            (xu("b"), [("link", None, _u("c"), 0), ("text", "x doc", None, 1)]),
+            (_u("c"), [("text", "leaf", None, 0)]),
+        ],
+        DOCS_SCHEMA,
+    )
+    dim_schema = (
+        "host string, crawl_delay_ms int, max_fetch_per_round int, "
+        "robots_disallow array<string>, is_available boolean"
+    )
+    hosts = spark.createDataFrame([("h.example.org", 10, 100, [], True)], dim_schema)
+    seeds = spark.createDataFrame(
+        [(_u("a"), "h.example.org", 1.0, 0, 0, "pending")],
+        "url string, host string, priority double, discovered_crawl_id int, "
+        "seed_rank int, state string",
+    )
+    params = SN.BloomParams.for_capacity(64, fp_rate=0.01, n_shards=4)
+
+    # without host_dim_fn: scoped to the seed host — b (on x.example.org)
+    # is dropped and c is never discovered
+    eng = CrawlEngine(spark, str(tmp_path / "scoped"))
+    eng.crawl_closure(seeds, hosts, simulated_fetcher(corpus), bloom_params=params)
+    assert [r.url_c for r in eng.store.read("fetched").collect()] == [_u("a")]
+
+    # with host_dim_fn: the loop requests dim rows for x.example.org
+    # (with its full-origin robots_url) and the crawl crosses hosts
+    asked: list[tuple[str, str]] = []
+
+    def dim_fn(new_hosts):
+        rows = [(r.host, r.robots_url) for r in new_hosts.collect()]
+        asked.extend(rows)
+        return spark.createDataFrame(
+            [(h, 10, 100, [], True) for h, _ in rows], dim_schema
+        )
+
+    eng2 = CrawlEngine(spark, str(tmp_path / "open"))
+    stats = eng2.crawl_closure(
+        seeds, hosts, simulated_fetcher(corpus), bloom_params=params,
+        host_dim_fn=dim_fn,
+    )
+    fetched = sorted(r.url_c for r in eng2.store.read("fetched").collect())
+    assert fetched == sorted([_u("a"), xu("b"), _u("c")])
+    assert stats[-1]["scheduled"] == 0
+    assert asked == [("x.example.org", "https://x.example.org/robots.txt")]
+
+
 def test_crawl_closure_resumes_after_crash(spark, tmp_path):
     """A fetcher crash mid-closure leaves the store resumable: re-running
     crawl_closure continues from the committed rounds and reaches the same

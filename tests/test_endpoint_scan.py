@@ -44,6 +44,9 @@ class _Handler(BaseHTTPRequestHandler):
             docs = [_doc(i) for i in range(offset, min(offset + limit, N_DOCS))]
             body = json.dumps(docs).encode()
             self.send_response(200)
+        elif u.path == "/dead":
+            self.send_error(503, "endpoint down")
+            return
         elif u.path == "/flaky":
             # offset 20 permanently 503s; other windows serve normally
             if offset == 20:
@@ -131,3 +134,16 @@ def test_scan_until_exhausted_failed_window_is_not_exhaustion(spark, server):
     ids = {r.doc_id for r in skipped.collect()}
     want = {f"http://ex.org/r/{i}" for i in range(N_DOCS) if not 20 <= i < 30}
     assert ids == want  # everything except the dead window — no truncation
+
+
+def test_scan_until_exhausted_dead_endpoint_terminates(spark, server):
+    """An endpoint whose every window fails must TERMINATE under
+    on_error='skip' (an all-failed chunk is treated as exhaustion) instead
+    of doubling the request window forever; the default still raises."""
+    with pytest.raises(RuntimeError, match="failed at offsets"):
+        scan_until_exhausted(spark, f"{server}/dead", page_size=10,
+                             first_chunk_pages=2)
+
+    dead = scan_until_exhausted(spark, f"{server}/dead", page_size=10,
+                                first_chunk_pages=2, on_error="skip")
+    assert dead.count() == 0

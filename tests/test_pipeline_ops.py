@@ -709,6 +709,111 @@ def test_training_shard_export_roundtrip(spark, tmp_path):
         pass
 
 
+def test_incremental_substr_index_through_store(spark, tmp_path):
+    """ExactSubstr twin of the minhash/signlsh lifecycle: three-round
+    ingestion through a SnapshotStore-persisted window-hash index — the
+    union of per-round dup-span outputs must equal the batch span set under
+    the ingestion total order (round, doc_id, i), computed here by an
+    independent winner election. Crash-safety: an appended-but-uncommitted
+    round's windows stay invisible to the next round's probe."""
+    from dataset_crawler_spark.operators import substr as SUB
+    from dataset_crawler_spark.sources.snapshots import SnapshotStore
+
+    K = 8
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    store = SnapshotStore(str(tmp_path / "store"), spark)
+
+    got = set()
+    for rnd in range(3):
+        new = docs.where(F.col("doc_id") % 3 == rnd)
+        idx = store.read("substr_windows") if rnd else None
+        if idx is not None and not idx.columns:
+            idx = None
+        win = SUB.window_hashes(new, K)
+        spans = SUB.merge_spans(SUB.incremental_dup_starts(idx, win), K)
+        got |= {(r.doc_id, r.s, r.e) for r in spans.collect()}
+        store.append("substr_windows", win, rnd)
+        store.commit_round(rnd)
+
+    # independent batch twin: winner = min (round, doc_id, i) per hash
+    wall = SUB.window_hashes(docs, K).withColumn("rnd", F.col("doc_id") % 3)
+    g = wall.groupBy("h").agg(
+        F.min(F.struct("rnd", "doc_id", "i")).alias("w"), F.count("*").alias("n")
+    )
+    marked = (
+        wall.join(g, "h")
+        .where(
+            (F.col("n") > 1)
+            & ~(
+                (F.col("rnd") == F.col("w.rnd"))
+                & (F.col("doc_id") == F.col("w.doc_id"))
+                & (F.col("i") == F.col("w.i"))
+            )
+        )
+        .select("doc_id", "i")
+    )
+    want = {
+        (r.doc_id, r.s, r.e) for r in SUB.merge_spans(marked, K).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+    # crash-safety: an appended-but-uncommitted round is invisible
+    store.append("substr_windows", SUB.window_hashes(docs.limit(0), K), 99)
+    visible = store.read("substr_windows")
+    assert {
+        r.crawl_id for r in visible.select("crawl_id").distinct().collect()
+    } == {0, 1, 2}
+
+
+def test_substring_removal_export_no_dup_window_survives(spark, tmp_path):
+    """Lee et al. §4 end to end: plant exact duplicated runs across docs,
+    run the removal gate, export the cleaned corpus through the shard sink,
+    and re-scan the ARTIFACT — no k-token window may occur twice, the
+    global first occurrence survives intact, every non-winner occurrence is
+    cut, and the manifest verifies on the cleaned totals."""
+    from dataset_crawler_spark.operators import substr as SUB
+    from dataset_crawler_spark.sources.training_export import (
+        pack_assignments,
+        read_training_shards,
+        verify_manifest,
+        write_training_shards,
+    )
+
+    K = 8
+    run = " ".join(f"d{i}" for i in range(12))  # the planted 12-token run
+    docs = spark.createDataFrame(
+        [
+            (0, f"a0 a1 a2 {run} a3 a4 a5"),        # winner (first occurrence)
+            (1, f"b0 b1 {run} b2 b3"),               # dup: run must be cut
+            (2, f"c0 c1 c2 c3 c4 {run}"),            # dup at tail: cut
+            (3, "e0 e1 e2 e3 e4 e5 e6 e7 e8 e9"),    # unique: untouched
+        ],
+        "doc_id long, text string",
+    )
+    cleaned = SUB.remove_duplicate_substrings(docs, k=K)
+    out = str(tmp_path / "export")
+    summary = write_training_shards(
+        cleaned, pack_assignments(cleaned, n_shards=2, budget=16), out
+    )
+    assert summary["n_docs"] == 4
+    verify_manifest(spark, out)
+
+    back = read_training_shards(spark, out)
+    texts = {r.doc_id: r.text for r in back.collect()}
+    assert texts[0] == f"a0 a1 a2 {run} a3 a4 a5"  # winner keeps the run
+    assert "d0" not in texts[1] and texts[1] == "b0 b1 b2 b3"
+    assert texts[2] == "c0 c1 c2 c3 c4"
+    assert texts[3] == "e0 e1 e2 e3 e4 e5 e6 e7 e8 e9"
+
+    # the artifact-level guarantee: no duplicated k-token window survives
+    rescan = SUB.window_hashes(back.select("doc_id", "text"), K)
+    worst = (
+        rescan.groupBy("h").count().agg(F.max("count").alias("m")).collect()[0].m
+    )
+    assert worst == 1
+
+
 def test_substring_exact_dedup_hypothesis_vs_python_twin(spark, tmp_path):
     """Property: on arbitrary small-alphabet corpora (forcing heavy window
     collisions, nested/adjacent/overlapping duplicate runs), the operator

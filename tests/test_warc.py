@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 from dataset_crawler_spark.sources.warc import read_warc, warc_to_documents
 
 
-def _record(warc_type: str, uri: str | None, payload: str, rec_id: str) -> str:
+def _record(
+    warc_type: str, uri: str | None, payload: str, rec_id: str,
+    version: str = "1.0",
+) -> str:
     h = [f"WARC-Type: {warc_type}"]
     if uri:
         h.append(f"WARC-Target-URI: {uri}")
@@ -19,7 +22,7 @@ def _record(warc_type: str, uri: str | None, payload: str, rec_id: str) -> str:
         f"WARC-Record-ID: <urn:uuid:{rec_id}>",
         f"Content-Length: {len(payload)}",
     ]
-    return "WARC/1.0\r\n" + "\r\n".join(h) + "\r\n\r\n" + payload + "\r\n\r\n"
+    return f"WARC/{version}\r\n" + "\r\n".join(h) + "\r\n\r\n" + payload + "\r\n\r\n"
 
 
 def _http(status: str, ctype: str, body: str) -> str:
@@ -95,6 +98,41 @@ def test_warc_to_documents_text_and_media(spark, tmp_path):
     assert s.kind == "text" and s.text == '{"k": 1}'
 
 
+def test_warc_1_1_and_mixed_versions(spark, tmp_path):
+    """WARC/1.1 files (wget/warcio default, valid ISO 28500) must split into
+    records exactly like 1.0 — the round-3 marker matched only the literal
+    1.0 head, collapsing a 1.1 file into a single row. Mixed-version files
+    (re-packed archives) parse too."""
+    recs_11 = (
+        _record("warcinfo", None, "software: wget", "cccc0000", version="1.1")
+        + _record(
+            "response", "http://ex.org/v11-a",
+            _http("200 OK", "text/plain", "one one"), "cccc0001", version="1.1",
+        )
+        + _record(
+            "response", "http://ex.org/v11-b",
+            _http("200 OK", "text/plain", "two"), "cccc0002", version="1.1",
+        )
+    )
+    p = tmp_path / "v11.warc"
+    p.write_text(recs_11)
+    rows = read_warc(spark, str(p)).collect()
+    assert len(rows) == 3  # NOT one collapsed row
+    docs = {r.doc_id: r.spans for r in warc_to_documents(spark, str(p)).collect()}
+    assert set(docs) == {"http://ex.org/v11-a", "http://ex.org/v11-b"}
+    (s,) = docs["http://ex.org/v11-a"]
+    assert (s.kind, s.text) == ("text", "one one")
+
+    mixed = tmp_path / "mixed.warc"
+    mixed.write_text(
+        _record("response", "http://ex.org/old",
+                _http("200 OK", "text/plain", "v10 body"), "dddd0000")
+        + recs_11
+    )
+    got = {r.doc_id for r in warc_to_documents(spark, str(mixed)).collect()}
+    assert got == {"http://ex.org/old", "http://ex.org/v11-a", "http://ex.org/v11-b"}
+
+
 def test_warc_gzip_read(spark, tmp_path):
     with gzip.open(tmp_path / "a.warc.gz", "wt") as fh:
         fh.write(WARC_A)
@@ -122,7 +160,7 @@ def test_warc_roundtrip_property(spark, tmp_path):
     payload = st.text(
         alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
         min_size=0, max_size=300,
-    ).filter(lambda s: "WARC/1.0\r\n" not in s and not s.endswith("\r\n"))
+    ).filter(lambda s: "WARC/1." not in s and not s.endswith("\r\n"))
     slug = st.text(alphabet="abcdefghij0123456789", min_size=1, max_size=12)
 
     @settings(max_examples=8, deadline=None,

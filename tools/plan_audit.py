@@ -87,6 +87,12 @@ AUDIT = [
     # exact-substring dedup: text must never shuffle — only (h, doc_id, i)
     # longs through the winner agg, join-back, and per-doc island window
     "dedup_substring_exact",
+    # removal artifact: same marking pipeline; text moves only through the
+    # one doc_id equi-join that attaches the collapsed span arrays
+    "dedup_substring_removal",
+    # incremental window index: new×index semi-join + new×new winner agg —
+    # per-round cost ∝ |new windows|
+    "engine_incremental_substr",
 ]
 
 INTERESTING = (
