@@ -82,3 +82,74 @@ class BucketedFrontierTable:
         """The frontier as a bucketed scan — feed straight to schedule_round
         (which trusts the pre-canonicalized url_c column)."""
         return self.spark.table(self.name)
+
+    def data_files(self) -> list[str]:
+        """Parquet data files currently backing the table (small-files
+        observability for the maintenance cadence)."""
+        import os
+
+        return sorted(
+            os.path.join(r, f)
+            for r, _dirs, files in os.walk(self.location)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    def compact(self) -> dict:
+        """Rewrite the table into ONE file set (≤1 file per bucket) — the
+        small-files maintenance op for per-round appends (Iceberg's
+        ``rewrite_data_files`` analog; SnapshotStore.compact is the
+        partition-table sibling). A bucketed append writes up to
+        ``n_buckets`` files per writer task, so after R rounds the scan
+        lists O(R·n_buckets) files and file listing, not bytes, starts to
+        dominate. Rows are repartitioned by ``url_c`` into exactly
+        ``n_buckets`` tasks (same Murmur3 hash as the bucketing, so each
+        task holds exactly one bucket) and rewritten; the catalog entry is
+        swapped to the rewritten directory. Reads are byte-identical before
+        and after (test-pinned, including the exchange-free schedule plan).
+
+        Crash behavior: the rewrite lands in a side directory first; a
+        crash before the swap leaves the original table untouched (plus an
+        orphan side dir that the next compact overwrites)."""
+        import os
+        import shutil
+
+        self.ensure_registered()
+        files_before = len(self.data_files())
+        tmp_name = f"{self.name}__compacting"
+        tmp_loc = self.location.rstrip("/") + "__compacting"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        if os.path.exists(tmp_loc):
+            shutil.rmtree(tmp_loc)
+        # read PLAIN for the rewrite: over a bucketed scan the explicit
+        # repartition is elided (the scan already reports hash(url_c)
+        # partitioning) but its tasks are not one-bucket-each, so each task
+        # writes a file per bucket it sees — exactly the fan-out compaction
+        # exists to undo. With bucketed reading off the repartition stands
+        # and each task holds exactly one bucket (same Murmur3 hash).
+        key = "spark.sql.sources.bucketing.enabled"
+        prev = self.spark.conf.get(key)
+        self.spark.conf.set(key, "false")
+        try:
+            (
+                self.read()
+                .repartition(self.n_buckets, "url_c")
+                .write.format("parquet")
+                .bucketBy(self.n_buckets, "url_c")
+                .sortBy("url_c")
+                .option("path", tmp_loc)
+                .saveAsTable(tmp_name)
+            )
+        finally:
+            self.spark.conf.set(key, prev)
+        # swap: both tables are EXTERNAL (dropping touches metadata only)
+        self.spark.sql(f"DROP TABLE {self.name}")
+        self.spark.sql(f"DROP TABLE {tmp_name}")
+        shutil.rmtree(self.location)
+        os.rename(tmp_loc, self.location)
+        self.ensure_registered()
+        return {
+            "table": self.name,
+            "files_before": files_before,
+            "files_after": len(self.data_files()),
+        }

@@ -91,7 +91,7 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path.startswith("/nt/"):
             i = int(self.path.rsplit("/", 1)[1])
             self._reply(200, "application/n-triples", _nt_body(i).encode())
-        elif self.path == "/slow":
+        elif self.path.startswith("/slow"):
             time.sleep(4.0)
             self._reply(200, "text/plain", b"too late")
         elif self.path == "/missing":
@@ -177,6 +177,33 @@ def _hosts(spark, server):
         "host string, crawl_delay_ms int, max_fetch_per_round int, "
         "robots_disallow array<string>, is_available boolean",
     )
+
+
+def test_slow_host_cannot_stall_a_batch(spark, server):
+    """One slow host must not serialize an Arrow batch: 10 URLs that hang
+    past the timeout (server sleeps 4 s, timeout 2.5 s) mixed with 16 fast
+    ones in a SINGLE mapInPandas batch finish in ~ceil(10/8)·timeout wall
+    time (the bounded thread pool overlaps them), not n_slow × timeout —
+    and every URL gets its own correct status (time_out vs success), which
+    is exactly what crawl_round writes to the ops log and requeues from
+    (pinned end-to-end by test_crawl_round_over_http)."""
+    timeout = 2.5
+    slow = [f"{server}/slow?u={i}" for i in range(10)]
+    fast = [f"{server}/fast/{i}" for i in range(16)]  # catch-all 200 path
+    sched = spark.createDataFrame(
+        [(u,) for u in slow + fast], "url_c string"
+    ).coalesce(1)  # ONE batch: the worst case a hot partition sees
+
+    t0 = time.time()
+    rows = http_fetcher(timeout_s=timeout, max_workers=8)(spark, sched).collect()
+    wall = time.time() - t0
+
+    st = {r.doc_id: r.status for r in rows}
+    assert all(st[u] == "time_out" for u in slow)
+    assert all(st[u] == "success" for u in fast)
+    # serialized worst case is 10 × 2.5 = 25 s; pooled is two 2.5 s waves.
+    # Generous slack for loaded-machine scheduling, still far below serial.
+    assert wall < 13.0, f"batch stalled {wall:.1f}s — slow URLs serialized?"
 
 
 def test_crawl_round_over_http(spark, tmp_path, server):

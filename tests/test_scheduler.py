@@ -230,3 +230,37 @@ def test_bucketed_frontier_path_matches_plain_and_drops_exchanges(spark, tmp_pat
     # cleanup catalog entries for other tests in this session
     spark.sql("DROP TABLE t_seen_bf")
     spark.sql("DROP TABLE t_frontier_bf")
+
+
+def test_bucketed_frontier_compaction_keeps_output_and_plan(spark, tmp_path):
+    """Small-files maintenance: per-round appends each add up to a full
+    bucket file set; compact() rewrites to ≤1 file per bucket with the
+    scheduled output byte-identical and the exchange-free plan preserved."""
+    from dataset_crawler_spark.sources.frontier_table import BucketedFrontierTable
+
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hosts = datagen.hosts(spark, 20)
+    ft = BucketedFrontierTable(
+        spark, "t_frontier_cp", str(tmp_path / "frontier"), n_buckets
+    )
+    full = datagen.frontier(spark, 3000, n_hosts=20)
+    for rnd in range(4):  # 4 per-round drops → 4 appended file sets
+        ft.append(full.where(F.xxhash64("url") % 4 == rnd))
+
+    cols = ["url_c", "host", "seed_rank", "priority", "rank_in_host",
+            "scheduled_offset_ms"]
+    before = SCH.schedule_round(ft.read(), hosts).select(cols)
+    before_rows = before.collect()
+
+    info = ft.compact()
+    assert info["files_after"] <= n_buckets < info["files_before"]
+
+    after = SCH.schedule_round(ft.read(), hosts).select(cols)
+    after_rows = after.collect()
+    assert sorted(map(tuple, before_rows)) == sorted(map(tuple, after_rows))
+    assert len(after_rows) > 0
+
+    after.collect()
+    plan = after._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(url_c" not in plan
+    spark.sql("DROP TABLE t_frontier_cp")
