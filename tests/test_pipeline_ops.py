@@ -1033,3 +1033,71 @@ def test_new_topk_ops_partitioning_invariance(spark, tmp_path):
         one = [tuple(r) for r in fn(spark, f"{tmp_path}/one").collect()]
         many = [tuple(r) for r in fn(spark, f"{tmp_path}/many").collect()]
         assert one == many and len(one) > 0  # ordered comparison: rank matters
+
+
+def test_quality_classifier_matches_python_twin(spark, tmp_path):
+    """fastText-shape classifier from first principles: hashed unigram+bigram
+    NB-log-odds weights quantized to int fixed-point, exact-integer doc score
+    and keep gate — the quantization is what makes the gate bitwise
+    deterministic, so the twin must reproduce it exactly."""
+    import math
+
+    from dataset_crawler_spark.plans.queries import (
+        _FTQ_B,
+        _FTQ_Q,
+        text_classifier_quality,
+    )
+
+    docs = [
+        (0, "alpha beta gamma alpha", "en"),
+        (1, "alpha beta", "en"),
+        (2, "delta epsilon zeta", "de"),
+        (3, "alpha delta delta", "fr"),
+        (4, "zeta zeta epsilon", "en"),
+        (5, "gamma", "de"),  # single token: no bigrams
+    ]
+    spark.createDataFrame(
+        [(i, t, lang, f"src{i % 3}", len(t)) for i, t, lang in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    def rhalf(x):  # ROUND half-away-from-zero (Spark/DuckDB), not banker's
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    def grams(text):
+        t = text.split(" ")
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    ct, cr = [0] * _FTQ_B, [0] * _FTQ_B
+    for _i, t, lang in docs:
+        for g in grams(t):
+            (ct if lang == "en" else cr)[h60_py(g) % _FTQ_B] += 1
+    tt, rt = sum(ct), sum(cr)
+    wq = [
+        rhalf(
+            (math.log((ct[b] + 1.0) / (tt + _FTQ_B))
+             - math.log((cr[b] + 1.0) / (rt + _FTQ_B))) * _FTQ_Q
+        )
+        for b in range(_FTQ_B)
+    ]
+    npos = sum(1 for _, _, lang in docs if lang == "en")
+    bq = rhalf(math.log((npos + 1.0) / (len(docs) - npos + 1.0)) * _FTQ_Q)
+    want = {}
+    for i, t, lang in docs:
+        gs = grams(t)
+        s = sum(wq[h60_py(g) % _FTQ_B] for g in gs)
+        score_q = s + bq * len(gs)
+        want[i] = (
+            len(gs),
+            round(s / (len(gs) * _FTQ_Q) + bq / _FTQ_Q, 4),
+            score_q,
+            score_q > 0,
+        )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["quality_score"], r["score_q"], r["keep"])
+        for r in text_classifier_quality(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    # directional sanity on this tiny fit: the en doc whose grams all score
+    # positive is kept; the fr doc dominated by de-only "delta" is rejected
+    assert got[0][3] is True and got[3][3] is False

@@ -194,3 +194,14 @@ def test_round2_tail_ops_plan_shapes(spark):
         p = _plan(fn(spark, SF_DIR))
         assert "CartesianProduct" not in p
         assert re.search(PY_STAGES, p) is None
+
+
+def test_quality_classifier_weights_broadcast(spark):
+    from dataset_crawler_spark.plans.queries import text_classifier_quality
+
+    plan = _plan(text_classifier_quality(spark, SF_DIR))
+    # ≤512-row weight table + 1-row prior must broadcast; the gram stream
+    # never sort-merges and nothing drops into a Python stage
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert re.search(PY_STAGES, plan) is None
