@@ -73,6 +73,9 @@ ANALYTIC_QUERIES = [
     "dedup_semantic_survivors",
     "engine_incremental_signlsh",
     "dedup_substring_exact",
+    "dedup_substring_removal",
+    "engine_incremental_substr",
+    "text_classifier_quality",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
