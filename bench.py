@@ -353,11 +353,16 @@ def main() -> None:
 
     # The driver captures the LAST 2000 chars of stdout and parses the final
     # JSON line — the compact headline must fit. Drop diagnostic "_"-prefixed
-    # query keys first if the line ever outgrows the budget.
+    # query keys first if the line ever outgrows the budget — EXCEPT the ones
+    # tools/scaling_bench.py and tools/sf_sweep.py hard-require from this
+    # line (they parse the same final-JSON-line contract as the driver).
+    tool_keys = {"_n_urls", "_n_seen", "_n_scheduled", "_urls_per_sec_bucketed"}
     line = json.dumps(out)
     if len(line) > 1800:
         out["queries"] = {
-            k: v for k, v in out["queries"].items() if not k.startswith("_")
+            k: v
+            for k, v in out["queries"].items()
+            if not k.startswith("_") or k in tool_keys
         }
         line = json.dumps(out)
     if len(line) > 1800:

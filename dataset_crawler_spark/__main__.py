@@ -193,7 +193,12 @@ def run_export_shards(args) -> int:
             remove_duplicate_substrings,
         )
 
+        # materialize once: the export consumes docs twice (pack_assignments
+        # + the shard-write join-back), and the ExactSubstr rebuild above is
+        # the pipeline's most expensive stage — without a checkpoint its
+        # k-per-token window-hash shuffle would run twice
         docs = remove_duplicate_substrings(docs, k=args.dedup_substring)
+        docs = docs.localCheckpoint()
     plan = pack_assignments(docs, n_shards=args.n_shards, budget=args.bin_tokens)
     summary = write_training_shards(docs, plan, args.out)
     print(json.dumps({"store": store, "as_of": as_of, "out": args.out, **summary}))

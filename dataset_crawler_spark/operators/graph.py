@@ -88,19 +88,31 @@ def pagerank(
         "node", F.coalesce("_o", F.lit(False)).alias("has_out")
     )
 
-    # size probe picks the strategy (n is needed for the teleport term anyway)
-    n = nodes.count()
+    # cache the UNPARTITIONED sides first, then run ONE aggregate for the
+    # size probe + dangling probe: the agg scans nodes (whose plan contains
+    # the ew scan), so a single pass materializes both caches and yields
+    # both scalars — counting before caching paid the distinct/outdegree
+    # upstream twice, and the separate limit(1) dangling probe was a second
+    # driver-blocking job.
+    caches = [ew.cache(), nodes.cache()]
+    ew, nodes = caches
+    stats = nodes.agg(
+        F.count("*").alias("n"),
+        F.sum((~F.col("has_out")).cast("long")).alias("n_dangling"),
+    ).collect()[0]
+    n = stats.n
     small = n <= broadcast_threshold
-    if small:
-        ew = ew.cache()
-        nodes = nodes.cache()
-    else:
+    if not small:
         # pre-partitioned by join key and CACHED (not localCheckpoint: a
         # checkpointed ExistingRDD loses its outputPartitioning and the join
         # would re-exchange it every iteration, while InMemoryRelation keeps
         # it) — after this one exchange the static tables never move again.
+        # The repartition reads from the just-filled caches (one cheap
+        # exchange, no upstream recompute); the unpartitioned copies stay
+        # pinned until the final cleanup so the lineage never re-executes.
         ew = ew.repartition("src").cache()
         nodes = nodes.repartition("node").cache()
+        caches += [ew, nodes]
 
     # dangling is a STATIC property (has_out never changes): when no node
     # is dangling, m ≡ 0 every iteration and the per-iteration scalar
@@ -108,7 +120,7 @@ def pagerank(
     # non-eager checkpoints then all materialize inside the single final
     # action (each level is pinned as the computation flows through it, so
     # lineage is still cut per iteration).
-    has_dangling = nodes.where(~F.col("has_out")).limit(1).count() > 0
+    has_dangling = (stats.n_dangling or 0) > 0
 
     ranks = nodes.select("node", "has_out", (F.lit(1.0) / n).alias("rank")).localCheckpoint(
         eager=False
@@ -144,6 +156,6 @@ def pagerank(
     # long-lived sessions (bench loops, multi-round engines) must not
     # accumulate executor storage across pagerank calls
     out = ranks.select("node", "rank").localCheckpoint()
-    ew.unpersist()
-    nodes.unpersist()
+    for c in caches:
+        c.unpersist()
     return out

@@ -30,6 +30,9 @@ rows per schedule.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,10 +52,27 @@ class BucketedFrontierTable:
     def exists(self) -> bool:
         return self.spark.catalog.tableExists(self.name)
 
+    def _recover(self) -> None:
+        """Heal a compact() interrupted mid-swap. The swap renames the live
+        directory ASIDE (``__old``) before renaming the rewrite IN, so at
+        every instant one complete copy exists under a deterministic name:
+        ``__old`` present + live dir missing → crashed between the renames,
+        restore the original; both present → crashed after the swap, the
+        rewrite is live and ``__old`` is the superseded copy to drop."""
+        old_loc = self.location.rstrip("/") + "__old"
+        if os.path.exists(old_loc):
+            if os.path.exists(self.location):
+                shutil.rmtree(old_loc)
+            else:
+                os.rename(old_loc, self.location)
+
     def ensure_registered(self) -> None:
         """Re-attach an existing on-disk table to a fresh session's catalog
         (bucket metadata lives in the catalog; same mechanism as
-        sources/seen_table.py)."""
+        sources/seen_table.py). Runs crash recovery first so a swap
+        interrupted in a previous process can never surface as an empty
+        table."""
+        self._recover()
         if not self.exists():
             self.spark.sql(
                 f"CREATE TABLE {self.name} ({COLUMNS}) USING PARQUET "
@@ -108,12 +128,12 @@ class BucketedFrontierTable:
         swapped to the rewritten directory. Reads are byte-identical before
         and after (test-pinned, including the exchange-free schedule plan).
 
-        Crash behavior: the rewrite lands in a side directory first; a
-        crash before the swap leaves the original table untouched (plus an
-        orphan side dir that the next compact overwrites)."""
-        import os
-        import shutil
-
+        Crash behavior: the rewrite lands in a side directory first (a crash
+        before the swap leaves the original untouched, plus an orphan side
+        dir the next compact overwrites); the swap itself renames the live
+        directory aside before renaming the rewrite in, so a crash at ANY
+        point leaves one complete copy under a deterministic name and
+        ``_recover()`` (run by every ``ensure_registered``) heals it."""
         self.ensure_registered()
         files_before = len(self.data_files())
         tmp_name = f"{self.name}__compacting"
@@ -142,11 +162,16 @@ class BucketedFrontierTable:
             )
         finally:
             self.spark.conf.set(key, prev)
-        # swap: both tables are EXTERNAL (dropping touches metadata only)
+        # swap: both tables are EXTERNAL (dropping touches metadata only).
+        # rename-aside → rename-in → delete: never rmtree the only copy.
+        old_loc = self.location.rstrip("/") + "__old"
         self.spark.sql(f"DROP TABLE {self.name}")
         self.spark.sql(f"DROP TABLE {tmp_name}")
-        shutil.rmtree(self.location)
+        if os.path.exists(old_loc):
+            shutil.rmtree(old_loc)
+        os.rename(self.location, old_loc)
         os.rename(tmp_loc, self.location)
+        shutil.rmtree(old_loc)
         self.ensure_registered()
         return {
             "table": self.name,

@@ -9,16 +9,22 @@ whole parse stays inside WholeStageCodegen, no Python in the path, and a
 1000-file Common Crawl segment parallelizes file-per-task like any text scan.
 
 Format recap (ISO 28500): each record starts with ``WARC/<version>\\r\\n``,
-then WARC headers, ``\\r\\n\\r\\n``, then the payload; ``response`` records
-carry a full HTTP response (status line + headers + ``\\r\\n\\r\\n`` + body).
-The split marker is the version-family prefix ``WARC/1.`` so both WARC/1.0
-and WARC/1.1 files (wget/warcio default to 1.1) split identically — each
-record's remnant minor-version line (``0\\r\\n`` / ``1\\r\\n``) rides
-harmlessly at the head of the header block, which is parsed with multiline
-anchors. Splitting on the version marker instead of walking Content-Length
-is the one simplification (a body containing a literal line ``WARC/1.x``
-would over-split — vanishingly rare in practice and detectable as a record
-with no ``WARC-Type``); the trade buys a fully relational, splittable scan. Gzipped
+then WARC headers, ``\\r\\n\\r\\n``, then the payload, then the mandatory
+record terminator ``\\r\\n\\r\\n``; ``response`` records carry a full HTTP
+response (status line + headers + ``\\r\\n\\r\\n`` + body). The split marker
+is the full inter-record boundary ``\\r\\n\\r\\nWARC/1.`` — the spec-mandated
+block-terminating blank line plus the version-family prefix — so WARC/1.0
+and WARC/1.1 files (wget/warcio default to 1.1) split identically, and a
+payload merely CONTAINING ``WARC/1.x`` (prose, a mid-line mention, even a
+line starting with it) cannot split a record: a false split needs a blank
+line immediately followed by ``WARC/1.`` at line start inside a payload.
+Each record after the first keeps a remnant minor-version line (``0\\r\\n``
+/ ``1\\r\\n``) at the head of its header block, which is parsed with
+multiline anchors; the first record keeps its full ``WARC/1.x`` line —
+equally harmless. Splitting on the boundary instead of walking
+Content-Length is the one simplification (the residual false-split is
+detectable as a record with no ``WARC-Type``); the trade buys a fully
+relational, splittable scan. Gzipped
 ``.warc.gz`` inputs work through Spark's codec support but are
 one-task-per-file (gzip is unsplittable) — Common Crawl's ~1 GB shard
 convention makes file-level parallelism the real axis there, same as every
@@ -36,8 +42,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# version-family prefix: matches WARC/1.0 and WARC/1.1 record heads alike
-RECORD_MARKER = "WARC/1."
+# inter-record boundary: the record-terminating blank line + version-family
+# prefix — matches WARC/1.0 and WARC/1.1 heads alike, never a bare payload
+# mention of "WARC/1.x" (which lacks the preceding \r\n\r\n)
+RECORD_MARKER = "\r\n\r\nWARC/1."
 
 _TEXTUAL = ("text/", "application/json", "application/xml", "application/xhtml")
 

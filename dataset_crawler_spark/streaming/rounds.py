@@ -481,7 +481,9 @@ class CrawlEngine:
         documented same-host closure regime. The dim is dimension-scale
         (one row per host), so the per-round anti-join is a broadcast
         against the frontier and the extended dim is checkpointed to keep
-        the loop's plan flat and the robots fetch one-shot.
+        the loop's plan flat; the robots fetch is one-shot per AVAILABLE
+        host, while hosts whose last probe failed are re-probed on any
+        later round whose frontier still wants them.
         """
         from dataset_crawler_spark.sources.robots import robots_urls_of
 
@@ -494,13 +496,26 @@ class CrawlEngine:
                 else self.discovered_frontier(crawl_id - 1)
             )
             if host_dim_fn is not None:
+                # (re-)probe hosts the frontier needs that have no USABLE dim
+                # row: absent entirely, or present but marked unavailable — a
+                # transient robots failure marks the host unavailable for that
+                # round only (robots.py's documented re-probe-next-round
+                # semantics), so an anti-join on bare membership would turn
+                # one timeout into a permanent blacklist. Fresh rows REPLACE
+                # stale ones so the dim keeps one row per host.
+                settled = hosts.where(F.col("is_available")).select("host")
                 new_hosts = robots_urls_of(frontier).join(
-                    F.broadcast(hosts.select("host")), "host", "left_anti"
+                    F.broadcast(settled), "host", "left_anti"
                 )
                 if new_hosts.limit(1).count() > 0:
-                    hosts = hosts.unionByName(
-                        host_dim_fn(new_hosts).select(*hosts.columns)
-                    ).localCheckpoint()
+                    fresh = host_dim_fn(new_hosts).select(*hosts.columns)
+                    hosts = (
+                        hosts.join(
+                            F.broadcast(fresh.select("host")), "host", "left_anti"
+                        )
+                        .unionByName(fresh)
+                        .localCheckpoint()
+                    )
             stats = self.crawl_round(
                 frontier,
                 hosts,

@@ -215,6 +215,60 @@ def test_crawl_closure_discovers_new_hosts_via_host_dim_fn(spark, tmp_path):
     assert asked == [("x.example.org", "https://x.example.org/robots.txt")]
 
 
+def test_crawl_closure_reprobes_transiently_failed_host(spark, tmp_path):
+    """A transient robots-fetch failure marks the host unavailable for THAT
+    round only: when a later round's frontier still wants the host, the
+    closure loop re-probes it (anti-join on settled = available dim rows,
+    fresh row replacing the stale one) instead of treating one timeout as a
+    permanent blacklist."""
+
+    def xu(name):
+        return f"https://x.example.org/d/{name}"
+
+    corpus = spark.createDataFrame(
+        [
+            (_u("a"), [("link", None, xu("b"), 0), ("link", None, _u("a2"), 1)]),
+            (_u("a2"), [("link", None, _u("c"), 0), ("text", "mid", None, 1)]),
+            (_u("c"), [("link", None, xu("b"), 0), ("text", "re-link", None, 1)]),
+            (xu("b"), [("text", "x doc", None, 0)]),
+        ],
+        DOCS_SCHEMA,
+    )
+    dim_schema = (
+        "host string, crawl_delay_ms int, max_fetch_per_round int, "
+        "robots_disallow array<string>, is_available boolean"
+    )
+    hosts = spark.createDataFrame([("h.example.org", 10, 100, [], True)], dim_schema)
+    seeds = spark.createDataFrame(
+        [(_u("a"), "h.example.org", 1.0, 0, 0, "pending")],
+        "url string, host string, priority double, discovered_crawl_id int, "
+        "seed_rank int, state string",
+    )
+    params = SN.BloomParams.for_capacity(64, fp_rate=0.01, n_shards=4)
+
+    probes: list[str] = []
+
+    def dim_fn(new_hosts):
+        rows = [r.host for r in new_hosts.collect()]
+        probes.extend(rows)
+        # first probe of x.example.org fails (timeout → unavailable this
+        # round); any later probe succeeds
+        return spark.createDataFrame(
+            [(h, 10, 100, [], probes.count(h) >= 2) for h in rows], dim_schema
+        )
+
+    eng = CrawlEngine(spark, str(tmp_path / "reprobe"))
+    eng.crawl_closure(
+        seeds, hosts, simulated_fetcher(corpus), bloom_params=params,
+        host_dim_fn=dim_fn,
+    )
+    fetched = sorted(r.url_c for r in eng.store.read("fetched").collect())
+    # xu("b") is dropped in the round where x probes unavailable, then
+    # re-discovered via c and fetched after the successful re-probe
+    assert fetched == sorted([_u("a"), _u("a2"), _u("c"), xu("b")])
+    assert probes == ["x.example.org", "x.example.org"]
+
+
 def test_crawl_closure_resumes_after_crash(spark, tmp_path):
     """A fetcher crash mid-closure leaves the store resumable: re-running
     crawl_closure continues from the committed rounds and reaches the same

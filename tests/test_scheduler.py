@@ -264,3 +264,38 @@ def test_bucketed_frontier_compaction_keeps_output_and_plan(spark, tmp_path):
     plan = after._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(url_c" not in plan
     spark.sql("DROP TABLE t_frontier_cp")
+
+
+def test_frontier_compaction_crash_recovery(spark, tmp_path):
+    """compact()'s swap renames the live dir ASIDE before renaming the
+    rewrite IN, so a crash at either point leaves one complete copy that
+    ensure_registered() heals — never an empty table (the failure mode of
+    rmtree-then-rename: crash between them loses the only copy and the next
+    ensure_registered CREATEs an empty frontier)."""
+    import os
+    import shutil
+
+    from dataset_crawler_spark.sources.frontier_table import BucketedFrontierTable
+
+    loc = str(tmp_path / "frontier")
+    ft = BucketedFrontierTable(spark, "t_frontier_cr", loc, 8)
+    ft.append(datagen.frontier(spark, 1000, n_hosts=10))
+    want = sorted(r.url_c for r in ft.read().select("url_c").collect())
+
+    # crash point 1: between rename-aside and rename-in — live dir is gone,
+    # the only copy sits in __old (catalog entry already dropped by compact)
+    spark.sql("DROP TABLE t_frontier_cr")
+    os.rename(loc, loc + "__old")
+    ft.ensure_registered()
+    got = sorted(r.url_c for r in ft.read().select("url_c").collect())
+    assert got == want and not os.path.exists(loc + "__old")
+
+    # crash point 2: after rename-in, before deleting the superseded copy —
+    # live dir is the rewrite, __old is stale and must be dropped untouched
+    spark.sql("DROP TABLE t_frontier_cr")
+    shutil.copytree(loc, loc + "__old")
+    ft.ensure_registered()
+    got = sorted(r.url_c for r in ft.read().select("url_c").collect())
+    assert got == want and not os.path.exists(loc + "__old")
+
+    spark.sql("DROP TABLE t_frontier_cr")

@@ -133,6 +133,26 @@ def test_warc_1_1_and_mixed_versions(spark, tmp_path):
     assert got == {"http://ex.org/old", "http://ex.org/v11-a", "http://ex.org/v11-b"}
 
 
+def test_warc_payload_mentioning_warc_version_not_split(spark, tmp_path):
+    """A payload that merely CONTAINS ``WARC/1.x`` — mid-line prose or even
+    at the start of a line — must not split its record: the marker is the
+    full inter-record boundary (blank line + ``WARC/1.``), which a body can
+    only fake with a blank line immediately followed by the version prefix."""
+    body = "stored in WARC/1.1 format\r\nWARC/1.0 at line start\r\nmore text"
+    warc = (
+        _record("response", "http://ex.org/meta",
+                _http("200 OK", "text/plain", body), "eeee0000")
+        + _record("response", "http://ex.org/next",
+                  _http("200 OK", "text/plain", "after"), "eeee0001")
+    )
+    p = tmp_path / "mention.warc"
+    p.write_text(warc)
+    rows = {r.target_uri: r for r in read_warc(spark, str(p)).collect()}
+    assert set(rows) == {"http://ex.org/meta", "http://ex.org/next"}
+    assert rows["http://ex.org/meta"].body == body
+    assert rows["http://ex.org/next"].body == "after"
+
+
 def test_warc_gzip_read(spark, tmp_path):
     with gzip.open(tmp_path / "a.warc.gz", "wt") as fh:
         fh.write(WARC_A)
@@ -160,7 +180,7 @@ def test_warc_roundtrip_property(spark, tmp_path):
     payload = st.text(
         alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
         min_size=0, max_size=300,
-    ).filter(lambda s: "WARC/1." not in s and not s.endswith("\r\n"))
+    ).filter(lambda s: "\r\n\r\nWARC/1." not in s and not s.endswith("\r\n"))
     slug = st.text(alphabet="abcdefghij0123456789", min_size=1, max_size=12)
 
     @settings(max_examples=8, deadline=None,

@@ -61,6 +61,14 @@ def main() -> None:
                 "probe": probe,
                 "urls_per_sec": r["value"],
                 "schedule_round_sec": r["queries"]["schedule_round_sec"],
+                # engine-owned-frontier layout (write-side bucketed by url_c;
+                # dedup agg + exact-confirm join exchange-free) — measured at
+                # every SF so the layout's win is shown to HOLD at 10×, not
+                # just at the sf0.1 point where it was designed
+                "schedule_round_bucketed_sec": r["queries"].get(
+                    "schedule_round_bucketed_sec"
+                ),
+                "urls_per_sec_bucketed": r["queries"].get("_urls_per_sec_bucketed"),
                 "bloom_build_sec": r["queries"]["bloom_build_sec"],
                 "n_urls": r["queries"]["_n_urls"],
                 "n_seen": r["queries"]["_n_seen"],
@@ -78,6 +86,8 @@ def main() -> None:
         f"| sf{sf:g} | {base[f'sf{sf:g}']['n_urls']:,} | "
         f"{base[f'sf{sf:g}']['urls_per_sec']:,.0f} | "
         f"{base[f'sf{sf:g}']['schedule_round_sec']} | "
+        f"{base[f'sf{sf:g}']['schedule_round_bucketed_sec']} | "
+        f"{base[f'sf{sf:g}']['urls_per_sec_bucketed']:,.0f} | "
         f"{results[f'sf{sf:g}_cogroup']['schedule_round_sec']} | "
         f"{base[f'sf{sf:g}']['n_scheduled']:,} |"
         for sf in sfs
@@ -89,8 +99,8 @@ cogroup probe (the 10^10-URL path where bloom shards exceed the broadcast
 threshold). Steady-state best-of-3 after warm rounds, loadavg-stamped runs
 (BENCH/sf_sweep.json carries the stamps).
 
-| SF | frontier URLs | urls/sec (auto) | schedule wall s (auto) | wall s (forced cogroup) | scheduled |
-|---|---|---|---|---|---|
+| SF | frontier URLs | urls/sec (auto) | schedule wall s (auto) | wall s (bucketed layout) | urls/sec (bucketed) | wall s (forced cogroup) | scheduled |
+|---|---|---|---|---|---|---|---|
 {rows}
 
 Reading: throughput/URL holding (or improving, as fixed per-round overhead
@@ -98,7 +108,11 @@ amortizes) across a 10× frontier growth means no super-linear stage is hiding
 in the plan; the forced-cogroup column prices the strategy the auto switch
 selects once merged bloom shards pass the ≥512 MB broadcast threshold —
 at these SFs broadcast still wins, and the gap narrowing with SF is the
-crossover approaching from below.
+crossover approaching from below. The bucketed column is the engine-owned
+frontier layout (sources/frontier_table.py: canonicalized + bucketed by
+url_c at write, dedup aggregate + exact-confirm join exchange-free) — its
+advantage over the plain path must HOLD as the frontier grows, since the
+exchanges it removes are the stages that scale with the frontier.
 """
     with open(os.path.join(REPO, "BENCH", "SF_SWEEP.md"), "w") as f:
         f.write(md)
