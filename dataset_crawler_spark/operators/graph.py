@@ -115,24 +115,21 @@ def pagerank(
         caches += [ew, nodes]
 
     # dangling is a STATIC property (has_out never changes): when no node
-    # is dangling, m ≡ 0 every iteration and the per-iteration scalar
-    # collect — n_iter driver-blocking jobs — is skipped entirely; the
-    # non-eager checkpoints then all materialize inside the single final
-    # action (each level is pinned as the computation flows through it, so
-    # lineage is still cut per iteration).
+    # is dangling, the mass term is a constant 0 and its aggregate is
+    # elided entirely. When nodes ARE dangling, the per-iteration mass
+    # stays IN-PLAN as a 1-row aggregate broadcast onto the rank update
+    # (crossJoin(broadcast(<1-row agg>)), the engine's standard scalar
+    # pattern) instead of a driver-side collect — so ALL n_iter iterations
+    # materialize inside the single final action with zero driver-blocking
+    # jobs in the loop, matching the SQL twin's chained-CTE shape. The
+    # non-eager checkpoints pin each level as the computation flows through
+    # it, so lineage is still cut per iteration.
     has_dangling = (stats.n_dangling or 0) > 0
 
     ranks = nodes.select("node", "has_out", (F.lit(1.0) / n).alias("rank")).localCheckpoint(
         eager=False
     )
     for _ in range(n_iter):
-        # dangling mass: scalar control-plane aggregate (also materializes
-        # the non-eager checkpoint of `ranks`) — no join, the flag rides along
-        m = (
-            (ranks.where(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0] or 0.0)
-            if has_dangling
-            else 0.0
-        )
         rhs = F.broadcast(ranks) if small else ranks
         contrib = (
             ew.join(rhs, F.col("src") == F.col("node"))
@@ -140,18 +137,23 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
             .withColumnRenamed("dst", "node")
         )
-        ranks = (
-            nodes.join(F.broadcast(contrib) if small else contrib, "node", "left")
-            .select(
-                "node",
-                "has_out",
-                (
-                    F.lit(1.0 - damping) / n
-                    + damping * (F.coalesce("contrib", F.lit(0.0)) + F.lit(m) / n)
-                ).alias("rank"),
+        joined = nodes.join(F.broadcast(contrib) if small else contrib, "node", "left")
+        if has_dangling:
+            m_df = ranks.where(~F.col("has_out")).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_m")
             )
-            .localCheckpoint(eager=False)
-        )
+            joined = joined.crossJoin(F.broadcast(m_df))
+            mass = F.col("_m")
+        else:
+            mass = F.lit(0.0)
+        ranks = joined.select(
+            "node",
+            "has_out",
+            (
+                F.lit(1.0 - damping) / n
+                + damping * (F.coalesce("contrib", F.lit(0.0)) + mass / n)
+            ).alias("rank"),
+        ).localCheckpoint(eager=False)
     # pin the result to local blocks, then release the static-side caches —
     # long-lived sessions (bench loops, multi-round engines) must not
     # accumulate executor storage across pagerank calls
