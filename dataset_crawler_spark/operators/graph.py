@@ -102,7 +102,19 @@ def pagerank(
     ).collect()[0]
     n = stats.n
     small = n <= broadcast_threshold
-    if not small:
+    if small and n <= 10_000 and ew.count() <= 1_000_000:
+        # TINY graph (node threshold alone is not enough — a 100k-node graph
+        # can still carry 10^8 edges, so the edge count gates too; it reads
+        # the just-filled cache, ~free): collapse the static sides to one
+        # partition (repartition, not coalesce — coalesce(1) would serialize
+        # the upstream scan that derives the graph). Every per-iteration
+        # join then emits 1-partition frames and the loop runs
+        # single-task-per-stage instead of shuffle_partitions empty tasks
+        # per level — measured 3.9 s → 2.9 s on the 20-host sf0.1 graph.
+        ew = ew.repartition(1).cache()
+        nodes = nodes.repartition(1).cache()
+        caches += [ew, nodes]
+    elif not small:
         # pre-partitioned by join key and CACHED (not localCheckpoint: a
         # checkpointed ExistingRDD loses its outputPartitioning and the join
         # would re-exchange it every iteration, while InMemoryRelation keeps

@@ -1424,7 +1424,8 @@ def graph_host_pagerank(spark, sf_dir):
     twin all build the identical graph; the operator itself
     (operators/graph.py) takes any (src, dst) edge list and scales like the
     CC operator: one equi-join + one hash agg per iteration, dangling mass
-    as a scalar control-plane aggregate, lineage cut per round."""
+    as an in-plan 1-row broadcast aggregate (no per-iteration driver jobs),
+    lineage cut per round."""
     from dataset_crawler_spark.operators import graph as G
 
     hosts = _t(spark, sf_dir, "documents").select(
