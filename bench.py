@@ -76,6 +76,8 @@ ANALYTIC_QUERIES = [
     "dedup_substring_removal",
     "engine_incremental_substr",
     "text_classifier_quality",
+    "crawl_change_rate",
+    "crawl_dust_rules",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

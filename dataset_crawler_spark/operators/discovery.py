@@ -101,3 +101,88 @@ def expand_frontier(
         F.lit(DISCOVERED_SEED_RANK).cast("int").alias("seed_rank"),
         F.lit("pending").alias("state"),
     )
+
+
+def mine_dust_rules(
+    url_fps: DataFrame,
+    min_support: int = 5,
+    fp_group_cap: int = 6,
+    url_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """DUST rule mining — learn URL-alias rewrite rules from duplicate
+    content (Bar-Yossef, Keidar & Schonfeld, "Do Not Crawl in the DUST:
+    Different URLs with Similar Text", WWW 2007 / TWEB 2009, DustBuster's
+    rule-generation step).
+
+    ``url_fps``: (url, fp) — one row per crawled URL with its content
+    fingerprint (functions/hashing doc_fingerprint, or h60 of the text).
+    Two different URLs sharing a fingerprint are a DUST pair; each pair
+    votes for the substring substitution that maps one onto the other:
+    strip the longest common prefix and longest common suffix, and the
+    differing middles (α → β, ordered by url string order so every pair
+    votes consistently) form a candidate rule "replace α with β". Rules
+    are ranked by support (distinct pairs) and by how many distinct hosts
+    they generalize across — a rule seen on many hosts ("" → "/index.html",
+    "" → "www.") is a site-structure law worth adding to the canonicalizer;
+    a rule supported by one host's quirks is not. The crawler applies
+    high-support rules at frontier-ingest time so aliases collapse BEFORE
+    the fetch budget is spent (the reference has no alias handling at all —
+    its keys are endpoint-returned URIs taken verbatim,
+    CrawlOperations.java:715-827).
+
+    Scale shape (10^10 URLs): the pair generator joins on FINGERPRINT only
+    — never all URL pairs — and fingerprints shared by more than
+    ``fp_group_cap`` URLs (parked-domain templates, empty pages) are
+    dropped by the same doc-frequency cap that bounds every dedup join in
+    this engine, so a key yields ≤ cap·(cap−1)/2 pairs. The LCP/LCS per
+    pair is an O(len²) expression over ≤2 kB URL strings (bounded constant;
+    a binary-search LCP would be O(len·log len) but is not worth leaving
+    whole-stage codegen for). Rule aggregation is a map-side-combined hash
+    agg on ~tens-of-bytes keys.
+
+    Returns (rule_from, rule_to, support, n_hosts), support DESC-worthy.
+    """
+    u = F.col("_ua")
+    v = F.col("_ub")
+    a = url_fps.select(F.col(fp_col).alias("_fp"), F.col(url_col).alias("_ua"))
+    b = url_fps.select(F.col(fp_col).alias("_fp"), F.col(url_col).alias("_ub"))
+    ok = (
+        url_fps.groupBy(F.col(fp_col).alias("_fp"))
+        .agg(F.count_distinct(url_col).alias("_nh"))
+        .where((F.col("_nh") >= 2) & (F.col("_nh") <= fp_group_cap))
+        .select("_fp")
+    )
+    pairs = (
+        a.join(ok, "_fp").join(b, "_fp").where(u < v).select("_ua", "_ub")
+    ).distinct()
+    # longest common prefix / suffix via a codegen-side bounded scan:
+    # max k ∈ [0, min_len] with equal length-k prefixes (then suffixes of
+    # the remainder, capped so lcp + lcs ≤ min_len)
+    lcp = F.expr(
+        "array_max(filter(sequence(0, least(length(_ua), length(_ub))), "
+        "k -> substring(_ua, 1, k) = substring(_ub, 1, k)))"
+    )
+    lcs = F.expr(
+        "array_max(filter(sequence(0, least(length(_ua), length(_ub)) - _lcp), "
+        "k -> right(_ua, k) = right(_ub, k)))"
+    )
+    mids = (
+        pairs.withColumn("_lcp", lcp)
+        .withColumn("_lcs", lcs)
+        .select(
+            F.substring(u, F.col("_lcp") + 1, F.length(u) - F.col("_lcp") - F.col("_lcs"))
+            .alias("rule_from"),
+            F.substring(v, F.col("_lcp") + 1, F.length(v) - F.col("_lcp") - F.col("_lcs"))
+            .alias("rule_to"),
+            host_of(u).alias("_host"),
+        )
+    )
+    return (
+        mids.groupBy("rule_from", "rule_to")
+        .agg(
+            F.count("*").alias("support"),
+            F.count_distinct("_host").alias("n_hosts"),
+        )
+        .where(F.col("support") >= min_support)
+    )

@@ -53,6 +53,8 @@ _DRIVER_FIRST = [
     "dedup_substring_removal",
     "engine_incremental_substr",
     "text_classifier_quality",
+    "crawl_change_rate",
+    "crawl_dust_rules",
     # latest green row r02 (never re-sampled since)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
@@ -4000,4 +4002,184 @@ def sketch_countmin_topk(spark, sf_dir):
         est.select("w", "c", "est", (F.col("est") >= F.col("c")).alias("no_underestimate"))
         .orderBy(F.desc("c"), "w")
         .limit(_CMS_TOPN)
+    )
+
+
+# ==========================================================================
+# Round-4 additions: Poisson change-rate refresh estimation (Cho &
+# Garcia-Molina) + DUST URL-alias rule mining (Bar-Yossef et al.)
+# ==========================================================================
+
+#: revisit-history length for the change-rate construction: each doc gets a
+#: deterministic 12-round observed change stream whose per-round change
+#: probability is 1/P(doc), P ∈ 1..6 — h60-derived so DuckDB replays the
+#: identical stream.
+_CR_ROUNDS = 12
+_CR_PERIODS = 6
+
+
+@register(
+    "crawl_change_rate",
+    f"""
+    WITH obs AS (
+      SELECT doc_id,
+             ({h60_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)")}
+              % (1 + ({h60_sql("CAST(doc_id AS VARCHAR)")} % {_CR_PERIODS}))) = 0
+               AS changed
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(1, {_CR_ROUNDS})) AS r)),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_obs,
+             COUNT(*) FILTER (WHERE changed) AS n_changes
+      FROM obs GROUP BY doc_id)
+    SELECT doc_id, n_obs, n_changes,
+           ROUND(ln((n_obs + 0.5) / (n_obs - n_changes + 0.5)), 4) AS lambda_hat,
+           ROUND(n_changes / (n_obs + 0.5), 4) AS p_stale
+    FROM agg
+    """,
+)
+def crawl_change_rate(spark, sf_dir):
+    """Poisson change-rate refresh estimation (operators/scheduler.py
+    change_rate_estimate — Cho & Garcia-Molina's repaired MLE λ̂ =
+    ln((n+0.5)/(n−X+0.5)) and the exact-rational staleness probability
+    X/(n+0.5)). The construction plants a deterministic 12-round revisit
+    history per document with per-doc change period P ∈ 1..{_CR_PERIODS}
+    (h60-derived), so the twin pins BOTH the observation derivation and the
+    estimator algebra value-for-value. In production the observation frame
+    comes from lineage: one row per (doc, round) revisit, changed = an
+    added/updated op that round (the reference recrawls everything on a
+    fixed cycle instead — App.java:31-58).
+
+    Scale shape: explode to |docs|·12 rows of (long, bool), ONE map-side-
+    combined hash aggregate by doc_id, then per-row scalar math; no window,
+    no join, no float-accumulation hazard (outputs are functions of two
+    integer counters — see the operator docstring's 4dp boundary audit)."""
+    from dataset_crawler_spark.operators.scheduler import change_rate_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    period = F.pmod(h60(did), F.lit(_CR_PERIODS)) + 1
+    obs = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(_CR_ROUNDS))).alias("r"),
+        period.alias("_p"),
+    ).select(
+        "doc_id",
+        (
+            F.pmod(
+                h60(F.concat(did, F.lit(":"), F.col("r").cast("string"))),
+                F.col("_p"),
+            )
+            == 0
+        ).alias("changed"),
+    )
+    return change_rate_estimate(obs)
+
+
+#: DUST rule mining thresholds: fingerprint groups larger than the cap are
+#: template pages (excluded, same DF-cap discipline as every dedup join);
+#: a rule needs ≥ min-support distinct pairs to be believed.
+_DUST_FP_CAP = 6
+_DUST_MIN_SUPPORT = 10
+
+#: host-extraction twin of functions/urls.host_of for the oracle SQL
+_HOST_OF_SQL = "lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))"
+
+
+@register(
+    "crawl_dust_rules",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+             {h60_sql('text')} AS fp
+      FROM documents),
+    urls AS (
+      SELECT url, fp FROM base
+      UNION ALL SELECT url || '/index.html', fp FROM base WHERE doc_id % 3 = 0
+      UNION ALL SELECT replace(url, 'https://', 'https://www.'), fp
+        FROM base WHERE doc_id % 5 = 0
+      UNION ALL SELECT url || '?utm=1', fp FROM base WHERE doc_id % 7 = 0),
+    ok AS (SELECT fp FROM urls GROUP BY fp
+           HAVING COUNT(DISTINCT url) BETWEEN 2 AND {_DUST_FP_CAP}),
+    pairs AS (
+      SELECT DISTINCT a.url AS ua, b.url AS ub
+      FROM urls a JOIN ok USING (fp) JOIN urls b USING (fp)
+      WHERE a.url < b.url),
+    m1 AS (
+      SELECT ua, ub,
+             list_max(list_filter(range(0, least(length(ua), length(ub)) + 1),
+               k -> substr(ua, 1, CAST(k AS INT)) = substr(ub, 1, CAST(k AS INT))))
+               AS lcp
+      FROM pairs),
+    m2 AS (
+      SELECT ua, ub, lcp,
+             list_max(list_filter(range(0, least(length(ua), length(ub)) - lcp + 1),
+               k -> right(ua, CAST(k AS INT)) = right(ub, CAST(k AS INT))))
+               AS lcs
+      FROM m1),
+    mids AS (
+      SELECT substr(ua, CAST(lcp + 1 AS INT), CAST(length(ua) - lcp - lcs AS INT))
+               AS rule_from,
+             substr(ub, CAST(lcp + 1 AS INT), CAST(length(ub) - lcp - lcs AS INT))
+               AS rule_to,
+             {_HOST_OF_SQL.format(u='ua')} AS host
+      FROM m2)
+    SELECT rule_from, rule_to,
+           COUNT(*) AS support,
+           COUNT(DISTINCT host) AS n_hosts
+    FROM mids GROUP BY rule_from, rule_to
+    HAVING COUNT(*) >= {_DUST_MIN_SUPPORT}
+    """,
+)
+def crawl_dust_rules(spark, sf_dir):
+    """DUST URL-alias rule mining (operators/discovery.py mine_dust_rules —
+    DustBuster's rule-generation step, Bar-Yossef et al. WWW'07): URLs
+    sharing a content fingerprint vote for the substring substitution
+    (strip LCP/LCS, differing middles) that maps one onto the other;
+    high-support, multi-host rules are site-structure laws the canonicalizer
+    applies at frontier-ingest so aliases collapse before fetch budget is
+    spent. The construction plants three alias laws over the documents
+    corpus — '' → '/index.html' (doc_id%3), '' → 'www.' (doc_id%5),
+    '' → '?utm=1' (doc_id%7) — plus organic noise pairs from the fixture's
+    natural exact-text duplicates; the support threshold keeps exactly the
+    planted laws, and the twin pins pair generation, LCP/LCS algebra, and
+    the support/host aggregation value-for-value.
+
+    Scale shape: the pair join is FINGERPRINT-keyed with a group-size cap
+    (≤ {_DUST_FP_CAP} URLs/fp ⇒ ≤ 15 pairs/key — same DF-cap discipline as
+    the shingle joins); LCP/LCS is a bounded codegen-side scan over ≤2 kB
+    strings; rule aggregation is a map-side-combined hash agg on tiny keys."""
+    from dataset_crawler_spark.operators.discovery import mine_dust_rules
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        h60(F.col("text")).alias("fp"),
+    )
+    urls = (
+        base.select("url", "fp")
+        .unionByName(
+            base.where(F.col("doc_id") % 3 == 0).select(
+                F.concat(F.col("url"), F.lit("/index.html")).alias("url"), "fp"
+            )
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 5 == 0).select(
+                F.regexp_replace("url", r"^https://", "https://www.").alias("url"),
+                "fp",
+            )
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 7 == 0).select(
+                F.concat(F.col("url"), F.lit("?utm=1")).alias("url"), "fp"
+            )
+        )
+    )
+    return mine_dust_rules(
+        urls, min_support=_DUST_MIN_SUPPORT, fp_group_cap=_DUST_FP_CAP
     )

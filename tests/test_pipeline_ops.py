@@ -1101,3 +1101,83 @@ def test_quality_classifier_matches_python_twin(spark, tmp_path):
     # directional sanity on this tiny fit: the en doc whose grams all score
     # positive is kept; the fr doc dominated by de-only "delta" is rejected
     assert got[0][3] is True and got[3][3] is False
+
+
+# -- round-4 additions: Poisson change-rate + DUST rule mining ---------------
+
+
+def test_change_rate_estimator_matches_closed_form(spark):
+    """λ̂ and p_stale match the Cho & Garcia-Molina closed forms exactly
+    for every possible (n, X) counter pair at n=12, the X=0 case is
+    IEEE +0.0 (the positive-log form — -ln(1.0) would be -0.0 and hash
+    differently across engines), and λ̂ is strictly monotone in X."""
+    import math
+    import struct
+
+    from dataset_crawler_spark.operators.scheduler import change_rate_estimate
+
+    n = 12
+    rows = [(x, r, r < x) for x in range(n + 1) for r in range(n)]
+    obs = spark.createDataFrame(rows, "doc_id int, r int, changed boolean")
+    got = {
+        r.doc_id: r
+        for r in change_rate_estimate(obs).collect()
+    }
+    prev = -1.0
+    for x in range(n + 1):
+        r = got[x]
+        assert r.n_obs == n and r.n_changes == x
+        assert r.lambda_hat == round(math.log((n + 0.5) / (n - x + 0.5)), 4)
+        assert r.p_stale == round(x / (n + 0.5), 4)
+        assert r.lambda_hat > prev
+        prev = r.lambda_hat
+    # +0.0, not -0.0: sign bit clear in the wire value
+    assert struct.pack(">d", got[0].lambda_hat)[0] & 0x80 == 0
+
+
+def test_dust_rules_recover_planted_laws(spark):
+    """mine_dust_rules recovers exactly the planted alias laws from a
+    content-fingerprint table: per-pair middles generalize across hosts,
+    sub-threshold organic pairs are filtered, and over-cap fingerprint
+    groups (template pages) never generate pairs."""
+    from dataset_crawler_spark.operators.discovery import mine_dust_rules
+
+    rows = []
+    for i in range(12):
+        base = f"https://h{i}.org/page{i}"
+        rows += [(base, i), (base + "/index.html", i)]
+    # organic noise: two URLs sharing content by coincidence (support 1)
+    rows += [("https://h0.org/a", 100), ("https://h1.org/b", 100)]
+    # a template fingerprint on 9 URLs: over the cap, must yield nothing
+    rows += [(f"https://t{j}.org/parked", 200) for j in range(9)]
+    df = spark.createDataFrame(rows, "url string, fp int")
+
+    got = {
+        (r.rule_from, r.rule_to): r
+        for r in mine_dust_rules(df, min_support=5, fp_group_cap=6).collect()
+    }
+    assert set(got) == {("", "/index.html")}
+    assert got[("", "/index.html")].support == 12
+    assert got[("", "/index.html")].n_hosts == 12
+
+
+def test_dust_rules_middle_extraction_is_lcp_lcs_exact(spark):
+    """The substitution middle is exactly the string between the longest
+    common prefix and the longest common suffix — including the overlap
+    cap (lcp + lcs ≤ min length) that keeps e.g. prefix-pairs from
+    double-counting shared characters."""
+    from dataset_crawler_spark.operators.discovery import mine_dust_rules
+
+    cases = [
+        # (a, b, expected_from, expected_to)
+        ("https://x.org/p?utm=1", "https://x.org/p?utm=2", "1", "2"),
+        ("https://x.org/aa", "https://x.org/aaaa", "", "aa"),  # overlap cap
+        ("https://s.org/d", "https://www.s.org/d", "", "www."),
+    ]
+    rows = [(a, i) for i, (a, _, _, _) in enumerate(cases)] + [
+        (b, i) for i, (_, b, _, _) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, "url string, fp int")
+    got = mine_dust_rules(df, min_support=1, fp_group_cap=6).collect()
+    want = {(f, t) for (_, _, f, t) in cases}
+    assert {(r.rule_from, r.rule_to) for r in got} == want

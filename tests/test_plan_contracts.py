@@ -205,3 +205,26 @@ def test_quality_classifier_weights_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert re.search(PY_STAGES, plan) is None
+
+
+def test_change_rate_single_aggregate_no_join(spark):
+    from dataset_crawler_spark.plans.queries import crawl_change_rate
+
+    plan = _plan(crawl_change_rate(spark, SF_DIR))
+    # explode → ONE doc_id hash aggregate → scalar math: exactly one
+    # exchange, no join, nothing Python
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert re.search(PY_STAGES, plan) is None
+
+
+def test_dust_rules_fp_keyed_never_cartesian(spark):
+    from dataset_crawler_spark.plans.queries import crawl_dust_rules
+
+    plan = _plan(crawl_dust_rules(spark, SF_DIR))
+    # pair generation joins on fingerprint only (group-size-capped) — a
+    # cartesian/nested-loop pair blowup must never appear, and the LCP/LCS
+    # scan stays in codegen (no Python stage)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(PY_STAGES, plan) is None
