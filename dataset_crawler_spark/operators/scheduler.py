@@ -267,7 +267,12 @@ def adaptive_host_budgets(
     """
     stats = ops.groupBy("host").agg(
         (
-            F.sum((F.col("status") != "success").cast("int")) / F.count("*")
+            # not_modified is a healthy outcome (304 revalidation, zero
+            # bytes) — only genuine fetch failures count against a host
+            F.sum(
+                (~F.col("status").isin("success", "not_modified")).cast("int")
+            )
+            / F.count("*")
         ).alias("fail_rate")
     )
     # the output carries a fail_rate column, so drop a pre-existing one from

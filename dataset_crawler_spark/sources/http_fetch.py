@@ -50,6 +50,13 @@ OP_SUCCESS, OP_ERROR, OP_EXCEPTION, OP_TIMEOUT = (
     "time_out",
 )
 
+#: conditional-GET outcome beyond the reference's CrawlerLogs vocabulary: the
+#: server answered 304 Not Modified to our validators, so the stored state is
+#: current and NO body crossed the wire. Not a failure (never retried, never
+#: counts against a host's budget) and not a plain success (there is nothing
+#: to diff) — its own status so the ops log records the bandwidth saved.
+OP_NOT_MODIFIED = "not_modified"
+
 USER_AGENT = "dataset-crawler-spark/0.3"
 
 #: mapInPandas output schema — matches simulated_fetcher's columns so
@@ -59,6 +66,10 @@ FETCH_SCHEMA = (
     "spans array<struct<kind string, text string, media_ref string, offset int>>, "
     "status string, message string"
 )
+
+#: conditional fetcher adds the response validators (HTTP ETag +
+#: Last-Modified) so the engine can persist them and revalidate next round.
+FETCH_COND_SCHEMA = FETCH_SCHEMA + ", etag string, last_modified string"
 
 # Same triple grammar as sources/ntriples.py (kept in sync — parity-tested).
 _TRIPLE_RE = re.compile(r"^\s*<([^>]+)>\s+<([^>]+)>\s+(.*?)\s*\.\s*$")
@@ -151,6 +162,52 @@ def fetch_one(url: str, timeout_s: float, parser=parse_spans) -> tuple:
         return status, message, None
 
 
+def fetch_one_cond(
+    url: str,
+    timeout_s: float,
+    etag: str | None = None,
+    last_modified: str | None = None,
+    parser=parse_spans,
+) -> tuple:
+    """Conditional GET (RFC 9110 §13): sends ``If-None-Match`` /
+    ``If-Modified-Since`` when the caller holds validators from a prior
+    fetch. Returns (status, message, spans|None, etag|None, last_modified|
+    None). A 304 reply keeps the presented validators (the stored document
+    is current — zero body bytes moved); a 200 reply carries the server's
+    fresh validators for the next revalidation. Never raises."""
+    headers = {"User-Agent": USER_AGENT}
+    if etag:
+        headers["If-None-Match"] = etag
+    if last_modified:
+        headers["If-Modified-Since"] = last_modified
+    req = urllib.request.Request(url, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            body = resp.read()
+            ctype = resp.headers.get("Content-Type", "")
+            new_etag = resp.headers.get("ETag")
+            new_lm = resp.headers.get("Last-Modified")
+        try:
+            return (
+                OP_SUCCESS, f"fetched {len(body)} bytes", parser(ctype, body),
+                new_etag, new_lm,
+            )
+        except Exception as exc:  # parse failure ≠ transport failure
+            return (
+                OP_EXCEPTION, f"parse: {type(exc).__name__}: {exc}", None,
+                new_etag, new_lm,
+            )
+    except urllib.error.HTTPError as exc:
+        if exc.code == 304:
+            return (
+                OP_NOT_MODIFIED, "304: not modified", None, etag, last_modified
+            )
+        return OP_ERROR, f"{exc.code}: {exc.reason}", None, None, None
+    except Exception as exc:  # NOT BaseException: Ctrl-C/SystemExit propagate
+        status, message = _classify(exc)
+        return status, message, None, None, None
+
+
 def http_fetcher(timeout_s: float = 5.0, max_workers: int = 8, parser=parse_spans):
     """Build the production FetchFn: ``fetch(spark, scheduled) -> live_raw``.
 
@@ -185,6 +242,67 @@ def http_fetcher(timeout_s: float = 5.0, max_workers: int = 8, parser=parse_span
                 )
 
         return scheduled.select("url_c").mapInPandas(run, FETCH_SCHEMA)
+
+    return fetch
+
+
+def http_fetcher_conditional(
+    timeout_s: float = 5.0, max_workers: int = 8, parser=parse_spans
+):
+    """Conditional-GET FetchFn: like :func:`http_fetcher` but revalidates
+    instead of refetching. If the ``scheduled`` frame carries ``etag`` /
+    ``last_modified`` columns (the engine joins its validator table on —
+    CrawlEngine.crawl_round(conditional=True)), each request presents them
+    and an unchanged document comes back as ONE status row
+    (``not_modified``) instead of a body — at refresh-crawl scale the
+    dominant bandwidth cost (re-downloading the unchanged majority) drops
+    to a header exchange. Output schema = FETCH_COND_SCHEMA: success rows
+    carry the server's fresh validators for the next round.
+
+    Same execution shape as the plain fetcher: one mapInPandas stage, one
+    Python invocation per Arrow batch, bounded thread pool per task."""
+
+    def fetch(spark: SparkSession, scheduled: DataFrame) -> DataFrame:
+        cols = ["url_c"]
+        has_validators = "etag" in scheduled.columns
+        if has_validators:
+            cols += ["etag", "last_modified"]
+
+        def run(batches):
+            for pdf in batches:
+                urls = pdf["url_c"].tolist()
+                if not urls:
+                    continue
+                if has_validators:
+                    etags = [e if isinstance(e, str) else None for e in pdf["etag"]]
+                    lms = [
+                        m if isinstance(m, str) else None
+                        for m in pdf["last_modified"]
+                    ]
+                else:
+                    etags = [None] * len(urls)
+                    lms = [None] * len(urls)
+                with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                    results = list(
+                        pool.map(
+                            lambda ue: fetch_one_cond(
+                                ue[0], timeout_s, ue[1], ue[2], parser
+                            ),
+                            zip(urls, etags, lms),
+                        )
+                    )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": urls,
+                        "spans": [r[2] for r in results],
+                        "status": [r[0] for r in results],
+                        "message": [r[1] for r in results],
+                        "etag": [r[3] for r in results],
+                        "last_modified": [r[4] for r in results],
+                    }
+                )
+
+        return scheduled.select(*cols).mapInPandas(run, FETCH_COND_SCHEMA)
 
     return fetch
 

@@ -50,6 +50,12 @@ FetchFn = Callable[[SparkSession, DataFrame], DataFrame]
 #: per-operation status vocabulary (database_operations/CrawlerLogs.java:30-48)
 OP_SUCCESS, OP_ERROR, OP_EXCEPTION, OP_TIMEOUT = "success", "error", "exception", "time_out"
 
+#: conditional-GET outcome (sources/http_fetch.OP_NOT_MODIFIED): the server
+#: confirmed the stored document is current (304) — not a failure (never
+#: retried, never counts against a host's budget), not a plain success
+#: (nothing to diff).
+OP_NOT_MODIFIED = "not_modified"
+
 
 class CrawlEngine:
     def __init__(
@@ -247,6 +253,23 @@ class CrawlEngine:
         latest = c.agg(F.max("crawl_id")).first()[0]
         return c.where(F.col("crawl_id") == latest).drop("crawl_id")
 
+    def validators_as_of(self, as_of: int | None) -> DataFrame | None:
+        """Latest HTTP validators (ETag / Last-Modified) per canonical URL
+        from committed rounds ≤ as_of — the revalidation dimension joined
+        onto the schedule when ``crawl_round(conditional=True)``. Last-
+        writer-wins per url_c (same fold as every as-of read); None before
+        the first round that captured any."""
+        if as_of is None or not self.store.committed_rounds():
+            return None
+        try:
+            v = self.store.read("validators", as_of=as_of)
+        except FileNotFoundError:
+            return None
+        return v.groupBy("url_c").agg(
+            F.max_by("etag", "crawl_id").alias("etag"),
+            F.max_by("last_modified", "crawl_id").alias("last_modified"),
+        )
+
     def crawl_round(
         self,
         frontier: DataFrame | None,
@@ -262,6 +285,7 @@ class CrawlEngine:
         discover_links: bool = False,
         adapt_budgets: bool = False,
         budget_lookback: int = 3,
+        conditional: bool = False,
     ) -> dict:
         """One complete crawl round (the reference's single_run iteration,
         IncrementalDatasetCrawler.java:121-185, distributed):
@@ -290,6 +314,18 @@ class CrawlEngine:
         state is written after the round commit; a crash in between just
         falls back to the previous round's filter (over-scheduling a few
         URLs, which the idempotent diff absorbs).
+
+        ``conditional=True`` (with a validator-aware fetcher —
+        sources/http_fetch.http_fetcher_conditional): the engine joins its
+        validator table (HTTP ETag / Last-Modified captured from prior
+        rounds) onto the scheduled frame, so unchanged documents revalidate
+        as ONE 304 status row instead of a body — at refresh-crawl scale
+        the dominant bandwidth cost disappears. ``not_modified`` outcomes
+        are logged in ops_log, excluded from retries and budget backoff,
+        and in ``mode="full"`` their stored spans stand in for the
+        unfetched body so the full-snapshot diff does NOT see them as
+        deleted. Fresh validators from 200 responses are appended to the
+        store per round (last-writer-wins on revalidation).
         """
         if mode not in ("discover", "full"):
             raise ValueError(f"unknown crawl mode {mode!r}")
@@ -331,7 +367,15 @@ class CrawlEngine:
             probe_strategy="cuckoo" if (cuckoo and filter_state is not None) else "auto",
         ).cache()
         n_scheduled = sched.count()
-        live_raw = fetch_fn(self.spark, sched).cache()
+        fetch_input = sched
+        if conditional:
+            vdim = self.validators_as_of(prev_round)
+            if vdim is not None:
+                # dimension-sized per-URL validators ride the schedule into
+                # the fetch stage; URLs never fetched before join to nulls
+                # (plain unconditional GET)
+                fetch_input = sched.join(vdim, "url_c", "left")
+        live_raw = fetch_fn(self.spark, fetch_input).cache()
 
         # Per-operation status log (K4 depth — CrawlerLogs.java:30-48 records
         # success/error/exception/time_out per request; 2M rows in the
@@ -389,6 +433,34 @@ class CrawlEngine:
 
             self.store.append("discovered", expand_frontier(live, crawl_id), crawl_id)
 
+        if conditional and "etag" in live_raw.columns:
+            # persist fresh validators (and re-confirmations) for the next
+            # round's revalidation join — last-writer-wins per url_c
+            vrows = live_raw.where(
+                F.col("status").isin(OP_SUCCESS, OP_NOT_MODIFIED)
+                & (F.col("etag").isNotNull() | F.col("last_modified").isNotNull())
+            ).select(
+                F.col("doc_id").alias("url_c"),
+                "etag",
+                "last_modified",
+                F.lit(crawl_id).cast("int").alias("crawl_id"),
+            )
+            self.store.append("validators", vrows, crawl_id)
+
+        live_for_diff = live
+        if conditional and status_aware and not discover:
+            # full-snapshot semantics: a 304'd document was NOT refetched but
+            # IS present and unchanged — its stored spans stand in so the
+            # diff can never misread the missing body as a deletion
+            nm = live_raw.where(F.col("status") == OP_NOT_MODIFIED).select("doc_id")
+            unchanged = (
+                self.state_as_of(prev_round)
+                .where(F.col("last_op") != "deleted")
+                .join(nm, "doc_id")
+                .select("doc_id", "spans")
+            )
+            live_for_diff = live.unionByName(unchanged)
+
         fetched = live.select(F.col("doc_id").alias("url_c"))
         self.store.append("fetched", fetched, crawl_id)
         if self.seen_index is not None:
@@ -403,10 +475,18 @@ class CrawlEngine:
             )
             self.store.append("bloom", merged, crawl_id)
 
-        stats = self.run_round(live, crawl_id, description=description, partial=discover)
+        stats = self.run_round(
+            live_for_diff, crawl_id, description=description, partial=discover
+        )
+        n_not_modified = (
+            int(live_raw.where(F.col("status") == OP_NOT_MODIFIED).count())
+            if (conditional and status_aware)
+            else 0
+        )
         stats["scheduled"] = int(n_scheduled)
         stats["fetched"] = int(n_fetched)
-        stats["failed"] = int(n_scheduled) - int(n_fetched)
+        stats["not_modified"] = n_not_modified
+        stats["failed"] = int(n_scheduled) - int(n_fetched) - n_not_modified
         # re-commit the manifest entry with the fetch-stage counts included —
         # idempotent overwrite of the same round; the manifest is the round's
         # ops record (crawl_log twin), so scheduled/fetched/failed belong in it
@@ -572,7 +652,8 @@ class CrawlEngine:
         failure set is read back from the ops log and re-queued explicitly so
         retry pressure decays instead of starving fresh URLs."""
         failed = self.ops_log_as_of(crawl_id).where(
-            (F.col("crawl_id") == crawl_id) & (F.col("status") != OP_SUCCESS)
+            (F.col("crawl_id") == crawl_id)
+            & ~F.col("status").isin(OP_SUCCESS, OP_NOT_MODIFIED)
         )
         return failed.select(
             F.col("url_c").alias("url"),

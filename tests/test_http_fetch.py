@@ -54,6 +54,10 @@ class _Handler(BaseHTTPRequestHandler):
 
     LINK_GRAPH = {"a": ["b", "c"], "b": ["c", "d"], "c": ["a"], "d": [], "e": ["a"]}
 
+    #: mutable per-path content versions for the conditional-GET endpoints —
+    #: ETag is f'"v{version}"'; tests bump a version to simulate a change
+    COND_VERSIONS: dict[str, int] = {}
+
     def do_GET(self):
         if self.path.startswith("/link/"):
             name = self.path.rsplit("/", 1)[1]
@@ -84,6 +88,30 @@ class _Handler(BaseHTTPRequestHandler):
             )
             body = f'<?xml version="1.0"?><urlset>{locs}</urlset>'.encode()
             self._reply(200, "application/xml", body)
+        elif self.path.startswith("/cond/"):
+            # conditional-GET endpoint: stable ETag + Last-Modified per
+            # content version; If-None-Match match → 304 with no body
+            ver = self.COND_VERSIONS.get(self.path, 1)
+            etag = f'"{self.path}-v{ver}"'
+            lm = "Mon, 01 Jan 2024 00:00:00 GMT"
+            if self.headers.get("If-None-Match") == etag:
+                self.send_response(304)
+                self.send_header("ETag", etag)
+                self.end_headers()
+                return
+            i = int(self.path.rsplit("/", 1)[1])
+            spans = [
+                {"kind": "text", "text": f"cond {i} version {ver}",
+                 "media_ref": None, "offset": 0}
+            ]
+            body = json.dumps({"spans": spans}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("ETag", etag)
+            self.send_header("Last-Modified", lm)
+            self.end_headers()
+            self.wfile.write(body)
         elif self.path.startswith("/doc/"):
             i = int(self.path.rsplit("/", 1)[1])
             body = json.dumps({"spans": _doc_spans(i)}).encode()
@@ -360,3 +388,98 @@ def test_streaming_self_feeding_closure_over_http(spark, tmp_path, server):
     assert [(s.kind, s.media_ref) for s in row.spans] == [
         ("link", u("c")), ("link", u("d")), ("text", None)
     ]
+
+
+# -- conditional GET: ETag / If-Modified-Since revalidation -------------------
+
+
+def test_fetch_one_cond_revalidates(server):
+    from dataset_crawler_spark.sources.http_fetch import fetch_one_cond
+
+    st, _, spans, etag, lm = fetch_one_cond(f"{server}/cond/1", 5.0)
+    assert st == "success" and spans[0]["text"] == "cond 1 version 1"
+    assert etag and lm
+
+    # same validators → 304, no body, validators retained
+    st2, msg2, spans2, etag2, _ = fetch_one_cond(
+        f"{server}/cond/1", 5.0, etag=etag, last_modified=lm
+    )
+    assert st2 == "not_modified" and spans2 is None and etag2 == etag
+    assert "304" in msg2
+
+    # content change → 200 with the new body and a NEW etag
+    _Handler.COND_VERSIONS["/cond/1"] = 2
+    try:
+        st3, _, spans3, etag3, _ = fetch_one_cond(
+            f"{server}/cond/1", 5.0, etag=etag, last_modified=lm
+        )
+        assert st3 == "success"
+        assert spans3[0]["text"] == "cond 1 version 2"
+        assert etag3 != etag
+    finally:
+        _Handler.COND_VERSIONS.pop("/cond/1", None)
+
+
+def test_conditional_crawl_round_over_http(spark, tmp_path, server):
+    """Full-mode refresh with conditional=True: round 1 does plain GETs and
+    stores validators; round 2 revalidates — unchanged docs come back 304
+    (zero body bytes), are logged not_modified, are NOT diffed as deleted,
+    are NOT requeued as retries, and a genuinely changed doc still produces
+    an updated lineage row with its new spans."""
+    from dataset_crawler_spark.sources.http_fetch import http_fetcher_conditional
+
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    urls = [f"{server}/cond/{i}" for i in range(4)]
+    frontier = spark.createDataFrame(
+        [(u, None, 1.0, 0, i, "pending") for i, u in enumerate(urls)],
+        "url string, host string, priority double, discovered_crawl_id int, "
+        "seed_rank int, state string",
+    )
+    fetch = http_fetcher_conditional(timeout_s=5.0, max_workers=8)
+
+    s0 = eng.crawl_round(
+        frontier, _hosts(spark, server), fetch, 0, mode="full", conditional=True
+    )
+    assert s0["fetched"] == 4 and s0["not_modified"] == 0 and s0["added"] == 4
+    v0 = {r.url_c: r.etag for r in eng.validators_as_of(0).collect()}
+    assert set(v0) == set(urls) and all(v0.values())
+
+    # round 1: one doc changes server-side; the rest must 304
+    _Handler.COND_VERSIONS["/cond/2"] = 2
+    try:
+        s1 = eng.crawl_round(
+            frontier, _hosts(spark, server), fetch, 1, mode="full", conditional=True
+        )
+    finally:
+        _Handler.COND_VERSIONS.pop("/cond/2", None)
+    assert s1["fetched"] == 1          # only the changed doc moved a body
+    assert s1["not_modified"] == 3
+    assert s1["failed"] == 0
+    assert s1["updated"] == 1 and s1["added"] == 0
+    assert s1["deleted"] == 0          # 304'd docs must NOT read as deleted
+
+    lin1 = eng.store.read("lineage", as_of=1).where(F.col("crawl_id") == 1)
+    assert {(r.doc_id, r.op) for r in lin1.collect()} == {
+        (f"{server}/cond/2", "updated")
+    }
+    new_spans = eng.store.read("versions", as_of=1).where(
+        (F.col("doc_id") == f"{server}/cond/2") & (F.col("crawl_id") == 1)
+    ).collect()[0].spans
+    assert new_spans[0].text == "cond 2 version 2"
+
+    ops1 = eng.store.read("ops_log", as_of=1).where(F.col("crawl_id") == 1)
+    by_status = {
+        r["status"]: r["n"]
+        for r in ops1.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_status == {"success": 1, "not_modified": 3}
+    # 304s are healthy: no retries, no budget backoff pressure
+    assert eng.retry_frontier(crawl_id=1).count() == 0
+    adapted = eng.adaptive_hosts(_hosts(spark, server), as_of=1, lookback=1)
+    assert all(r.fail_rate == 0.0 for r in adapted.collect())
+    # the changed doc's NEW validators win the last-writer fold
+    v1 = {r.url_c: r.etag for r in eng.validators_as_of(1).collect()}
+    assert v1[f"{server}/cond/2"] != v0[f"{server}/cond/2"]
+    for u in urls:
+        if u != f"{server}/cond/2":
+            assert v1[u] == v0[u]
