@@ -102,7 +102,10 @@ def run_crawl(args) -> int:
     from pyspark.sql import functions as F
 
     from dataset_crawler_spark.operators import seen as SN
-    from dataset_crawler_spark.sources.http_fetch import http_fetcher
+    from dataset_crawler_spark.sources.http_fetch import (
+        http_fetcher,
+        http_fetcher_conditional,
+    )
     from dataset_crawler_spark.sources.robots import (
         hosts_dim_over_http,
         robots_urls_of,
@@ -148,15 +151,21 @@ def run_crawl(args) -> int:
     dim = fetch_dim(robots_urls_of(seeds))
 
     params = SN.BloomParams.for_capacity(args.capacity, fp_rate=0.01, n_shards=32)
+    fetch = (
+        http_fetcher_conditional(timeout_s=args.timeout)
+        if args.conditional
+        else http_fetcher(timeout_s=args.timeout)
+    )
     stats = eng.crawl_closure(
         seeds,
         dim,
-        http_fetcher(timeout_s=args.timeout),
+        fetch,
         bloom_params=params,
         max_rounds=args.rounds,
         seen_filter=args.seen_filter,
         adapt_budgets=True,
         host_dim_fn=fetch_dim,
+        conditional=args.conditional,
     )
     for rnd, s in enumerate(stats):
         print(json.dumps({"round": rnd, "store": store, **s}))
@@ -233,6 +242,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="max fetches per host per round")
     pc.add_argument("--capacity", type=int, default=1_000_000,
                     help="bloom capacity (expected total URLs)")
+    pc.add_argument("--conditional", action="store_true",
+                    help="conditional GETs: store ETag/Last-Modified and "
+                         "revalidate instead of refetching (304 ⇒ unchanged)")
     pc.set_defaults(fn=run_crawl)
 
     pw = sub.add_parser("ingest-warc", help="load WARC file(s) as one committed round")

@@ -125,6 +125,12 @@ _SITEMAP_LINE_RE = r"(?im)^\s*sitemap\s*:\s*(\S+)"
 #: keeps the whole source relational.
 _SITEMAP_LOC_RE = r"<loc>\s*([^<\s]+)\s*</loc>"
 
+#: one <url>…</url> entry (dotall: entries span lines); loc + optional
+#: lastmod are extracted per entry so they stay correctly paired even when
+#: only some entries carry lastmod.
+_SITEMAP_ENTRY_RE = r"(?s)<url>(.*?)</url>"
+_SITEMAP_LASTMOD_RE = r"<lastmod>\s*([^<\s]+)\s*</lastmod>"
+
 
 def sitemap_urls(df: DataFrame, text_col: str = "robots_txt") -> DataFrame:
     """(host, robots_txt, …) → (host, sitemap_url): every Sitemap: directive.
@@ -144,6 +150,7 @@ def sitemap_seeds(
     xml_col: str = "sitemap_xml",
     priority: float = 1.0,
     seed_rank: int = 0,
+    with_lastmod: bool = False,
 ) -> DataFrame:
     """Fetched sitemap documents → pending FRONTIER rows.
 
@@ -153,18 +160,44 @@ def sitemap_seeds(
     listing is an explicit publisher signal, so the default outranks
     discovered outlinks' indegree priorities, which are < 1). Narrow
     extract + one dedup aggregate over (url) — the standard seed-source
-    shape (sources/seeds.py)."""
+    shape (sources/seeds.py).
+
+    ``with_lastmod=True`` additionally extracts each entry's ``<lastmod>``
+    (W3C datetime — date-only or full ISO timestamp; parsed with try-cast
+    semantics so malformed values become null, never an error) and keeps it
+    as a ``lastmod`` timestamp column (max per URL when listed twice).
+    Feed the result to :func:`lastmod_priority` to turn publisher-declared
+    recency into a deterministic refresh priority."""
     from dataset_crawler_spark.functions.urls import canonicalize_url, host_of
 
-    locs = sitemaps.select(
-        F.explode(
-            F.regexp_extract_all(xml_col, F.lit(_SITEMAP_LOC_RE), F.lit(1))
-        ).alias("url")
-    )
+    if with_lastmod:
+        # per-entry extraction keeps loc↔lastmod pairing correct when only
+        # some entries carry lastmod (an unpaired global scan would zip them)
+        entry = sitemaps.select(
+            F.explode(
+                F.regexp_extract_all(xml_col, F.lit(_SITEMAP_ENTRY_RE), F.lit(1))
+            ).alias("entry")
+        )
+        locs = entry.select(
+            F.regexp_extract("entry", _SITEMAP_LOC_RE, 1).alias("url"),
+            F.try_to_timestamp(
+                F.nullif(
+                    F.regexp_extract("entry", _SITEMAP_LASTMOD_RE, 1), F.lit("")
+                )
+            ).alias("lastmod"),
+        ).where(F.length("url") > 0)
+        lastmod_aggs = [F.max("lastmod").alias("lastmod")]
+    else:
+        locs = sitemaps.select(
+            F.explode(
+                F.regexp_extract_all(xml_col, F.lit(_SITEMAP_LOC_RE), F.lit(1))
+            ).alias("url")
+        )
+        lastmod_aggs = []
     return (
-        locs.select(canonicalize_url(F.col("url")).alias("url"))
+        locs.select(canonicalize_url(F.col("url")).alias("url"), *locs.columns[1:])
         .groupBy("url")
-        .agg(F.count("*").alias("_n"))
+        .agg(F.count("*").alias("_n"), *lastmod_aggs)
         .select(
             "url",
             host_of("url").alias("host"),
@@ -172,7 +205,46 @@ def sitemap_seeds(
             F.lit(0).cast("int").alias("discovered_crawl_id"),
             F.lit(seed_rank).cast("int").alias("seed_rank"),
             F.lit("pending").alias("state"),
+            *(["lastmod"] if with_lastmod else []),
         )
+    )
+
+
+def lastmod_priority(
+    seeds: DataFrame,
+    as_of: str,
+    halflife_days: float = 30.0,
+    base: float = 0.5,
+) -> DataFrame:
+    """Publisher-declared recency → refresh priority, deterministically.
+
+    ``priority = base + (1 − base) · 2^(−age_days / halflife_days)`` where
+    age is measured from the EXPLICIT ``as_of`` instant (an ISO timestamp
+    string — never wall-clock, so the same inputs always schedule the same
+    round). A URL modified at ``as_of`` gets priority 1.0, one modified a
+    half-life ago gets the midpoint, and a URL with no ``lastmod`` (or a
+    future one — clock-skewed publishers exist) falls back to ``base``
+    resp. 1.0. The output drops ``lastmod`` and matches the FRONTIER seed
+    schema, so it feeds straight into the scheduler; the priority shift
+    composes with the pinned crawl order (priority DESC first).
+
+    Pure narrow projection — no shuffle at any frontier scale."""
+    age_days = (
+        F.unix_timestamp(F.lit(as_of).cast("timestamp"))
+        - F.unix_timestamp(F.col("lastmod"))
+    ) / 86400.0
+    # explicit null gate: greatest() IGNORES nulls, so a bare
+    # greatest(age, 0) would read "no lastmod" as "age 0" and hand the
+    # unknown-recency URLs top priority instead of the base fallback
+    p = F.when(
+        F.col("lastmod").isNotNull(),
+        F.lit(base)
+        + F.lit(1.0 - base)
+        * F.pow(F.lit(2.0), -F.greatest(age_days, F.lit(0.0)) / halflife_days),
+    ).otherwise(F.lit(float(base)))
+    return seeds.select(
+        *[c for c in seeds.columns if c not in ("priority", "lastmod")],
+        F.round(p, 4).alias("priority"),
     )
 
 

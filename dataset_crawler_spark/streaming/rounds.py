@@ -532,6 +532,7 @@ class CrawlEngine:
         seen_filter: str = "bloom",
         adapt_budgets: bool = False,
         host_dim_fn=None,
+        conditional: bool = False,
     ) -> list[dict]:
         """Crawl to link closure: round 0 schedules the seeds, every later
         round schedules the URLs discovered by the previous round's fetches,
@@ -607,6 +608,7 @@ class CrawlEngine:
                 seen_filter=seen_filter,
                 discover_links=True,
                 adapt_budgets=adapt_budgets,
+                conditional=conditional,
             )
             out.append(stats)
             if stats["scheduled"] == 0:
@@ -702,6 +704,58 @@ class CrawlEngine:
             url.alias("url"),
             host_of(url).alias("host"),
             F.col("change_score").alias("priority"),
+            F.lit(0).cast("int").alias("discovered_crawl_id"),
+            F.lit(0).cast("int").alias("seed_rank"),
+            F.lit("pending").alias("state"),
+        )
+
+    def change_rate_frontier(
+        self, as_of: int | None = None, min_obs: int = 1
+    ) -> DataFrame:
+        """Poisson-model re-crawl queue: the statistically-grounded upgrade
+        of :meth:`refresh_frontier`'s decayed-sum ranking (operators/
+        scheduler.py change_rate_estimate — Cho & Garcia-Molina's repaired
+        λ̂ MLE). Observations come from the engine's own logs: one
+        observation per (doc, round) REVISIT — a fetch that succeeded or
+        revalidated (``not_modified`` counts as an observation of
+        no-change, which is exactly what conditional fetch buys the
+        estimator: cheap unchanged observations) — and ``changed`` = an
+        added/updated lineage op in that round. ``priority = p_stale``,
+        the probability the doc has changed since its last visit, so one
+        politeness budget spent on this frontier maximizes expected
+        freshness gained per fetch.
+
+        Scale shape: ops-log scan → lineage left join on (doc_id, round) →
+        one hash agg per doc — the same per-key-aggregate plan family as
+        every as-of read; nothing driver-side."""
+        as_of = self.store.last_round() if as_of is None else as_of
+        ops = self.ops_log_as_of(as_of).where(
+            (F.col("stage") == "fetch")
+            & F.col("status").isin(OP_SUCCESS, OP_NOT_MODIFIED)
+        )
+        obs = ops.select(F.col("url_c").alias("doc_id"), "crawl_id")
+        lin = (
+            self.store.read("lineage", as_of=as_of)
+            .where(F.col("op") != "deleted")
+            .select("doc_id", "crawl_id", F.lit(True).alias("_chg"))
+        )
+        obs = obs.join(lin, ["doc_id", "crawl_id"], "left").select(
+            "doc_id", F.coalesce(F.col("_chg"), F.lit(False)).alias("changed")
+        )
+        est = SCH.change_rate_estimate(obs)
+        # tombstoned docs have nothing to refresh (same exclusion as
+        # refresh_priorities): drop docs whose LAST lineage op is deleted
+        tomb = (
+            S.last_state(self.store.read("lineage", as_of=as_of), as_of)
+            .where(F.col("last_op") == "deleted")
+            .select("doc_id")
+        )
+        est = est.join(tomb, "doc_id", "left_anti")
+        url = F.col("doc_id")
+        return est.where(F.col("n_obs") >= min_obs).select(
+            url.alias("url"),
+            host_of(url).alias("host"),
+            F.col("p_stale").alias("priority"),
             F.lit(0).cast("int").alias("discovered_crawl_id"),
             F.lit(0).cast("int").alias("seed_rank"),
             F.lit("pending").alias("state"),

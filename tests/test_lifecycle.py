@@ -684,3 +684,41 @@ def test_bucketed_state_index_matches_log_fold(spark, tmp_path):
         assert rows(fast.state_as_of(2)) == rows(plain.state_as_of(2))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_change_rate_frontier_matches_observation_algebra(spark, tmp_path):
+    """Poisson refresh queue (change_rate_frontier) over three oracle-pinned
+    full rounds: every live doc's priority equals the closed-form staleness
+    probability X/(n+0.5) computed from the per-round observation stream the
+    Python oracle implies (n = rounds the doc was live+fetched, X = rounds
+    it changed), and tombstoned docs never re-enter the queue."""
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    hosts = _open_hosts(spark)
+    oracle = CrawlerOracle()
+
+    exp_obs: dict[str, list[bool]] = {}
+    tombstoned: set[str] = set()
+    for rnd in (0, 1, 2):
+        eng.crawl_round(
+            _live_frontier(spark, rnd), hosts, simulated_fetcher(_corpus(spark, rnd)),
+            rnd, mode="full",
+        )
+        live = dict(datagen.documents_for_round_py(N_DOCS, rnd, n_hosts=N_HOSTS))
+        want = oracle.run_round(live, rnd)
+        for doc in live:
+            changed = doc in want and want[doc][0] in ("added", "updated")
+            exp_obs.setdefault(doc, []).append(changed)
+        for doc, (op, _) in want.items():
+            if op == "deleted":
+                tombstoned.add(doc)
+            else:
+                tombstoned.discard(doc)  # re-added later wins
+
+    fr = {r.url: r for r in eng.change_rate_frontier().collect()}
+    assert set(fr) == set(exp_obs) - tombstoned
+    for doc, obs in exp_obs.items():
+        if doc in tombstoned:
+            continue
+        n, x = len(obs), sum(obs)
+        assert fr[doc].priority == round(x / (n + 0.5), 4), (doc, obs)
+        assert fr[doc].state == "pending"

@@ -191,3 +191,44 @@ def test_sitemap_urls_and_seeds(spark):
     assert set(rows) == {"https://a.org/p/1", "https://a.org/p/2"}
     for r in rows.values():
         assert r.host == "a.org" and r.state == "pending" and r.priority == 1.0
+
+
+def test_sitemap_lastmod_extraction_and_priority(spark):
+    """<lastmod> rides per-entry (correctly paired when only some entries
+    carry it, date-only and full-ISO forms both parse, malformed → null)
+    and lastmod_priority maps recency onto [base, 1] deterministically from
+    an explicit as_of — never wall-clock."""
+    from dataset_crawler_spark.sources.robots import lastmod_priority, sitemap_seeds
+
+    xml = """<?xml version="1.0"?><urlset>
+      <url><loc>https://a.org/fresh</loc><lastmod>2024-03-01T00:00:00Z</lastmod></url>
+      <url><loc>https://a.org/month</loc><lastmod>2024-01-31</lastmod></url>
+      <url><loc>https://a.org/none</loc></url>
+      <url><lastmod>2024-02-15</lastmod><loc>https://a.org/after</loc></url>
+      <url><loc>https://a.org/bad</loc><lastmod>not-a-date</lastmod></url>
+      <url><loc>https://a.org/future</loc><lastmod>2030-01-01</lastmod></url>
+    </urlset>"""
+    seeds = sitemap_seeds(
+        spark.createDataFrame([("a.org", xml)], "host string, sitemap_xml string"),
+        with_lastmod=True,
+    )
+    lm = {r.url: r.lastmod for r in seeds.collect()}
+    assert lm["https://a.org/fresh"] is not None
+    assert lm["https://a.org/month"].day == 31
+    assert lm["https://a.org/none"] is None
+    assert lm["https://a.org/after"] is not None  # lastmod-before-loc order
+    assert lm["https://a.org/bad"] is None        # try-cast, never an error
+
+    pr = {
+        r.url: r.priority
+        for r in lastmod_priority(
+            seeds, as_of="2024-03-01 00:00:00", halflife_days=30.0
+        ).collect()
+    }
+    assert pr["https://a.org/fresh"] == 1.0             # age 0
+    assert pr["https://a.org/month"] == 0.75            # exactly one half-life
+    assert pr["https://a.org/none"] == 0.5              # base fallback
+    assert pr["https://a.org/future"] == 1.0            # skew clamps to age 0
+    assert 0.75 < pr["https://a.org/after"] < 1.0
+    # schema still feeds the scheduler: no lastmod column in the output
+    assert "lastmod" not in lastmod_priority(seeds, as_of="2024-03-01").columns
