@@ -186,3 +186,63 @@ def mine_dust_rules(
         )
         .where(F.col("support") >= min_support)
     )
+
+
+def apply_dust_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    validate_against: DataFrame | None = None,
+) -> DataFrame:
+    """Collapse URL aliases with mined DUST rules (the application half of
+    :func:`mine_dust_rules` — DustBuster's "use the rules to canonicalize
+    the URL list" step, Bar-Yossef et al. TWEB 2009 §6).
+
+    Each rule rewrites its ``rule_to`` middle to ``rule_from`` — the
+    direction that maps an alias onto the lexicographically smaller form
+    the miner keyed pairs by — applied in support order (strongest law
+    first), one substitution per rule per URL. The result rides in a new
+    ``url_collapsed`` column; the caller dedups on it at frontier-ingest
+    time so aliases merge BEFORE fetch budget is spent.
+
+    ``validate_against``: optional (url) frame of known-good URLs (the seen
+    table, or the frontier itself). When given, a rewrite is kept only if
+    the rewritten URL actually exists there — the distributed stand-in for
+    DustBuster's fetch-and-compare validation, so an overreaching rule
+    (a middle that happens to appear in an unrelated URL) cannot invent
+    URLs that were never observed. Without it the rewrite is
+    unconditional (trusted-rules mode).
+
+    Scale shape: rules are a mined, support-thresholded DIMENSION (tens of
+    rows) — collected once and folded into a single codegen replace chain;
+    the URL column never shuffles. Validation adds one broadcast-friendly
+    left join keyed on the rewritten URL.
+    """
+    rs = [
+        (r["rule_from"], r["rule_to"])
+        for r in rules.select("rule_from", "rule_to", "support")
+        .orderBy(F.desc("support"), "rule_from", "rule_to")
+        .collect()
+        if r["rule_to"]  # a rule must have a non-empty middle to replace
+    ]
+    col = F.col(url_col)
+    for frm, to in rs:
+        col = F.replace(col, F.lit(to), F.lit(frm))
+    out = urls.withColumn("url_collapsed", col)
+    if validate_against is not None:
+        known = validate_against.select(
+            F.col(validate_against.columns[0]).alias("url_collapsed"),
+            F.lit(True).alias("_known"),
+        ).distinct()
+        out = (
+            out.join(known, "url_collapsed", "left")
+            .withColumn(
+                "url_collapsed",
+                F.when(
+                    F.col("_known") | (F.col("url_collapsed") == F.col(url_col)),
+                    F.col("url_collapsed"),
+                ).otherwise(F.col(url_col)),
+            )
+            .drop("_known")
+        )
+    return out

@@ -1181,3 +1181,48 @@ def test_dust_rules_middle_extraction_is_lcp_lcs_exact(spark):
     got = mine_dust_rules(df, min_support=1, fp_group_cap=6).collect()
     want = {(f, t) for (_, _, f, t) in cases}
     assert {(r.rule_from, r.rule_to) for r in got} == want
+
+
+def test_apply_dust_rules_collapses_aliases(spark):
+    """Mined rules applied at frontier ingest collapse planted aliases onto
+    their canonical forms; validation mode keeps a rewrite only when the
+    rewritten URL is actually known, so an overreaching middle cannot
+    invent URLs."""
+    from dataset_crawler_spark.operators.discovery import (
+        apply_dust_rules,
+        mine_dust_rules,
+    )
+
+    rows = []
+    for i in range(12):
+        base = f"https://h{i}.org/page{i}"
+        rows += [(base, i), (base + "/index.html", i)]
+    fps = spark.createDataFrame(rows, "url string, fp int")
+    rules = mine_dust_rules(fps, min_support=5, fp_group_cap=6)
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://h3.org/page3/index.html",),   # alias → collapses
+            ("https://h3.org/page3",),              # canonical → unchanged
+            ("https://new.org/fresh/index.html",),  # unseen but rule applies
+        ],
+        "url string",
+    )
+    got = {
+        r.url: r.url_collapsed
+        for r in apply_dust_rules(frontier, rules).collect()
+    }
+    assert got["https://h3.org/page3/index.html"] == "https://h3.org/page3"
+    assert got["https://h3.org/page3"] == "https://h3.org/page3"
+    assert got["https://new.org/fresh/index.html"] == "https://new.org/fresh"
+
+    # validated mode: only rewrites landing on KNOWN urls survive
+    known = spark.createDataFrame([("https://h3.org/page3",)], "url string")
+    got_v = {
+        r.url: r.url_collapsed
+        for r in apply_dust_rules(frontier, rules, validate_against=known).collect()
+    }
+    assert got_v["https://h3.org/page3/index.html"] == "https://h3.org/page3"
+    assert got_v["https://new.org/fresh/index.html"] == (
+        "https://new.org/fresh/index.html"  # rewrite not known → kept original
+    )

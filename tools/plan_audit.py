@@ -93,6 +93,11 @@ AUDIT = [
     # incremental window index: new×index semi-join + new×new winner agg —
     # per-round cost ∝ |new windows|
     "engine_incremental_substr",
+    # round-4: change-rate estimation is ONE doc_id hash aggregate (explode
+    # → agg → scalar math, no join); DUST mining joins on fingerprint with
+    # the group-size cap bounding per-key pairs, LCP/LCS stays in codegen
+    "crawl_change_rate",
+    "crawl_dust_rules",
 ]
 
 INTERESTING = (
