@@ -143,17 +143,50 @@ def _confirm_unseen(probed: DataFrame, seen_urls: DataFrame | None) -> DataFrame
 
 
 def robots_gate(candidates: DataFrame, hosts: DataFrame) -> DataFrame:
-    """Availability + robots.txt prefix exclusion; hosts dim is broadcast."""
-    h = F.broadcast(hosts.select("host", "robots_disallow", "is_available", "crawl_delay_ms",
-                                 "max_fetch_per_round"))
+    """Availability + robots.txt exclusion; hosts dim is broadcast.
+
+    Two rule tiers (sources/robots.py): when the dim carries
+    ``robots_rules`` (the full RFC 9309 set — Allow AND Disallow, ``*``
+    wildcards, ``$`` anchors, each pre-compiled to a regex at parse time),
+    the gate applies the spec's longest-match-wins with allow breaking
+    length ties: the matching rules are reduced to their max (rlen, allow)
+    struct — struct ordering compares rlen first, then false < true, which
+    IS the RFC tie-break — and a doc is blocked iff that best match is a
+    Disallow. A dim without the column (hand-built fixtures, legacy
+    stores) falls back to Disallow-prefix semantics. Rule arrays are
+    dimension-sized and ride the broadcast; evaluation is a higher-order
+    filter/transform chain in codegen, nothing per-URL is derived."""
+    rfc = "robots_rules" in hosts.columns
+    cols = ["host", "robots_disallow", "is_available", "crawl_delay_ms",
+            "max_fetch_per_round"] + (["robots_rules"] if rfc else [])
+    h = F.broadcast(hosts.select(*cols))
     path = F.regexp_extract(F.col("url_c"), r"^[a-z]+://[^/]+(/[^?#]*)", 1)
     joined = candidates.join(h, "host", "inner").withColumn("_path", path)
-    blocked = F.exists(
-        F.coalesce(F.col("robots_disallow"), F.array().cast("array<string>")),
-        lambda p: F.col("_path").startswith(p),
-    )
-    return joined.where(F.col("is_available") & ~blocked).drop("_path", "robots_disallow",
-                                                               "is_available")
+    if rfc:
+        empty = F.array().cast(
+            "array<struct<rx string, rlen int, allow boolean>>"
+        )
+        matched = F.filter(
+            F.coalesce(F.col("robots_rules"), empty),
+            lambda r: F.regexp_like(F.col("_path"), r["rx"]),
+        )
+        best = F.array_max(
+            F.transform(
+                matched,
+                lambda r: F.struct(
+                    r["rlen"].alias("rlen"), r["allow"].alias("allow")
+                ),
+            )
+        )
+        blocked = F.coalesce(~best["allow"], F.lit(False))
+        drop = ["_path", "robots_disallow", "robots_rules", "is_available"]
+    else:
+        blocked = F.exists(
+            F.coalesce(F.col("robots_disallow"), F.array().cast("array<string>")),
+            lambda p: F.col("_path").startswith(p),
+        )
+        drop = ["_path", "robots_disallow", "is_available"]
+    return joined.where(F.col("is_available") & ~blocked).drop(*drop)
 
 
 def politeness_topk(candidates: DataFrame, n_salt: int = DEFAULT_N_SALT) -> DataFrame:

@@ -10,32 +10,68 @@ Parsing is per-document and inherently sectioned/stateful, so it runs as a
 vectorized pandas UDF over Arrow batches — a dimension-table operation
 (cardinality = hosts, not URLs), never on the frontier hot path.
 
-Simplified standard semantics: honor the ``User-agent: *`` group (or a named
-agent when ``agent`` is passed), collect its ``Disallow:`` path prefixes
-(empty Disallow = allow-all and contributes nothing) and ``Crawl-delay:``
-seconds (→ ms). ``#`` comments stripped; keys case-insensitive; a group ends
-at the next User-agent line that starts a new section.
+Two evaluation tiers, both produced here:
+
+- ``robots_disallow`` — plain Disallow path prefixes (the legacy gate
+  column; prefix-match exclusion).
+- ``robots_rules`` — the full RFC 9309 rule set: Allow AND Disallow, with
+  ``*`` wildcards and ``$`` end anchors, each rule carried as a
+  pre-compiled regex + its octet length so the gate can apply the spec's
+  longest-match-wins (allow wins length ties) without re-deriving
+  anything per URL (operators/scheduler.py robots_gate uses this column
+  when present and falls back to prefix semantics when not).
+
+Group selection: honor the ``User-agent: *`` groups (or the groups naming
+``agent`` exactly, which take precedence when any exist) and their
+``Crawl-delay:`` seconds (→ ms). ``#`` comments stripped; keys
+case-insensitive; consecutive User-agent lines share one group.
 """
 
 from __future__ import annotations
+
+import re as _re
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-ROBOTS_RULES_SCHEMA = "robots_disallow array<string>, crawl_delay_ms int"
+ROBOTS_RULES_SCHEMA = (
+    "robots_disallow array<string>, crawl_delay_ms int, "
+    "robots_rules array<struct<rx string, rlen int, allow boolean>>"
+)
 
 
-def parse_robots_py(text: str, agent: str = "*") -> tuple[list[str], int | None]:
+def rule_to_rx(rule: str) -> str:
+    """One RFC 9309 rule path → anchored Java/RE2-safe regex: ``*`` matches
+    any octet sequence, a trailing ``$`` anchors at end-of-path, everything
+    else is literal."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    parts = ["(?s)^"]  # (?s): rule must match paths containing any octet
+    for ch in body:
+        parts.append(".*" if ch == "*" else _re.escape(ch))
+    if anchored:
+        parts.append("$")
+    return "".join(parts)
+
+
+def parse_robots_full_py(
+    text: str, agent: str = "*"
+) -> tuple[list[tuple[str, bool]], int | None]:
     """Pure-Python robots.txt parser (the spec; the UDF is its batch twin).
 
     Standard group-selection semantics: collect all groups, then apply the
     most specific match — groups naming ``agent`` exactly if any exist,
     otherwise the ``*`` groups. Consecutive User-agent lines share one group.
+
+    Returns (rules, crawl_delay_ms) where rules = [(path_rule, is_allow)]
+    in file order — both Allow and Disallow lines (RFC 9309 §2.2.2; empty
+    values contribute nothing). Evaluation is the caller's job
+    (longest-match-wins, allow wins ties — see :func:`evaluate_robots_py`).
     """
-    groups: list[tuple[list[str], list[str], int | None]] = []  # (agents, disallow, delay)
+    groups: list[tuple[list[str], list[tuple[str, bool]], int | None]] = []
     agents: list[str] = []
-    rules: list[str] = []
+    rules: list[tuple[str, bool]] = []
     delay: int | None = None
     collecting_agents = False
 
@@ -60,7 +96,9 @@ def parse_robots_py(text: str, agent: str = "*") -> tuple[list[str], int | None]
             continue
         collecting_agents = False
         if key == "disallow" and val:
-            rules.append(val)
+            rules.append((val, False))
+        elif key == "allow" and val:
+            rules.append((val, True))
         elif key == "crawl-delay":
             try:
                 delay = int(float(val) * 1000)
@@ -70,9 +108,30 @@ def parse_robots_py(text: str, agent: str = "*") -> tuple[list[str], int | None]
 
     exact = [g for g in groups if agent in g[0]]
     chosen = exact if exact else [g for g in groups if "*" in g[0]]
-    disallow = [p for g in chosen for p in g[1]]
+    out = [r for g in chosen for r in g[1]]
     delays = [g[2] for g in chosen if g[2] is not None]
-    return disallow, (delays[0] if delays else None)
+    return out, (delays[0] if delays else None)
+
+
+def parse_robots_py(text: str, agent: str = "*") -> tuple[list[str], int | None]:
+    """Legacy view of :func:`parse_robots_full_py`: Disallow paths only."""
+    rules, delay = parse_robots_full_py(text, agent)
+    return [r for r, allow in rules if not allow], delay
+
+
+def evaluate_robots_py(
+    rules: list[tuple[str, bool]], path: str
+) -> bool:
+    """RFC 9309 §2.2.2 evaluation (the gate's Python twin): among the rules
+    whose path pattern matches, the LONGEST rule wins; an Allow and a
+    Disallow of equal length resolve to Allow; no match ⇒ allowed."""
+    best: tuple[int, bool] | None = None
+    for rule, allow in rules:
+        if _re.match(rule_to_rx(rule), path):
+            key = (len(rule), allow)
+            if best is None or key > best:
+                best = key
+    return best is None or best[1]
 
 
 def parse_robots(df: DataFrame, text_col: str = "robots_txt", agent: str = "*") -> DataFrame:
@@ -80,12 +139,23 @@ def parse_robots(df: DataFrame, text_col: str = "robots_txt", agent: str = "*") 
 
     def run(batches):
         for pdf in batches:
-            parsed = [parse_robots_py(t, agent) for t in pdf[text_col].fillna("")]
+            parsed = [parse_robots_full_py(t, agent) for t in pdf[text_col].fillna("")]
             out = pdf.drop(columns=[text_col]).copy()
-            out["robots_disallow"] = [p[0] for p in parsed]
+            out["robots_disallow"] = [
+                [r for r, allow in p[0] if not allow] for p in parsed
+            ]
             out["crawl_delay_ms"] = pd.array(
                 [p[1] for p in parsed], dtype="Int32"
             )
+            # full RFC rule set, regex pre-compiled at parse time (dimension
+            # cardinality) so the gate never derives anything per URL
+            out["robots_rules"] = [
+                [
+                    {"rx": rule_to_rx(r), "rlen": len(r), "allow": allow}
+                    for r, allow in p[0]
+                ]
+                for p in parsed
+            ]
             yield out
 
     passthrough = ", ".join(
@@ -102,6 +172,7 @@ def hosts_dim_from_robots(
     """(host, robots_txt) → scheduler hosts dimension (schema the robots_gate
     + politeness_topk expect); missing crawl-delay falls back to the default."""
     parsed = parse_robots(robots.select("host", "robots_txt"))
+    empty_rules = F.array().cast("array<struct<rx string, rlen int, allow boolean>>")
     return parsed.select(
         "host",
         F.coalesce(F.col("crawl_delay_ms"), F.lit(default_delay_ms)).alias("crawl_delay_ms"),
@@ -109,6 +180,7 @@ def hosts_dim_from_robots(
         F.coalesce(F.col("robots_disallow"), F.array().cast("array<string>")).alias(
             "robots_disallow"
         ),
+        F.coalesce(F.col("robots_rules"), empty_rules).alias("robots_rules"),
         F.lit(True).alias("is_available"),
     )
 
@@ -331,7 +403,7 @@ def hosts_dim_over_http(
     )
     return dim.drop("is_available").join(avail, "host").select(
         "host", "crawl_delay_ms", "max_fetch_per_round", "robots_disallow",
-        F.col("_avail").alias("is_available"), "robots_status",
+        "robots_rules", F.col("_avail").alias("is_available"), "robots_status",
     )
 
 

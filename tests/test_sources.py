@@ -232,3 +232,62 @@ def test_sitemap_lastmod_extraction_and_priority(spark):
     assert 0.75 < pr["https://a.org/after"] < 1.0
     # schema still feeds the scheduler: no lastmod column in the output
     assert "lastmod" not in lastmod_priority(seeds, as_of="2024-03-01").columns
+
+
+def test_robots_rfc9309_rules_and_gate(spark):
+    """RFC 9309 semantics end-to-end: Allow + Disallow with * wildcards and
+    $ anchors parse into pre-compiled rules, the distributed gate applies
+    longest-match-wins (Allow breaking ties), and the gate's keep set equals
+    the pure-Python evaluator on every probe path."""
+    from dataset_crawler_spark.operators.scheduler import robots_gate
+    from dataset_crawler_spark.sources.robots import (
+        evaluate_robots_py,
+        hosts_dim_from_robots,
+        parse_robots_full_py,
+    )
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/public\n"   # longer than /private/ → allowed subtree
+        "Disallow: /*.php$\n"        # wildcard + end anchor
+        "Allow: /fish\n"
+        "Disallow: /fish*.html$\n"   # longer than /fish → html blocked
+        "Allow: /folder\n"
+        "Disallow: /folder\n"        # equal length → Allow wins the tie
+        "Crawl-delay: 1\n"
+    )
+    rules, delay = parse_robots_full_py(txt)
+    assert delay == 1000 and len(rules) == 7
+
+    paths = [
+        ("/private/x", False),
+        ("/private/public/y", True),
+        ("/x.php", False),
+        ("/sub/x.php", False),       # '*.php$' floats anywhere
+        ("/x.php5", True),           # anchor: .php5 is not .php-at-end
+        ("/fish/a.html", False),
+        ("/fish/a.htm", True),
+        ("/folder/page", True),      # allow wins the equal-length tie
+        ("/other", True),
+    ]
+    for p, want in paths:
+        assert evaluate_robots_py(rules, p) is want, p
+
+    dim = hosts_dim_from_robots(
+        spark.createDataFrame([("h.org", txt)], "host string, robots_txt string")
+    )
+    cands = spark.createDataFrame(
+        [(f"https://h.org{p}", "h.org", 1.0, 0, 0) for p, _ in paths],
+        "url_c string, host string, priority double, seed_rank int, "
+        "discovered_crawl_id int",
+    )
+    kept = {r.url_c for r in robots_gate(cands, dim).collect()}
+    want_kept = {f"https://h.org{p}" for p, w in paths if w}
+    assert kept == want_kept
+
+    # legacy fallback: a dim WITHOUT robots_rules still prefix-gates
+    legacy = dim.drop("robots_rules")
+    kept_legacy = {r.url_c for r in robots_gate(cands, legacy).collect()}
+    assert f"https://h.org/private/x" not in kept_legacy
+    assert f"https://h.org/other" in kept_legacy
