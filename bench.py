@@ -78,6 +78,7 @@ ANALYTIC_QUERIES = [
     "text_classifier_quality",
     "crawl_change_rate",
     "crawl_dust_rules",
+    "text_html_extract",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

@@ -55,6 +55,7 @@ _DRIVER_FIRST = [
     "text_classifier_quality",
     "crawl_change_rate",
     "crawl_dust_rules",
+    "text_html_extract",
     # latest green row r02 (never re-sampled since)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
@@ -4182,4 +4183,67 @@ def crawl_dust_rules(spark, sf_dir):
     )
     return mine_dust_rules(
         urls, min_support=_DUST_MIN_SUPPORT, fp_group_cap=_DUST_FP_CAP
+    )
+
+
+# -- WET-style HTML→text extraction (functions/html.py) ----------------------
+
+from dataset_crawler_spark.functions.html import html_to_text, html_to_text_sql  # noqa: E402
+
+#: the constructed page wraps each document's text in a realistic shell:
+#: head block (title/style/script — dropped wholesale), entities, comments,
+#: and block boundaries whose tag-stripping must not concatenate words.
+_HTML_SHELL_SQL = (
+    "'<html><head><title>t</title><style>p {color:red}</style>"
+    "<script type=\"text/javascript\">var x = \"' || CAST(doc_id AS VARCHAR) || '\";"
+    "</script></head><body><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR) || '</h1>"
+    "<!-- hidden --><p>' || text || '</p>"
+    "<div>footer&nbsp;nav &lt;end&gt;</div></body></html>'"
+)
+
+
+@register(
+    "text_html_extract",
+    f"""
+    WITH h AS (SELECT doc_id, {_HTML_SHELL_SQL} AS html FROM documents)
+    SELECT doc_id,
+           {html_to_text_sql('html')} AS clean,
+           CAST(length({html_to_text_sql('html')}) AS BIGINT) AS n_chars
+    FROM h
+    """,
+)
+def text_html_extract(spark, sf_dir):
+    """WET-step HTML→text extraction (functions/html.py html_to_text — the
+    Common Crawl WARC→WET projection): drop non-content blocks
+    (script/style/noscript/template/head), strip comments and tags with a
+    space so words never concatenate across structure, decode the dominant
+    entities AFTER stripping (decode-first would mint fake tags), collapse
+    whitespace. The construction wraps every fixture document in a
+    realistic page shell, so the twin pins block removal, ordering, entity
+    decode, and normalization value-for-value — the block pattern is
+    backreference-free on purpose (DuckDB's RE2 must run the identical
+    regex).
+
+    Scale shape: pure narrow projection — the regexp_replace chain fuses
+    into the parquet scan's codegen stage; zero exchanges
+    (plan-contract-enforced). This is the text path a WARC ingest runs at
+    petabyte scale, where a row-at-a-time DOM parser would be the
+    pipeline's bottleneck."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><title>t</title><style>p {color:red}</style>'
+              '<script type="text/javascript">var x = "'),
+        did,
+        F.lit('";</script></head><body><h1>Doc &amp; '),
+        did,
+        F.lit("</h1><!-- hidden --><p>"),
+        F.col("text"),
+        F.lit("</p><div>footer&nbsp;nav &lt;end&gt;</div></body></html>"),
+    )
+    clean = html_to_text(html)
+    return d.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.length(clean).cast("long").alias("n_chars"),
     )

@@ -109,11 +109,20 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
+def warc_to_documents(
+    spark: SparkSession, path: str, extract_text: bool = False
+) -> DataFrame:
     """WARC file(s) → interleaved documents (doc_id, spans): 2xx ``response``
     records only (the fetched-page set — request/metadata/warcinfo records
     are transport bookkeeping). Textual bodies become a text span; other
-    content types become a typed media span for the multimodal decode stage."""
+    content types become a typed media span for the multimodal decode stage.
+
+    ``extract_text=True`` runs the WET projection on HTML bodies
+    (functions/html.py html_to_text — drop script/style/head blocks, strip
+    tags, decode entities, normalize whitespace) so the text span carries
+    the visible text instead of markup; non-HTML textual bodies (json,
+    n-triples, plain text) pass through untouched. Still a pure codegen
+    projection fused into the WARC scan."""
     r = read_warc(spark, path).where(
         (F.col("warc_type") == "response")
         & F.col("target_uri").isNotNull()
@@ -125,9 +134,19 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
     for t in _TEXTUAL:
         textual = textual | F.coalesce(F.col("content_type").startswith(t), F.lit(False))
 
+    body = F.col("body")
+    if extract_text:
+        from dataset_crawler_spark.functions.html import html_to_text
+
+        is_html = F.lit(False)
+        for t in ("text/html", "application/xhtml"):
+            is_html = is_html | F.coalesce(
+                F.col("content_type").startswith(t), F.lit(False)
+            )
+        body = F.when(is_html, html_to_text(body)).otherwise(body)
     text_span = F.struct(
         F.lit("text").alias("kind"),
-        F.col("body").alias("text"),
+        body.alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
         F.lit(0).cast("int").alias("offset"),
     )

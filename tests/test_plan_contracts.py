@@ -228,3 +228,13 @@ def test_dust_rules_fp_keyed_never_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(PY_STAGES, plan) is None
+
+
+def test_html_extract_is_narrow(spark):
+    from dataset_crawler_spark.plans.queries import text_html_extract
+
+    plan = _plan(text_html_extract(spark, SF_DIR))
+    # the regexp_replace chain must fuse into the scan: zero exchanges,
+    # nothing Python
+    assert "Exchange" not in plan
+    assert re.search(PY_STAGES, plan) is None

@@ -205,3 +205,36 @@ def test_warc_roundtrip_property(spark, tmp_path):
             assert r.body == body
 
     roundtrip()
+
+
+def test_warc_wet_extraction(spark, tmp_path):
+    """extract_text=True runs the WET projection on HTML responses only:
+    script/style/head blocks vanish, tags strip to spaces, entities decode,
+    whitespace normalizes — while JSON/plain bodies pass through untouched
+    and the plan stays pure codegen (no Python stage)."""
+    import re
+
+    page = (
+        "<html><head><title>t</title><style>p {color:red}</style>"
+        '<script>var x = "1";</script></head>'
+        "<body><h1>Big&nbsp;News</h1><!-- secret --><p>alpha</p>"
+        "<p>beta &amp; gamma</p></body></html>"
+    )
+    warc = (
+        _record("response", "http://ex.org/html", _http("200 OK", "text/html", page), "cccc0000")
+        + _record(
+            "response", "http://ex.org/raw.json",
+            _http("200 OK", "application/json", '{"k": 1}'), "cccc0001",
+        )
+    )
+    p = tmp_path / "wet.warc"
+    p.write_text(warc)
+
+    docs = warc_to_documents(spark, str(p), extract_text=True)
+    got = {r.doc_id: r.spans[0].text for r in docs.collect()}
+    assert got["http://ex.org/html"] == "Big News alpha beta & gamma"
+    assert got["http://ex.org/raw.json"] == '{"k": 1}'
+
+    docs.count()
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"ArrowEvalPython|MapInPandas", plan) is None
