@@ -79,6 +79,7 @@ ANALYTIC_QUERIES = [
     "crawl_change_rate",
     "crawl_dust_rules",
     "text_html_extract",
+    "engine_incremental_cc",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

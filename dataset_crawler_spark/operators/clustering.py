@@ -121,3 +121,79 @@ def dedup_clusters(
             "cluster_size",
         )
     )
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incremental CC: fold one round's NEW edges (and nodes) into standing
+    component labels at per-round |new| cost — the clustering member of the
+    engine's incremental-index family (minhash: dedup_index.py, sign-LSH and
+    ExactSubstr: plans/queries.py engine_incremental_*). A growing corpus
+    re-clusters every round; recomputing CC over 10^10 accumulated edges per
+    round is the O(everything) trap this avoids.
+
+    ``labels``: (node, comp) for the already-clustered universe (comp = min
+    reachable node id — connected_components' invariant). ``new_edges``:
+    (doc_a, doc_b) pairs from this round's pair generators — may touch new
+    nodes, old nodes, or bridge two OLD clusters (a re-crawl discovering a
+    late duplicate pair). ``new_nodes``: optional (node) universe for this
+    round's unlabeled docs (isolated new docs become singletons).
+
+    Algorithm — CC on the QUOTIENT graph: project every new edge endpoint
+    through the standing labels (old node → its component representative;
+    unlabeled node → itself), run the batch fixpoint on that contracted
+    graph (nodes = touched reps + new nodes — per-round-sized, never the
+    corpus), then broadcast the rep→new-comp mapping back over the standing
+    labels. Because comps are min node ids, contracting a cluster to its
+    rep preserves the global min, so the result is EQUAL to batch CC over
+    (old edges ∪ new edges) — pinned by test and by the driver twin.
+
+    Cost: |new edges| projection (two standing-label joins — on a cluster
+    these are broadcast or bucketed-index lookups), a fixpoint over the
+    contracted graph, and ONE broadcast join over the labels table for the
+    relabel (the mapping is dimension-sized: ≤ touched reps + new nodes).
+    """
+    e = symmetrize(new_edges)
+    lab_s = labels.select(F.col("node").alias("src"), F.col("comp").alias("_cs"))
+    lab_d = labels.select(F.col("node").alias("dst"), F.col("comp").alias("_cd"))
+    proj = (
+        e.join(lab_s, "src", "left")
+        .join(lab_d, "dst", "left")
+        .select(
+            F.coalesce("_cs", F.col("src")).alias("doc_a"),
+            F.coalesce("_cd", F.col("dst")).alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    qnodes = (
+        proj.select(F.col("doc_a").alias("node"))
+        .unionByName(proj.select(F.col("doc_b").alias("node")))
+    )
+    if new_nodes is not None:
+        qnodes = qnodes.unionByName(
+            new_nodes.select(F.col(new_nodes.columns[0]).alias("node"))
+        )
+    qcc = connected_components(proj, nodes=qnodes.distinct(), max_iter=max_iter)
+
+    repmap = qcc.select(F.col("node").alias("_rep"), F.col("comp").alias("_newc"))
+    updated = (
+        labels.join(
+            F.broadcast(repmap), labels["comp"] == repmap["_rep"], "left"
+        )
+        .select("node", F.coalesce("_newc", "comp").alias("comp"))
+    )
+    if new_nodes is None:
+        fresh = qcc.join(labels.select("node"), "node", "left_anti")
+    else:
+        fresh = (
+            new_nodes.select(F.col(new_nodes.columns[0]).alias("node"))
+            .distinct()
+            .join(F.broadcast(repmap.withColumnRenamed("_rep", "node")), "node", "left")
+            .select("node", F.coalesce("_newc", "node").alias("comp"))
+            .join(labels.select("node"), "node", "left_anti")
+        )
+    return updated.unionByName(fresh)

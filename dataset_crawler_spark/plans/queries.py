@@ -56,6 +56,7 @@ _DRIVER_FIRST = [
     "crawl_change_rate",
     "crawl_dust_rules",
     "text_html_extract",
+    "engine_incremental_cc",
     # latest green row r02 (never re-sampled since)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
@@ -4246,4 +4247,107 @@ def text_html_extract(spark, sf_dir):
         "doc_id",
         clean.alias("clean"),
         F.length(clean).cast("long").alias("n_chars"),
+    )
+
+
+# -- incremental connected components (operators/clustering.py) ---------------
+
+#: deterministic bounded-degree dup graph over documents: chain edges
+#: (d, d+1) on h60(d)%3==0, skip edges (d, d+7) on h60(d)%5==0 — multi-hop
+#: components without all-pairs enumeration. An edge is OLD (round-0) when
+#: both endpoints are old docs AND h60(a|b)%3 != 0; everything else (edges
+#: touching the 25% new docs, plus late-discovered old-old pairs) arrives
+#: in round 1 through the incremental path.
+_ICC_EDGES_SQL = """
+    cand AS (
+      SELECT d.doc_id AS a, e.doc_id AS b
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+      WHERE {h_d} % 3 = 0
+      UNION ALL
+      SELECT d.doc_id AS a, e.doc_id AS b
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 7
+      WHERE {h_d} % 5 = 0)
+"""
+
+
+@register(
+    "engine_incremental_cc",
+    f"""
+    WITH RECURSIVE
+    {_ICC_EDGES_SQL.format(h_d=h60_sql("CAST(d.doc_id AS VARCHAR)")).strip()},
+    edges AS (SELECT a AS ea, b AS eb FROM cand
+              UNION SELECT b, a FROM cand),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size
+    FROM comp c JOIN sizes s USING (cluster_id)
+    """,
+)
+def engine_incremental_cc(spark, sf_dir):
+    """Incremental connected components (operators/clustering.py
+    incremental_components): round 0 clusters the old 75% of the corpus
+    over its old edges (batch fixpoint); round 1 folds in the new docs,
+    their edges, AND late-discovered old-old duplicate pairs at per-round
+    |new| cost — quotient-graph CC + one broadcast relabel, never a
+    recluster of the accumulated edge set. The registered result is the
+    ROUND-1 STANDING LABELS, and the DuckDB twin is batch CC over the FULL
+    edge set — value-hash equality IS the incremental ≡ batch proof (same
+    proof shape as engine_incremental_minhash/signlsh/substr — this closes
+    the incremental family: every clustering-dependent dedup path now has
+    a per-round-cost variant).
+
+    Scale shape: endpoint projection = two joins against the standing
+    labels; the fixpoint runs on the contracted per-round graph; the
+    relabel is ONE broadcast join over the labels table."""
+    from dataset_crawler_spark.operators import clustering as CL
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    h = h60(did)
+    chain = (
+        d.where(F.pmod(h, F.lit(3)) == 0)
+        .select("doc_id", (F.col("doc_id") + 1).alias("b"))
+        .join(d.select(F.col("doc_id").alias("b")), "b")
+        .select(F.col("doc_id").alias("doc_a"), F.col("b").alias("doc_b"))
+    )
+    skip = (
+        d.where(F.pmod(h, F.lit(5)) == 0)
+        .select("doc_id", (F.col("doc_id") + 7).alias("b"))
+        .join(d.select(F.col("doc_id").alias("b")), "b")
+        .select(F.col("doc_id").alias("doc_a"), F.col("b").alias("doc_b"))
+    )
+    cand = chain.unionByName(skip)
+
+    is_new_doc = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    old_docs = d.where(~is_new_doc)
+    new_docs = d.where(is_new_doc)
+    pair_h = F.pmod(
+        h60(
+            F.concat(
+                F.col("doc_a").cast("string"), F.lit("|"), F.col("doc_b").cast("string")
+            )
+        ),
+        F.lit(3),
+    )
+    both_old = (F.pmod(F.col("doc_a"), F.lit(4)) != 0) & (
+        F.pmod(F.col("doc_b"), F.lit(4)) != 0
+    )
+    old_edges = cand.where(both_old & (pair_h != 0))
+    new_edges = cand.where(~(both_old & (pair_h != 0)))
+
+    labels0 = CL.connected_components(
+        old_edges, nodes=old_docs.select(F.col("doc_id").alias("node"))
+    )
+    labels1 = CL.incremental_components(
+        labels0, new_edges, new_nodes=new_docs.select(F.col("doc_id").alias("node"))
+    )
+    sizes = labels1.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return labels1.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
     )

@@ -1226,3 +1226,41 @@ def test_apply_dust_rules_collapses_aliases(spark):
     assert got_v["https://new.org/fresh/index.html"] == (
         "https://new.org/fresh/index.html"  # rewrite not known → kept original
     )
+
+
+def test_incremental_components_equals_batch(spark):
+    """Quotient-graph incremental CC ≡ batch CC over the union edge set, on
+    the shapes that break naive approaches: a late old-old edge bridging
+    two standing clusters, a new node that becomes its component's new min
+    (forces relabeling old members), and an isolated new singleton."""
+    from dataset_crawler_spark.operators.clustering import (
+        connected_components,
+        incremental_components,
+    )
+
+    # old world: {10,11,12} chained, {20,21} — two clusters + loners 30, 40
+    old_edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "doc_a int, doc_b int"
+    )
+    old_nodes = spark.createDataFrame([(n,) for n in (10, 11, 12, 20, 21, 30, 40)], "node int")
+    labels0 = connected_components(old_edges, nodes=old_nodes)
+
+    # new round: 5 joins cluster-10 and becomes its min; a late old-old edge
+    # bridges 12↔20; 99 arrives isolated
+    new_edges = spark.createDataFrame([(5, 11), (12, 20)], "doc_a int, doc_b int")
+    new_nodes = spark.createDataFrame([(5,), (99,)], "node int")
+    got = {
+        r.node: r.comp
+        for r in incremental_components(labels0, new_edges, new_nodes=new_nodes).collect()
+    }
+
+    batch = {
+        r.node: r.comp
+        for r in connected_components(
+            old_edges.unionByName(new_edges),
+            nodes=old_nodes.unionByName(new_nodes),
+        ).collect()
+    }
+    assert got == batch
+    assert got[5] == got[10] == got[12] == got[20] == got[21] == 5
+    assert got[99] == 99 and got[30] == 30 and got[40] == 40
