@@ -1264,3 +1264,66 @@ def test_incremental_components_equals_batch(spark):
     assert got == batch
     assert got[5] == got[10] == got[12] == got[20] == got[21] == 5
     assert got[99] == 99 and got[30] == 30 and got[40] == 40
+
+
+def test_incremental_cc_through_store(spark, tmp_path):
+    """Clustering twin of the minhash/signlsh/substr store lifecycles:
+    three-round ingestion where each round's new nodes + newly-observable
+    edges fold into SnapshotStore-persisted labels via
+    incremental_components; the final standing labels must equal batch CC
+    over the full edge set, and labels survive the parquet roundtrip
+    between rounds (the fold always reads the PREVIOUS round's committed
+    table, never an in-session frame)."""
+    from dataset_crawler_spark.operators.clustering import (
+        connected_components,
+        incremental_components,
+    )
+    from dataset_crawler_spark.sources.snapshots import SnapshotStore
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    h = F.conv(F.substring(F.md5(did), 1, 15), 16, 10).cast("long")
+    chain = (
+        docs.where(F.pmod(h, F.lit(3)) == 0)
+        .select("doc_id", (F.col("doc_id") + 1).alias("b"))
+        .join(docs.select(F.col("doc_id").alias("b")), "b")
+        .select(F.col("doc_id").alias("doc_a"), F.col("b").alias("doc_b"))
+    )
+    skip = (
+        docs.where(F.pmod(h, F.lit(5)) == 0)
+        .select("doc_id", (F.col("doc_id") + 7).alias("b"))
+        .join(docs.select(F.col("doc_id").alias("b")), "b")
+        .select(F.col("doc_id").alias("doc_a"), F.col("b").alias("doc_b"))
+    )
+    edges = chain.unionByName(skip)
+    # an edge becomes observable when its LAST endpoint's round arrives
+    arrival = F.greatest(
+        F.pmod(F.col("doc_a"), F.lit(3)), F.pmod(F.col("doc_b"), F.lit(3))
+    )
+
+    store = SnapshotStore(str(tmp_path / "store"), spark)
+    for rnd in range(3):
+        new_nodes = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == rnd).select(
+            F.col("doc_id").alias("node")
+        )
+        new_edges = edges.where(arrival == rnd)
+        if rnd == 0:
+            labels = connected_components(new_edges, nodes=new_nodes)
+        else:
+            prev = store.read("cc_labels", as_of=rnd - 1)
+            latest = prev.agg(F.max("crawl_id")).first()[0]
+            prev = prev.where(F.col("crawl_id") == latest).select("node", "comp")
+            labels = incremental_components(prev, new_edges, new_nodes=new_nodes)
+        store.append(
+            "cc_labels", labels.withColumn("crawl_id", F.lit(rnd).cast("int")), rnd
+        )
+        store.commit_round(rnd)
+
+    final = store.read("cc_labels", as_of=2).where(F.col("crawl_id") == 2)
+    got = {(r.node, r.comp) for r in final.collect()}
+    batch = connected_components(
+        edges, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    want = {(r.node, r.comp) for r in batch.collect()}
+    assert got == want
+    assert len({c for _, c in want}) < len(want)  # non-trivial clusters exist
