@@ -184,6 +184,50 @@ def run_ingest_warc(args) -> int:
     return 0
 
 
+def run_refresh(args) -> int:
+    """Revisit rounds over an EXISTING store: schedule by Poisson staleness
+    probability (CrawlEngine.change_rate_frontier), fetch with conditional
+    GETs by default (stored ETag/Last-Modified → 304 for the unchanged
+    majority — this is where --conditional's revalidation actually fires;
+    the crawl subcommand's discover rounds only CAPTURE validators), diff
+    partially (mode="refresh": a budget-cut doc is not-revisited, never
+    deleted)."""
+    from pyspark.sql import functions as F
+
+    from dataset_crawler_spark.sources.http_fetch import (
+        http_fetcher,
+        http_fetcher_conditional,
+    )
+    from dataset_crawler_spark.sources.robots import (
+        hosts_dim_over_http,
+        robots_urls_of,
+    )
+
+    spark, store, eng = _engine(args)
+    if eng.store.last_round() is None:
+        print("refresh: store has no committed rounds", file=sys.stderr)
+        return 2
+    conditional = not args.no_conditional
+    fetch = (
+        http_fetcher_conditional(timeout_s=args.timeout)
+        if conditional
+        else http_fetcher(timeout_s=args.timeout)
+    )
+    for _ in range(args.rounds):
+        frontier = eng.change_rate_frontier()
+        dim = hosts_dim_over_http(
+            robots_urls_of(frontier), timeout_s=args.timeout
+        ).drop("robots_status")
+        dim = dim.withColumn("max_fetch_per_round", F.lit(args.host_budget))
+        rid = eng.next_round()
+        stats = eng.crawl_round(
+            frontier, dim, fetch, rid, mode="refresh",
+            conditional=conditional, adapt_budgets=True,
+        )
+        print(json.dumps({"round": rid, "store": store, **stats}))
+    return 0
+
+
 def run_export_shards(args) -> int:
     from dataset_crawler_spark.sources.training_export import (
         pack_assignments,
@@ -243,9 +287,24 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--capacity", type=int, default=1_000_000,
                     help="bloom capacity (expected total URLs)")
     pc.add_argument("--conditional", action="store_true",
-                    help="conditional GETs: store ETag/Last-Modified and "
-                         "revalidate instead of refetching (304 ⇒ unchanged)")
+                    help="capture ETag/Last-Modified validators during the "
+                         "discovery rounds (revalidation itself fires in the "
+                         "'refresh' subcommand, which reuses the stored "
+                         "validators for 304-cheap revisits)")
     pc.set_defaults(fn=run_crawl)
+
+    pr = sub.add_parser(
+        "refresh",
+        help="revisit rounds over an existing store: Poisson-staleness "
+             "schedule + conditional GETs (304 ⇒ unchanged, zero body)",
+    )
+    _add_common(pr)
+    pr.add_argument("--timeout", type=float, default=10.0, help="per-request seconds")
+    pr.add_argument("--host-budget", type=int, default=100,
+                    help="max fetches per host per round")
+    pr.add_argument("--no-conditional", action="store_true",
+                    help="plain GETs (skip validator revalidation)")
+    pr.set_defaults(fn=run_refresh)
 
     pw = sub.add_parser("ingest-warc", help="load WARC file(s) as one committed round")
     _add_common(pw)

@@ -24,9 +24,19 @@ from pyspark.sql import functions as F
 #: non-content blocks dropped wholesale (case-insensitive, dotall).
 #: Spelled as a per-tag alternation, NOT a backreference — DuckDB's RE2
 #: has no backreferences and the twin must run the identical pattern.
+#: The opening tag requires a name BOUNDARY ('>' or whitespace/'/' then
+#: attributes) — a bare prefix like '<style[^>]*>' would swallow custom
+#: elements ('<styled-card>…') up to the next real closing tag. RE2 has
+#: no lookahead, so the boundary is an explicit alternation.
 _BLOCK_TAGS = ("script", "style", "noscript", "template", "head")
+
+
+def _block_open(t: str) -> str:
+    return rf"<{t}(>|[\s/][^>]*>)"
+
+
 _BLOCK_RE = r"(?is)" + "|".join(
-    rf"<{t}[^>]*>.*?</{t}\s*>" for t in _BLOCK_TAGS
+    rf"{_block_open(t)}.*?</{t}\s*>" for t in _BLOCK_TAGS
 )
 #: HTML comments (incl. conditional comments)
 _COMMENT_RE = r"(?s)<!--.*?-->"
@@ -34,15 +44,19 @@ _COMMENT_RE = r"(?s)<!--.*?-->"
 #: across structural breaks when tags are stripped
 _TAG_RE = r"(?s)<[^>]*>"
 #: decoded entity table — the handful that dominate real pages; numeric
-#: escapes beyond these stay literal (visible, greppable — never wrong text)
+#: escapes beyond these stay literal (visible, greppable — never wrong text).
+#: ``&amp;`` decodes LAST: decoding it first would turn the escaped entity
+#: '&amp;lt;' into '&lt;' in time for the next pass to double-decode it
+#: into '<' — text the page never displayed. With ampersand last,
+#: '&amp;lt;' correctly ends as the visible '&lt;'.
 _ENTITIES = [
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
+    ("&amp;", "&"),
 ]
 _WS_RE = r"\s+"
 
@@ -60,7 +74,7 @@ def html_to_text(col: Column | str) -> Column:
 
 def html_to_text_sql(expr: str) -> str:
     """DuckDB twin of :func:`html_to_text` (oracle queries)."""
-    block = "|".join(rf"<{t}[^>]*>.*?</{t}\s*>" for t in _BLOCK_TAGS)
+    block = "|".join(rf"{_block_open(t)}.*?</{t}\s*>" for t in _BLOCK_TAGS)
     out = f"regexp_replace({expr}, '{block}', ' ', 'gis')"
     out = f"regexp_replace({out}, '<!--.*?-->', ' ', 'gs')"
     out = f"regexp_replace({out}, '<[^>]*>', ' ', 'gs')"

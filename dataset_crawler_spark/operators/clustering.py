@@ -186,14 +186,20 @@ def incremental_components(
         )
         .select("node", F.coalesce("_newc", "comp").alias("comp"))
     )
-    if new_nodes is None:
-        fresh = qcc.join(labels.select("node"), "node", "left_anti")
-    else:
-        fresh = (
+    # every not-yet-labeled node the round surfaced gets a row: the declared
+    # new_nodes universe PLUS any quotient node outside it — an edge
+    # generator can legitimately mention a doc the caller's new-doc list
+    # missed, and dropping it would leave other nodes' comps pointing at a
+    # node absent from the labels table (batch CC labels it, so must we)
+    fresh_nodes = qcc.select("node")
+    if new_nodes is not None:
+        fresh_nodes = fresh_nodes.unionByName(
             new_nodes.select(F.col(new_nodes.columns[0]).alias("node"))
-            .distinct()
-            .join(F.broadcast(repmap.withColumnRenamed("_rep", "node")), "node", "left")
-            .select("node", F.coalesce("_newc", "node").alias("comp"))
-            .join(labels.select("node"), "node", "left_anti")
         )
+    fresh = (
+        fresh_nodes.distinct()
+        .join(labels.select("node"), "node", "left_anti")
+        .join(F.broadcast(repmap.withColumnRenamed("_rep", "node")), "node", "left")
+        .select("node", F.coalesce("_newc", "node").alias("comp"))
+    )
     return updated.unionByName(fresh)

@@ -160,7 +160,11 @@ def robots_gate(candidates: DataFrame, hosts: DataFrame) -> DataFrame:
     cols = ["host", "robots_disallow", "is_available", "crawl_delay_ms",
             "max_fetch_per_round"] + (["robots_rules"] if rfc else [])
     h = F.broadcast(hosts.select(*cols))
-    path = F.regexp_extract(F.col("url_c"), r"^[a-z]+://[^/]+(/[^?#]*)", 1)
+    # RFC 9309 matches rules against path + query (rules like
+    # 'Disallow: /*?sessionid=' are a core wildcard use case) — only the
+    # fragment is excluded. Prefix rules see the same string: a Disallow
+    # prefix containing '?' must be honorable in the legacy tier too.
+    path = F.regexp_extract(F.col("url_c"), r"^[a-z]+://[^/]+(/[^#]*)", 1)
     joined = candidates.join(h, "host", "inner").withColumn("_path", path)
     if rfc:
         empty = F.array().cast(

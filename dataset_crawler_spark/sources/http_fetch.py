@@ -147,19 +147,13 @@ def _classify(exc: BaseException) -> tuple[str, str]:
 
 
 def fetch_one(url: str, timeout_s: float, parser=parse_spans) -> tuple:
-    """GET one URL → (status, message, spans|None). Never raises."""
-    req = urllib.request.Request(url, headers={"User-Agent": USER_AGENT})
-    try:
-        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-            body = resp.read()
-            ctype = resp.headers.get("Content-Type", "")
-        try:
-            return OP_SUCCESS, f"fetched {len(body)} bytes", parser(ctype, body)
-        except Exception as exc:  # parse failure ≠ transport failure
-            return OP_EXCEPTION, f"parse: {type(exc).__name__}: {exc}", None
-    except Exception as exc:  # NOT BaseException: Ctrl-C/SystemExit propagate
-        status, message = _classify(exc)
-        return status, message, None
+    """GET one URL → (status, message, spans|None). Never raises.
+
+    The 3-column projection of :func:`fetch_one_cond` (ONE implementation
+    of the GET/classify/parse path — an unsolicited 304 from a buggy
+    server classifies as ``not_modified`` here too, which is the sane
+    reading either way)."""
+    return fetch_one_cond(url, timeout_s, parser=parser)[:3]
 
 
 def fetch_one_cond(
@@ -220,28 +214,19 @@ def http_fetcher(timeout_s: float = 5.0, max_workers: int = 8, parser=parse_span
     top-k already enforced upstream, total concurrency against any one host
     is (tasks holding that host) × max_workers; hosts are hash-spread across
     tasks by the scheduler's salting, so per-host pressure stays bounded.
-    """
+
+    ONE fetch-stage implementation: this is the validator-free projection
+    of :func:`http_fetcher_conditional` (url_c only in, validator columns
+    dropped out), so error classification, batching, and pool sizing can
+    never drift between the two."""
+    cond = http_fetcher_conditional(
+        timeout_s=timeout_s, max_workers=max_workers, parser=parser
+    )
 
     def fetch(spark: SparkSession, scheduled: DataFrame) -> DataFrame:
-        def run(batches):
-            for pdf in batches:
-                urls = pdf["url_c"].tolist()
-                if not urls:
-                    continue
-                with ThreadPoolExecutor(max_workers=max_workers) as pool:
-                    results = list(
-                        pool.map(lambda u: fetch_one(u, timeout_s, parser), urls)
-                    )
-                yield pd.DataFrame(
-                    {
-                        "doc_id": urls,
-                        "spans": [r[2] for r in results],
-                        "status": [r[0] for r in results],
-                        "message": [r[1] for r in results],
-                    }
-                )
-
-        return scheduled.select("url_c").mapInPandas(run, FETCH_SCHEMA)
+        return cond(spark, scheduled.select("url_c")).drop(
+            "etag", "last_modified"
+        )
 
     return fetch
 

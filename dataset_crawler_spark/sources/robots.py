@@ -245,11 +245,8 @@ def sitemap_seeds(
     if with_lastmod:
         # per-entry extraction keeps loc↔lastmod pairing correct when only
         # some entries carry lastmod (an unpaired global scan would zip them)
-        entry = sitemaps.select(
-            F.explode(
-                F.regexp_extract_all(xml_col, F.lit(_SITEMAP_ENTRY_RE), F.lit(1))
-            ).alias("entry")
-        )
+        entries = F.regexp_extract_all(xml_col, F.lit(_SITEMAP_ENTRY_RE), F.lit(1))
+        entry = sitemaps.select(F.explode(entries).alias("entry"))
         locs = entry.select(
             F.regexp_extract("entry", _SITEMAP_LOC_RE, 1).alias("url"),
             F.try_to_timestamp(
@@ -258,6 +255,20 @@ def sitemap_seeds(
                 )
             ).alias("lastmod"),
         ).where(F.length("url") > 0)
+        # a sitemap INDEX (<sitemapindex><sitemap><loc>…) has no <url>
+        # entries at all — fall back to the global <loc> scan (null
+        # lastmod) so turning lastmod on never silently drops a host's
+        # whole seed set
+        fallback = (
+            sitemaps.where(F.size(entries) == 0)
+            .select(
+                F.explode(
+                    F.regexp_extract_all(xml_col, F.lit(_SITEMAP_LOC_RE), F.lit(1))
+                ).alias("url"),
+                F.lit(None).cast("timestamp").alias("lastmod"),
+            )
+        )
+        locs = locs.unionByName(fallback)
         lastmod_aggs = [F.max("lastmod").alias("lastmod")]
     else:
         locs = sitemaps.select(

@@ -306,6 +306,11 @@ class CrawlEngine:
         re-crawl semantics — every frontier URL is eligible (no seen skip),
         the fetched set is a full snapshot, and the diff emits
         added/updated/deleted exactly like CrawlOperations.java:715-827.
+        ``mode="refresh"``: the revisit regime (change_rate_frontier /
+        refresh_frontier rounds) — no seen skip (refetching IS the point),
+        but the diff stays PARTIAL: the politeness budget legitimately cuts
+        the schedule, and absent docs must read as not-revisited, never as
+        deleted.
 
         ``seen_filter="bloom"`` (default) or ``"cuckoo"`` — the cuckoo state
         supports deletion: with ``resurrect=True``, URLs tombstoned in a round
@@ -327,7 +332,7 @@ class CrawlEngine:
         deleted. Fresh validators from 200 responses are appended to the
         store per round (last-writer-wins on revalidation).
         """
-        if mode not in ("discover", "full"):
+        if mode not in ("discover", "full", "refresh"):
             raise ValueError(f"unknown crawl mode {mode!r}")
         if seen_filter not in ("bloom", "cuckoo"):
             raise ValueError(f"unknown seen_filter {seen_filter!r}")
@@ -350,6 +355,7 @@ class CrawlEngine:
                 hosts, as_of=prev_round, lookback=budget_lookback
             )
         discover = mode == "discover"
+        partial = mode != "full"  # refresh keeps the partial diff (no deletes)
         cuckoo = seen_filter == "cuckoo"
         seen = self.seen_urls_as_of(prev_round) if discover else None
         filter_state = None
@@ -448,7 +454,7 @@ class CrawlEngine:
             self.store.append("validators", vrows, crawl_id)
 
         live_for_diff = live
-        if conditional and status_aware and not discover:
+        if conditional and status_aware and mode == "full":
             # full-snapshot semantics: a 304'd document was NOT refetched but
             # IS present and unchanged — its stored spans stand in so the
             # diff can never misread the missing body as a deletion
@@ -476,7 +482,7 @@ class CrawlEngine:
             self.store.append("bloom", merged, crawl_id)
 
         stats = self.run_round(
-            live_for_diff, crawl_id, description=description, partial=discover
+            live_for_diff, crawl_id, description=description, partial=partial
         )
         n_not_modified = (
             int(live_raw.where(F.col("status") == OP_NOT_MODIFIED).count())

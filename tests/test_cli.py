@@ -115,3 +115,32 @@ def test_cli_export_shards_closes_the_loop(spark, tmp_path, capsys):
     # empty store is a clean error, not a stack trace
     assert main(["export-shards", "--store", str(tmp_path / "nope"),
                  "--out", str(tmp_path / "x")]) == 2
+
+
+def test_cli_crawl_then_refresh_revalidates(spark, tmp_path, server, capsys):
+    """The full validator lifecycle across subcommands: `crawl --conditional`
+    CAPTURES validators during discovery; `refresh` schedules by Poisson
+    staleness and revalidates — unchanged docs come back 304 (not_modified,
+    zero body), a server-side change is refetched and diffed as updated,
+    and nothing is ever deleted by a budget-cut refresh."""
+    store = str(tmp_path / "refresh_store")
+    rc = main([
+        "crawl",
+        "--seed-url", f"{server}/cond/0",
+        "--seed-url", f"{server}/cond/1",
+        "--seed-url", f"{server}/cond/2",
+        "--store", store, "--rounds", "1", "--timeout", "5", "--conditional",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    _Handler.COND_VERSIONS["/cond/1"] = 2
+    try:
+        rc = main(["refresh", "--store", store, "--rounds", "1", "--timeout", "5"])
+    finally:
+        _Handler.COND_VERSIONS.pop("/cond/1", None)
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["not_modified"] == 2      # two unchanged → 304, zero body
+    assert line["fetched"] == 1           # the changed doc moved a body
+    assert line["updated"] == 1 and line["deleted"] == 0

@@ -1246,8 +1246,11 @@ def test_incremental_components_equals_batch(spark):
     labels0 = connected_components(old_edges, nodes=old_nodes)
 
     # new round: 5 joins cluster-10 and becomes its min; a late old-old edge
-    # bridges 12↔20; 99 arrives isolated
-    new_edges = spark.createDataFrame([(5, 11), (12, 20)], "doc_a int, doc_b int")
+    # bridges 12↔20; 99 arrives isolated; 7 is surfaced ONLY by an edge (the
+    # caller's new-node universe missed it — it must still get a label)
+    new_edges = spark.createDataFrame(
+        [(5, 11), (12, 20), (7, 21)], "doc_a int, doc_b int"
+    )
     new_nodes = spark.createDataFrame([(5,), (99,)], "node int")
     got = {
         r.node: r.comp
@@ -1262,7 +1265,7 @@ def test_incremental_components_equals_batch(spark):
         ).collect()
     }
     assert got == batch
-    assert got[5] == got[10] == got[12] == got[20] == got[21] == 5
+    assert got[5] == got[10] == got[12] == got[20] == got[21] == got[7] == 5
     assert got[99] == 99 and got[30] == 30 and got[40] == 40
 
 

@@ -255,10 +255,11 @@ def test_robots_rfc9309_rules_and_gate(spark):
         "Disallow: /fish*.html$\n"   # longer than /fish → html blocked
         "Allow: /folder\n"
         "Disallow: /folder\n"        # equal length → Allow wins the tie
+        "Disallow: /*?sessionid=\n"  # rules match path INCLUDING query
         "Crawl-delay: 1\n"
     )
     rules, delay = parse_robots_full_py(txt)
-    assert delay == 1000 and len(rules) == 7
+    assert delay == 1000 and len(rules) == 8
 
     paths = [
         ("/private/x", False),
@@ -270,6 +271,8 @@ def test_robots_rfc9309_rules_and_gate(spark):
         ("/fish/a.htm", True),
         ("/folder/page", True),      # allow wins the equal-length tie
         ("/other", True),
+        ("/page?sessionid=abc", False),  # query-string wildcard rule
+        ("/page", True),                 # same path, no query → allowed
     ]
     for p, want in paths:
         assert evaluate_robots_py(rules, p) is want, p

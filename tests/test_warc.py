@@ -238,3 +238,27 @@ def test_warc_wet_extraction(spark, tmp_path):
     docs.count()
     plan = docs._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"ArrowEvalPython|MapInPandas", plan) is None
+
+
+def test_html_to_text_entity_order_and_custom_elements(spark):
+    """Review-pinned edge cases: escaped entities must single-decode
+    ('&amp;lt;' is the VISIBLE text '&lt;', never '<'), and a custom
+    element sharing a block tag's name prefix ('<styled-card>') must not
+    be swallowed by the style-block eraser."""
+    from dataset_crawler_spark.functions.html import html_to_text
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("<p>&amp;lt;b&amp;gt;</p>", "&lt;b&gt;"),
+        ("<p>&amp;amp;</p>", "&amp;"),
+        (
+            "<styled-card>Buy now</styled-card><p>Details</p><style>.x{}</style>",
+            "Buy now Details",
+        ),
+        ("<template-part>kept</template-part>", "kept"),
+        ("<style >gone</style><b>kept</b>", "kept"),  # attr-less w/ space
+        ("<style type=x>gone</style>kept", "kept"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = [r[0] for r in df.select(html_to_text(F.col("html"))).collect()]
+    assert got == [w for _, w in cases]

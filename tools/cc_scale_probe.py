@@ -99,10 +99,16 @@ def main() -> None:
     t_batch1 = round(time.time() - t0, 1)
     print(f"local[{cores}] batch recluster {N_OLD_EDGES + N_NEW_EDGES} edges: {t_batch1} s ({z_b:,} labels)", flush=True)
 
+    # FULL OUTER: a dropped or extra label row must count as a mismatch —
+    # an inner join would silently ignore node-set differences
     mismatch = (
         inc.withColumnRenamed("comp", "ci")
-        .join(batch.withColumnRenamed("comp", "cb"), "node")
-        .where(F.col("ci") != F.col("cb"))
+        .join(batch.withColumnRenamed("comp", "cb"), "node", "full_outer")
+        .where(
+            F.col("ci").isNull()
+            | F.col("cb").isNull()
+            | (F.col("ci") != F.col("cb"))
+        )
         .count()
     )
     print(f"incremental ≡ batch: {'YES' if mismatch == 0 else f'NO ({mismatch} mismatches)'}; speedup {t_batch1 / max(t_inc, 0.1):.1f}x", flush=True)
