@@ -80,6 +80,7 @@ ANALYTIC_QUERIES = [
     "crawl_dust_rules",
     "text_html_extract",
     "engine_incremental_cc",
+    "crawl_sitemap_lastmod",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

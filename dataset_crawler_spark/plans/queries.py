@@ -57,6 +57,7 @@ _DRIVER_FIRST = [
     "crawl_dust_rules",
     "text_html_extract",
     "engine_incremental_cc",
+    "crawl_sitemap_lastmod",
     # latest green row r02 (never re-sampled since)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
@@ -4351,3 +4352,91 @@ def engine_incremental_cc(spark, sf_dir):
         F.col("comp").alias("cluster_id"),
         "cluster_size",
     )
+
+
+# -- sitemap lastmod → refresh priority (sources/robots.py) -------------------
+
+#: explicit as-of instant + halflife for the twin-checked priority mapping.
+#: halflife 90 keeps every reachable age (16–260 days in the construction)
+#: away from the one exact rounding tie the map has (age = 4·halflife gives
+#: priority 0.53125 — exactly on a 4dp half boundary, where Spark and
+#: DuckDB tie-break rules could differ); min boundary distance over the
+#: reachable ages is 2.6e-7, nine orders above libm's 1-ulp drift.
+_SM_AS_OF = "2024-10-01 00:00:00"
+_SM_HALFLIFE = 90.0
+
+
+@register(
+    "crawl_sitemap_lastmod",
+    f"""
+    WITH xml AS (
+      SELECT 'src' AS host,
+             '<url><loc>https://' || source || '.example.org/p/'
+               || CAST(doc_id AS VARCHAR) || '</loc>'
+               || CASE
+                    WHEN doc_id % 5 = 1 THEN '<lastmod>not-a-date</lastmod>'
+                    WHEN doc_id % 3 = 0 THEN '<lastmod>2024-0'
+                      || CAST(1 + doc_id % 9 AS VARCHAR) || '-15</lastmod>'
+                    ELSE ''
+                  END || '</url>' AS sitemap_xml
+      FROM documents),
+    seeds AS (
+      SELECT regexp_extract(sitemap_xml, '<loc>\\s*https://([^/<]+)', 1) AS host,
+             try_cast(nullif(regexp_extract(sitemap_xml,
+               '<lastmod>\\s*([^<\\s]+)\\s*</lastmod>', 1), '') AS timestamp)
+               AS lastmod,
+             regexp_extract(sitemap_xml, '<loc>\\s*(\\S+?)\\s*</loc>', 1) AS url
+      FROM xml),
+    pr AS (
+      SELECT url, host,
+             CASE WHEN lastmod IS NULL THEN 0.5
+                  ELSE 0.5 + 0.5 * pow(2.0,
+                    -greatest((epoch(TIMESTAMP '{_SM_AS_OF}') - epoch(lastmod))
+                              / 86400.0, 0.0) / {_SM_HALFLIFE})
+             END AS p
+      FROM seeds)
+    SELECT url, host,
+           ROUND(p, 4) AS priority,
+           0 AS discovered_crawl_id, 0 AS seed_rank, 'pending' AS state
+    FROM pr
+    """,
+)
+def crawl_sitemap_lastmod(spark, sf_dir):
+    """Sitemap ``<lastmod>`` → deterministic refresh priority, end-to-end
+    through the REAL source path (sources/robots.py sitemap_seeds
+    (with_lastmod=True) → lastmod_priority): per-entry loc↔lastmod pairing,
+    W3C date try-cast (malformed → null, never an error), and the recency
+    map priority = 0.5 + 0.5·2^(−age_days/halflife) from an EXPLICIT as-of
+    instant — never wall-clock. The construction wraps every document in a
+    one-entry sitemap (a third with valid lastmod, a fifth malformed, the
+    rest absent), so the twin pins extraction, null/else fallbacks, and
+    the priority algebra value-for-value.
+
+    Scale shape: narrow regexp extraction + one per-URL dedup aggregate —
+    the standard seed-source plan; priority math is per-row scalar."""
+    from dataset_crawler_spark.sources.robots import lastmod_priority, sitemap_seeds
+
+    d = _t(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<url><loc>https://"),
+        F.col("source"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc>"),
+        F.when(
+            F.col("doc_id") % 5 == 1, F.lit("<lastmod>not-a-date</lastmod>")
+        ).when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<lastmod>2024-0"),
+                (1 + F.col("doc_id") % 9).cast("string"),
+                F.lit("-15</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    seeds = sitemap_seeds(
+        d.select(F.lit("src").alias("host"), xml.alias("sitemap_xml")),
+        with_lastmod=True,
+    )
+    return lastmod_priority(seeds, as_of=_SM_AS_OF, halflife_days=_SM_HALFLIFE)
