@@ -1,14 +1,22 @@
-"""Link-graph centrality: PageRank over a host/source graph.
+"""Link-graph centrality: PageRank, HITS and OPIC over a host/source graph.
 
 Crawl schedulers prioritize by centrality — a frontier at 10^10 URLs cannot
 fetch everything each round, and host rank is the standard priority signal
 (the reference's fixed per-type ordering, CrawlOperations.java ordering
-loops, is the degenerate "all hosts equal" case). This operator computes
-PageRank with the classic damped power iteration, expressed as DataFrame
-joins so it scales exactly like the connected-components operator
-(operators/clustering.py): per iteration one hash-partitioned equi-join
-(edges ⋈ ranks on src) plus one hash aggregate (sum of contributions per
-dst) — no all-pairs product, no driver-side graph.
+loops, is the degenerate "all hosts equal" case). Three classic signals
+share one execution shape here:
+
+- :func:`pagerank` — damped power iteration (Brin & Page 1998),
+- :func:`hits` — hubs & authorities (Kleinberg 1999, JACM 46(5)),
+- :func:`opic` — On-line Page Importance Computation (Abiteboul, Preda &
+  Cobena, WWW 2003), the cash/history importance estimator designed
+  specifically to PRIORITIZE A CRAWL FRONTIER while the crawl is running.
+
+Each is expressed as DataFrame joins so it scales exactly like the
+connected-components operator (operators/clustering.py): per iteration one
+hash-partitioned equi-join (edges ⋈ scores on src or dst) plus one hash
+aggregate (sum of contributions per endpoint) — no all-pairs product, no
+driver-side graph.
 
 Determinism contract: fixed ``n_iter`` (no convergence-dependent stop), no
 RNG, sums of doubles rounded by the caller before comparison — the DuckDB
@@ -40,28 +48,39 @@ from pyspark.sql import functions as F
 DAMPING = 0.85
 
 
-def pagerank(
-    edges: DataFrame,
-    nodes: DataFrame | None = None,
-    n_iter: int = 8,
-    damping: float = DAMPING,
-    broadcast_threshold: int = 100_000,
-) -> DataFrame:
-    """(node, rank) after ``n_iter`` damped power iterations.
+class _PreparedGraph:
+    """Static sides of an iterative graph computation, materialized once.
 
-    ``edges``: (src, dst) directed edge list (parallel edges count once —
-    deduped here). ``nodes``: optional (node) universe; isolated nodes get
-    teleport-only rank; defaults to nodes appearing in ``edges``.
-
-    Physical strategy is size-aware (same values either way — pinned by
-    tests/test_pipeline_ops.py): at or below ``broadcast_threshold`` nodes
-    the per-iteration ranks/contrib sides ride BROADCAST joins (a host graph
-    is thousands of rows — pre-partitioning the static sides costs two
-    exchange+cache materializations that dwarf the tiny joins they save);
-    above it the static sides are ``repartition(key).cache()`` so only the
-    ranks side and the contribution aggregate move each iteration
-    (BENCH/GRAPH_SCALE.md: 1M-node probe, 2→8 efficiency 0.77).
+    ``ew``: (src, dst, deg) edges with out-degree; ``nodes``: (node,
+    has_out) universe with the precomputed dangling flag; ``n`` node count;
+    ``small`` whether per-iteration frames should ride broadcast joins;
+    ``has_dangling`` whether any node lacks out-edges; ``caches`` every
+    cached frame the caller must unpersist when done.
     """
+
+    __slots__ = ("ew", "nodes", "n", "small", "has_dangling", "caches")
+
+    def __init__(self, ew, nodes, n, small, has_dangling, caches):
+        self.ew = ew
+        self.nodes = nodes
+        self.n = n
+        self.small = small
+        self.has_dangling = has_dangling
+        self.caches = caches
+
+    def release(self) -> None:
+        for c in self.caches:
+            c.unpersist()
+
+
+def _prepare_graph(
+    edges: DataFrame,
+    nodes: DataFrame | None,
+    broadcast_threshold: int,
+) -> _PreparedGraph:
+    """Shared static-side setup for pagerank/hits/opic (see pagerank's
+    docstring for the physical-strategy rationale; the inline comments
+    below are load-bearing measurements)."""
     e = edges.select("src", "dst").distinct()
     if nodes is None:
         nodes = (
@@ -126,6 +145,36 @@ def pagerank(
         nodes = nodes.repartition("node").cache()
         caches += [ew, nodes]
 
+    return _PreparedGraph(
+        ew, nodes, n, small, (stats.n_dangling or 0) > 0, caches
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 8,
+    damping: float = DAMPING,
+    broadcast_threshold: int = 100_000,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` damped power iterations.
+
+    ``edges``: (src, dst) directed edge list (parallel edges count once —
+    deduped here). ``nodes``: optional (node) universe; isolated nodes get
+    teleport-only rank; defaults to nodes appearing in ``edges``.
+
+    Physical strategy is size-aware (same values either way — pinned by
+    tests/test_pipeline_ops.py): at or below ``broadcast_threshold`` nodes
+    the per-iteration ranks/contrib sides ride BROADCAST joins (a host graph
+    is thousands of rows — pre-partitioning the static sides costs two
+    exchange+cache materializations that dwarf the tiny joins they save);
+    above it the static sides are ``repartition(key).cache()`` so only the
+    ranks side and the contribution aggregate move each iteration
+    (BENCH/GRAPH_SCALE.md: 1M-node probe, 2→8 efficiency 0.77).
+    """
+    g = _prepare_graph(edges, nodes, broadcast_threshold)
+    ew, nodes, n, small = g.ew, g.nodes, g.n, g.small
+
     # dangling is a STATIC property (has_out never changes): when no node
     # is dangling, the mass term is a constant 0 and its aggregate is
     # elided entirely. When nodes ARE dangling, the per-iteration mass
@@ -136,7 +185,7 @@ def pagerank(
     # jobs in the loop, matching the SQL twin's chained-CTE shape. The
     # non-eager checkpoints pin each level as the computation flows through
     # it, so lineage is still cut per iteration.
-    has_dangling = (stats.n_dangling or 0) > 0
+    has_dangling = g.has_dangling
 
     ranks = nodes.select("node", "has_out", (F.lit(1.0) / n).alias("rank")).localCheckpoint(
         eager=False
@@ -170,6 +219,130 @@ def pagerank(
     # long-lived sessions (bench loops, multi-round engines) must not
     # accumulate executor storage across pagerank calls
     out = ranks.select("node", "rank").localCheckpoint()
-    for c in caches:
-        c.unpersist()
+    g.release()
+    return out
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 8,
+    broadcast_threshold: int = 100_000,
+) -> DataFrame:
+    """(node, authority, hub) after ``n_iter`` HITS iterations
+    (Kleinberg 1999): each iteration sets authority(v) = Σ hub(u) over
+    in-edges (u,v) then hub(u) = Σ authority(v) over out-edges (u,v), each
+    L1-normalized so the scores form a distribution (the normalization
+    choice only rescales Kleinberg's L2 fixpoint — the ranking is
+    identical — and keeps the in-plan scalar a plain SUM both here and in
+    the DuckDB twin). Nodes without in-edges get authority 0; without
+    out-edges, hub 0.
+
+    Same execution contract as :func:`pagerank`: fixed iteration count, no
+    RNG; per half-step one equi-join + one hash aggregate, the L1 norm an
+    in-plan 1-row broadcast aggregate; lineage cut per iteration with
+    non-eager localCheckpoint; static sides broadcast below
+    ``broadcast_threshold`` nodes, repartition(key).cache() above it.
+    """
+    g = _prepare_graph(edges, nodes, broadcast_threshold)
+    ew, nds, small = g.ew, g.nodes, g.small
+
+    def _spread(scores: DataFrame, col: str, from_col: str, to_col: str) -> DataFrame:
+        """One HITS half-step: push ``col`` across edges from ``from_col``
+        endpoints onto ``to_col`` endpoints, L1-normalize in-plan."""
+        rhs = F.broadcast(scores) if small else scores
+        raw = (
+            ew.join(rhs, F.col(from_col) == F.col("node"), "inner")
+            .groupBy(to_col)
+            .agg(F.sum(col).alias("_v"))
+            .withColumnRenamed(to_col, "node")
+        )
+        tot = raw.agg(F.coalesce(F.sum("_v"), F.lit(0.0)).alias("_t"))
+        out = (
+            nds.join(F.broadcast(raw) if small else raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("_v"), F.lit(0.0))
+                    / F.when(F.col("_t") > 0, F.col("_t")).otherwise(F.lit(1.0))
+                ).alias(col),
+            )
+        )
+        return out.localCheckpoint(eager=False)
+
+    init = F.lit(1.0) / g.n
+    auth = nds.select("node", init.alias("authority")).localCheckpoint(eager=False)
+    hub = nds.select("node", init.alias("hub")).localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        auth = _spread(hub.withColumnRenamed("hub", "authority"), "authority", "src", "dst")
+        hub = _spread(auth.withColumnRenamed("authority", "hub"), "hub", "dst", "src")
+    out = auth.join(hub, "node").select("node", "authority", "hub").localCheckpoint()
+    g.release()
+    return out
+
+
+def opic(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_rounds: int = 8,
+    broadcast_threshold: int = 100_000,
+) -> DataFrame:
+    """(node, importance) after ``n_rounds`` synchronous OPIC rounds
+    (Abiteboul, Preda & Cobena, "Adaptive On-Line Page Importance
+    Computation", WWW 2003) — the importance estimator built to prioritize
+    a RUNNING crawl: every page holds cash (initially 1/n); fetching a page
+    banks its cash into its history and distributes it equally over its
+    out-links; importance is estimated from (history + cash) without ever
+    storing the link matrix. This is the synchronous all-pages-per-round
+    variant (the paper's "OPIC" baseline before the adaptive schedule):
+
+        H_i(v) = H_{i-1}(v) + C_{i-1}(v)
+        C_i(v) = Σ_{(u,v)∈E} C_{i-1}(u) / outdeg(u)  (+ dangling mass / n)
+        importance = (H_k + C_k) / (k + 1)
+
+    Total cash is invariant at 1 per round (dangling cash redistributes
+    uniformly — the paper's virtual-page trick collapsed one step), so
+    Σ importance = 1 and the estimate converges to PageRank's
+    damping→1 limit. Execution shape identical to :func:`pagerank`:
+    one equi-join + one hash aggregate per round, dangling mass an in-plan
+    1-row broadcast aggregate, lineage cut per round.
+    """
+    g = _prepare_graph(edges, nodes, broadcast_threshold)
+    ew, nds, n, small = g.ew, g.nodes, g.n, g.small
+
+    state = nds.select(
+        "node", "has_out", (F.lit(1.0) / n).alias("cash"), F.lit(0.0).alias("hist")
+    ).localCheckpoint(eager=False)
+    for _ in range(n_rounds):
+        rhs = F.broadcast(state) if small else state
+        recv = (
+            ew.join(rhs, F.col("src") == F.col("node"), "inner")
+            .groupBy("dst")
+            .agg(F.sum(F.col("cash") / F.col("deg")).alias("_recv"))
+            .withColumnRenamed("dst", "node")
+        )
+        # state carries the full node universe, so the update is ONE left
+        # join of the received-cash aggregate back onto it
+        joined = state.select(
+            "node", "has_out", F.col("cash").alias("_c0"), F.col("hist").alias("_h0")
+        ).join(F.broadcast(recv) if small else recv, "node", "left")
+        if g.has_dangling:
+            m_df = state.where(~F.col("has_out")).agg(
+                F.coalesce(F.sum("cash"), F.lit(0.0)).alias("_m")
+            )
+            joined = joined.crossJoin(F.broadcast(m_df))
+            mass = F.col("_m")
+        else:
+            mass = F.lit(0.0)
+        state = joined.select(
+            "node",
+            "has_out",
+            (F.coalesce(F.col("_recv"), F.lit(0.0)) + mass / n).alias("cash"),
+            (F.col("_h0") + F.col("_c0")).alias("hist"),
+        ).localCheckpoint(eager=False)
+    out = state.select(
+        "node", ((F.col("hist") + F.col("cash")) / (n_rounds + 1)).alias("importance")
+    ).localCheckpoint()
+    g.release()
     return out

@@ -58,6 +58,8 @@ _DRIVER_FIRST = [
     "text_html_extract",
     "engine_incremental_cc",
     "crawl_sitemap_lastmod",
+    "graph_host_hits",
+    "crawl_opic_importance",
     # latest green row r02 (never re-sampled since)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
@@ -1450,6 +1452,180 @@ def graph_host_pagerank(spark, sf_dir):
     ranks = G.pagerank(edges, nodes=hosts, n_iter=_PR_ITER, damping=_PR_DAMPING)
     return ranks.select(
         F.col("node").alias("source"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _host_graph(spark, sf_dir):
+    """The deterministic hash-derived host graph shared by every
+    link-centrality query (edge iff h60(a||'>'||b) mod 100 < pct) — the
+    Spark twin of _pagerank_sql's default hosts/edges CTEs."""
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("node")
+    ).distinct()
+    a, b = hosts.alias("a"), hosts.alias("b")
+    edges = (
+        a.join(b, F.col("a.node") != F.col("b.node"))
+        .where(
+            F.pmod(
+                h60(F.concat(F.col("a.node"), F.lit(">"), F.col("b.node"))), F.lit(100)
+            )
+            < _PR_EDGE_PCT
+        )
+        .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
+    )
+    return hosts, edges
+
+
+_HITS_ITER = 8
+
+
+def _hits_sql() -> str:
+    """DuckDB twin of :func:`operators.graph.hits`: the same fixed
+    iterations unrolled as chained CTEs — per iteration an authority
+    half-step (sum of hubs over in-edges, L1-normalized by an in-CTE scalar)
+    then a hub half-step over the FRESH authorities, exactly the operator's
+    update order."""
+    cte = [
+        "hosts AS (SELECT DISTINCT source AS node FROM documents)",
+        f"""edges AS (
+      SELECT a.node AS src, b.node AS dst FROM hosts a JOIN hosts b ON a.node <> b.node
+      WHERE {h60_sql("a.node || '>' || b.node")} % 100 < {_PR_EDGE_PCT})""",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hosts)",
+        "s0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS hub FROM hosts)",
+    ]
+    for i in range(1, _HITS_ITER + 1):
+        cte.append(
+            f"""ar{i} AS (
+      SELECT e.dst AS node, SUM(s.hub) AS v
+      FROM edges e JOIN s{i - 1} s ON s.node = e.src GROUP BY e.dst)"""
+        )
+        cte.append(
+            f"at{i} AS (SELECT COALESCE(SUM(v), 0) AS t FROM ar{i})"
+        )
+        cte.append(
+            f"""a{i} AS (
+      SELECT h.node,
+             COALESCE(r.v, 0) / (CASE WHEN (SELECT t FROM at{i}) > 0
+                                      THEN (SELECT t FROM at{i}) ELSE 1.0 END) AS authority
+      FROM hosts h LEFT JOIN ar{i} r USING (node))"""
+        )
+        cte.append(
+            f"""hr{i} AS (
+      SELECT e.src AS node, SUM(a.authority) AS v
+      FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src)"""
+        )
+        cte.append(
+            f"ht{i} AS (SELECT COALESCE(SUM(v), 0) AS t FROM hr{i})"
+        )
+        cte.append(
+            f"""s{i} AS (
+      SELECT h.node,
+             COALESCE(r.v, 0) / (CASE WHEN (SELECT t FROM ht{i}) > 0
+                                      THEN (SELECT t FROM ht{i}) ELSE 1.0 END) AS hub
+      FROM hosts h LEFT JOIN hr{i} r USING (node))"""
+        )
+    k = _HITS_ITER
+    # DuckDB 1.0 INLINES every CTE by default; the deep per-iteration chain
+    # (score -> raw agg -> norm scalar -> score) would re-expand the
+    # documents scan multiplicatively and exhaust the fd limit. MATERIALIZED
+    # pins each level to compute exactly once, like Spark's localCheckpoint.
+    cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"""
+    SELECT a.node AS source, ROUND(a.authority, 6) AS authority,
+           ROUND(s.hub, 6) AS hub
+    FROM a{k} a JOIN s{k} s USING (node)"""
+    )
+
+
+@register("graph_host_hits", _hits_sql())
+def graph_host_hits(spark, sf_dir):
+    """Hubs & authorities over the host link graph (Kleinberg 1999) — the
+    complementary crawl-prioritization signal to PageRank: a high-HUB host
+    is a directory/index page whose outlinks are worth expanding first (the
+    frontier grows fastest there); a high-AUTHORITY host is worth fetching
+    deeply. The reference has no link analysis at all (its priority is seed
+    order, IncrementalDatasetCrawler.java:154); at 10^10 URLs the scheduler
+    needs both signals. Same deterministic hash-derived graph and the same
+    per-iteration join+agg shape as graph_host_pagerank
+    (operators/graph.py:hits); values L1-normalized, rounded to 6."""
+    from dataset_crawler_spark.operators import graph as G
+
+    hosts, edges = _host_graph(spark, sf_dir)
+    scores = G.hits(edges, nodes=hosts, n_iter=_HITS_ITER)
+    return scores.select(
+        F.col("node").alias("source"),
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
+_OPIC_ROUNDS = 8
+
+
+def _opic_sql() -> str:
+    """DuckDB twin of :func:`operators.graph.opic`: the synchronous
+    cash/history rounds unrolled as chained CTEs (received-cash agg +
+    dangling-mass scalar per round), importance = (hist+cash)/(k+1)."""
+    cte = [
+        "hosts AS (SELECT DISTINCT source AS node FROM documents)",
+        f"""edges AS (
+      SELECT a.node AS src, b.node AS dst FROM hosts a JOIN hosts b ON a.node <> b.node
+      WHERE {h60_sql("a.node || '>' || b.node")} % 100 < {_PR_EDGE_PCT})""",
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hosts)",
+        "s0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS cash, 0.0 AS hist FROM hosts)",
+    ]
+    for i in range(1, _OPIC_ROUNDS + 1):
+        cte.append(
+            f"""r{i} AS (
+      SELECT e.dst AS node, SUM(s.cash / o.deg) AS v
+      FROM edges e JOIN s{i - 1} s ON s.node = e.src JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst)"""
+        )
+        cte.append(
+            f"""d{i} AS (
+      SELECT COALESCE(SUM(cash), 0) AS m FROM s{i - 1}
+      WHERE node NOT IN (SELECT src FROM edges))"""
+        )
+        cte.append(
+            f"""s{i} AS (
+      SELECT h.node,
+             COALESCE(r.v, 0) + (SELECT m FROM d{i}) / (SELECT n FROM nn) AS cash,
+             s.hist + s.cash AS hist
+      FROM hosts h LEFT JOIN r{i} r USING (node) JOIN s{i - 1} s USING (node))"""
+        )
+    k = _OPIC_ROUNDS
+    # MATERIALIZED for the same fd-exhaustion reason as _hits_sql
+    cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"""
+    SELECT node AS source, ROUND((hist + cash) / {k + 1}.0, 6) AS importance
+    FROM s{k}"""
+    )
+
+
+@register("crawl_opic_importance", _opic_sql())
+def crawl_opic_importance(spark, sf_dir):
+    """OPIC importance over the host graph (Abiteboul, Preda & Cobena,
+    WWW 2003) — the page-importance estimator designed to run INSIDE a
+    crawl: cash banks into history as pages are fetched and flows along
+    outlinks, so the frontier can be prioritized online without storing
+    the link matrix or waiting for an offline PageRank batch. The engine's
+    refresh/priority loop (refresh_priorities, adaptive_host_budgets) can
+    consume this directly as the per-host base priority. Synchronous
+    fixed-round variant (deterministic; total cash invariant at 1/round);
+    same graph and join+agg shape as graph_host_pagerank."""
+    from dataset_crawler_spark.operators import graph as G
+
+    hosts, edges = _host_graph(spark, sf_dir)
+    imp = G.opic(edges, nodes=hosts, n_rounds=_OPIC_ROUNDS)
+    return imp.select(
+        F.col("node").alias("source"), F.round("importance", 6).alias("importance")
     )
 
 

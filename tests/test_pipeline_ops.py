@@ -333,6 +333,107 @@ def test_pagerank_partitioning_invariance(spark):
         assert abs(one[v] - many[v]) < 1e-12
 
 
+def _hits_py(edges, nodes, n_iter=8):
+    """Pure-Python HITS twin: L1-normalized synchronous half-steps in the
+    operator's exact update order (authority from PREVIOUS hubs, then hub
+    from the FRESH authorities)."""
+    es = set(edges)
+    n = len(nodes)
+    hub = {v: 1.0 / n for v in nodes}
+    auth = dict(hub)
+    for _ in range(n_iter):
+        auth = {v: sum(hub[s] for s, d in es if d == v) for v in nodes}
+        t = sum(auth.values()) or 1.0
+        auth = {v: x / t for v, x in auth.items()}
+        hub = {v: sum(auth[d] for s, d in es if s == v) for v in nodes}
+        t = sum(hub.values()) or 1.0
+        hub = {v: x / t for v, x in hub.items()}
+    return auth, hub
+
+
+def test_hits_matches_python_twin(spark):
+    from dataset_crawler_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(PR_EDGES, "src long, dst long")
+    nodes = spark.createDataFrame([(v,) for v in PR_NODES], "node long")
+    rows = hits(edges, nodes=nodes).collect()
+    got_a = {r.node: r.authority for r in rows}
+    got_h = {r.node: r.hub for r in rows}
+    want_a, want_h = _hits_py(PR_EDGES, PR_NODES)
+    assert set(got_a) == set(want_a)
+    for v in PR_NODES:
+        assert abs(got_a[v] - want_a[v]) < 1e-12
+        assert abs(got_h[v] - want_h[v]) < 1e-12
+    # L1 normalization: each score vector is a distribution
+    assert abs(sum(got_a.values()) - 1.0) < 1e-9
+    assert abs(sum(got_h.values()) - 1.0) < 1e-9
+    # structure: 1 has in-links {2,3} so it is the top authority; the
+    # dangling 4 has no out-edges → hub exactly 0; isolated 5 → both 0
+    assert got_a[1] == max(got_a.values())
+    assert got_h[4] == 0.0
+    assert got_a[5] == 0.0 and got_h[5] == 0.0
+
+
+def _opic_py(edges, nodes, n_rounds=8):
+    out: dict[int, list] = {}
+    for s, d in set(edges):
+        out.setdefault(s, []).append(d)
+    n = len(nodes)
+    cash = {v: 1.0 / n for v in nodes}
+    hist = {v: 0.0 for v in nodes}
+    for _ in range(n_rounds):
+        m = sum(cash[v] for v in nodes if v not in out)
+        recv = {v: 0.0 for v in nodes}
+        for s, dsts in out.items():
+            for d in dsts:
+                recv[d] += cash[s] / len(dsts)
+        hist = {v: hist[v] + cash[v] for v in nodes}
+        cash = {v: recv[v] + m / n for v in nodes}
+    return {v: (hist[v] + cash[v]) / (n_rounds + 1) for v in nodes}
+
+
+def test_opic_matches_python_twin(spark):
+    from dataset_crawler_spark.operators.graph import opic
+
+    edges = spark.createDataFrame(PR_EDGES, "src long, dst long")
+    nodes = spark.createDataFrame([(v,) for v in PR_NODES], "node long")
+    got = {r.node: r.importance for r in opic(edges, nodes=nodes).collect()}
+    want = _opic_py(PR_EDGES, PR_NODES)
+    assert set(got) == set(want)
+    for v in PR_NODES:
+        assert abs(got[v] - want[v]) < 1e-12
+    # cash conservation: total importance is exactly the invariant 1
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the 1↔2 core accumulates the most cash history
+    assert got[1] == max(got.values())
+
+
+def test_hits_opic_strategy_invariance(spark):
+    """broadcast_threshold=0 forces the repartition(key).cache() path; the
+    default rides broadcast joins — values must be identical either way
+    (same contract pagerank pins via test_pagerank_partitioning_invariance)."""
+    from dataset_crawler_spark.operators.graph import hits, opic
+
+    edges = spark.createDataFrame(PR_EDGES, "src long, dst long")
+    small = {(r.node): (r.authority, r.hub) for r in hits(edges).collect()}
+    big = {
+        (r.node): (r.authority, r.hub)
+        for r in hits(edges, broadcast_threshold=0).collect()
+    }
+    assert small.keys() == big.keys()
+    for v in small:
+        assert abs(small[v][0] - big[v][0]) < 1e-12
+        assert abs(small[v][1] - big[v][1]) < 1e-12
+    o_small = {r.node: r.importance for r in opic(edges).collect()}
+    o_big = {
+        r.node: r.importance
+        for r in opic(edges, broadcast_threshold=0).collect()
+    }
+    assert o_small.keys() == o_big.keys()
+    for v in o_small:
+        assert abs(o_small[v] - o_big[v]) < 1e-12
+
+
 def test_incremental_minhash_index_through_store(spark, tmp_path):
     """Three-round ingestion through a SnapshotStore-persisted band index:
     the union of per-round pair outputs must equal the from-scratch batch
