@@ -81,6 +81,10 @@ ANALYTIC_QUERIES = [
     "text_html_extract",
     "engine_incremental_cc",
     "crawl_sitemap_lastmod",
+    "graph_host_hits",
+    "crawl_opic_importance",
+    "graph_host_trustrank",
+    "crawl_centrality_budget",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

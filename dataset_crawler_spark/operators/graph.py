@@ -1,4 +1,5 @@
-"""Link-graph centrality: PageRank, HITS and OPIC over a host/source graph.
+"""Link-graph centrality: PageRank, TrustRank, HITS and OPIC over a
+host/source graph.
 
 Crawl schedulers prioritize by centrality — a frontier at 10^10 URLs cannot
 fetch everything each round, and host rank is the standard priority signal
@@ -7,6 +8,9 @@ loops, is the degenerate "all hosts equal" case). Three classic signals
 share one execution shape here:
 
 - :func:`pagerank` — damped power iteration (Brin & Page 1998),
+- :func:`trustrank` — seed-biased teleport (Gyöngyi, Garcia-Molina &
+  Pedersen, VLDB 2004), the spam-demotion variant: trust flows only out
+  of vetted seeds, so unreachable link farms score exactly 0,
 - :func:`hits` — hubs & authorities (Kleinberg 1999, JACM 46(5)),
 - :func:`opic` — On-line Page Importance Computation (Abiteboul, Preda &
   Cobena, WWW 2003), the cash/history importance estimator designed
@@ -219,6 +223,88 @@ def pagerank(
     # long-lived sessions (bench loops, multi-round engines) must not
     # accumulate executor storage across pagerank calls
     out = ranks.select("node", "rank").localCheckpoint()
+    g.release()
+    return out
+
+
+def trustrank(
+    edges: DataFrame,
+    trusted: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 8,
+    damping: float = DAMPING,
+    broadcast_threshold: int = 100_000,
+) -> DataFrame:
+    """(node, trust) after ``n_iter`` biased power iterations — TrustRank
+    (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank whose teleport
+    vector is the normalized indicator of a TRUSTED seed set, so trust flows
+    only along paths out of vetted hosts and a spam host reachable from no
+    trusted seed scores exactly 0 (the property PageRank lacks — link farms
+    self-endow uniform-teleport mass). The standard crawl use: schedule by
+    trust (or demote by PageRank-minus-trust "spam mass") so farm traps
+    don't buy frontier budget with their own internal links.
+
+    ``trusted``: (node) seed set; seeds outside the node universe are
+    ignored; an empty effective seed set raises (the fixpoint would be
+    identically 0 and a silent all-zero priority is a scheduling outage).
+    Dangling mass redistributes ∝ the teleport vector (the biased-PR
+    standard), so total trust stays exactly 1 per iteration. Execution
+    contract identical to :func:`pagerank` — same static-side prep, one
+    equi-join + one hash aggregate per iteration, dangling mass as an
+    in-plan 1-row broadcast aggregate, lineage cut per iteration.
+    """
+    g = _prepare_graph(edges, nodes, broadcast_threshold)
+    ew, n, small = g.ew, g.n, g.small
+
+    t = trusted.select(
+        F.col(trusted.columns[0]).alias("node"), F.lit(True).alias("_t")
+    ).distinct()
+    # seed sets are vetted-by-hand small (the paper's is 178 sites) —
+    # broadcast unconditionally; the universe side keeps g.nodes' layout
+    nds = g.nodes.join(F.broadcast(t), "node", "left")
+    s = nds.where(F.col("_t")).count()
+    if s == 0:
+        g.release()
+        raise ValueError("trustrank: no trusted seed is in the node universe")
+    nds = nds.select(
+        "node",
+        "has_out",
+        F.when(F.col("_t"), F.lit(1.0) / s).otherwise(F.lit(0.0)).alias("tel"),
+    )
+    nds = (nds.repartition(1) if (small and g.n <= 10_000) else nds).cache()
+    g.caches.append(nds)
+
+    ranks = nds.select(
+        "node", "has_out", "tel", F.col("tel").alias("rank")
+    ).localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        rhs = F.broadcast(ranks) if small else ranks
+        contrib = (
+            ew.join(rhs, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            .withColumnRenamed("dst", "node")
+        )
+        joined = nds.join(F.broadcast(contrib) if small else contrib, "node", "left")
+        if g.has_dangling:
+            m_df = ranks.where(~F.col("has_out")).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_m")
+            )
+            joined = joined.crossJoin(F.broadcast(m_df))
+            mass = F.col("_m")
+        else:
+            mass = F.lit(0.0)
+        ranks = joined.select(
+            "node",
+            "has_out",
+            "tel",
+            (
+                F.lit(1.0 - damping) * F.col("tel")
+                + damping
+                * (F.coalesce("contrib", F.lit(0.0)) + mass * F.col("tel"))
+            ).alias("rank"),
+        ).localCheckpoint(eager=False)
+    out = ranks.select("node", F.col("rank").alias("trust")).localCheckpoint()
     g.release()
     return out
 

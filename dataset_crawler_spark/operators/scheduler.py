@@ -332,6 +332,78 @@ def adaptive_host_budgets(
     )
 
 
+def centrality_host_budgets(
+    scores: DataFrame,
+    hosts: DataFrame,
+    min_budget: int = 1,
+    max_multiplier: float = 4.0,
+) -> DataFrame:
+    """Centrality-weighted fetch budgets: scale each host's per-round budget
+    by its share of link-graph importance, so the politeness quota flows to
+    the hosts the graph says matter (Cho, Garcia-Molina & Page's
+    importance-driven crawl ordering, WWW 1998, applied at HOST granularity).
+    ``scores``: (host, score) from any of operators/graph.py's signals —
+    pagerank, trustrank (spam-safe), opic importance, hits authority.
+
+        mult    = round(min(max_multiplier, score · H / Σscore), 4)
+        budget' = max(min_budget, floor(max_fetch_per_round · mult))
+
+    i.e. a host at exactly average centrality keeps its configured budget,
+    a 3×-average host gets 3× (capped), and a host absent from ``scores``
+    (no in/out links observed yet) drops to ``min_budget`` — it still gets
+    probed, but never outbids ranked hosts. ``crawl_delay_ms`` is left
+    untouched: centrality buys VOLUME, never the right to hit a host
+    faster. If Σscore ≤ 0 every multiplier is 1 (budgets unchanged) — an
+    all-zero signal must not zero the whole crawl.
+
+    Determinism: the multiplier is quantized to 4 decimals before the floor
+    (suite convention), so last-ulp variance in the distributed Σscore
+    cannot flip a budget. Scale shape: ONE 1-row aggregate broadcast onto
+    the dim (no global sort/window — at 10^8 hosts a rank-based scheme
+    would need a single-partition row_number; the share-based rule stays
+    embarrassingly parallel), scores dimension-sized and broadcast like
+    adaptive_host_budgets' stats.
+    """
+    s = scores.select(
+        F.col(scores.columns[0]).alias("host"),
+        F.col(scores.columns[1]).cast("double").alias("_score"),
+    )
+    st = s.agg(
+        F.coalesce(F.sum("_score"), F.lit(0.0)).alias("_tot"),
+        F.count("*").cast("double").alias("_n"),
+    )
+    hosts = hosts.drop("centrality_mult")
+    h = (
+        hosts.join(F.broadcast(s), "host", "left")
+        .crossJoin(F.broadcast(st))
+        .withColumn(
+            "centrality_mult",
+            F.when(
+                F.col("_tot") > 0,
+                F.round(
+                    F.least(
+                        F.lit(max_multiplier),
+                        F.coalesce(F.col("_score"), F.lit(0.0))
+                        * F.col("_n")
+                        / F.col("_tot"),
+                    ),
+                    4,
+                ),
+            ).otherwise(F.lit(1.0)),
+        )
+    )
+    return h.select(
+        *[c for c in hosts.columns if c != "max_fetch_per_round"],
+        F.greatest(
+            F.lit(min_budget),
+            F.floor(
+                F.col("max_fetch_per_round") * F.col("centrality_mult")
+            ).cast("int"),
+        ).alias("max_fetch_per_round"),
+        "centrality_mult",
+    )
+
+
 def refresh_priorities(
     lineage: DataFrame, as_of: int, decay: float = 0.5
 ) -> DataFrame:

@@ -60,6 +60,8 @@ _DRIVER_FIRST = [
     "crawl_sitemap_lastmod",
     "graph_host_hits",
     "crawl_opic_importance",
+    "graph_host_trustrank",
+    "crawl_centrality_budget",
     # latest green row r02 (never re-sampled since)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
@@ -1627,6 +1629,139 @@ def crawl_opic_importance(spark, sf_dir):
     return imp.select(
         F.col("node").alias("source"), F.round("importance", 6).alias("importance")
     )
+
+
+_TRUST_PCT = 20  # trusted iff h60(node) mod 100 < 20 — deterministic seed set
+
+
+def _trustrank_sql() -> str:
+    """DuckDB twin of :func:`operators.graph.trustrank`: _pagerank_sql's
+    unrolled iteration with the uniform teleport 1/n replaced by the
+    normalized trusted-seed indicator (dangling mass redistributes ∝ the
+    same vector). MATERIALIZED for the fd-exhaustion reason in _hits_sql."""
+    cte = [
+        "hosts AS (SELECT DISTINCT source AS node FROM documents)",
+        f"""edges AS (
+      SELECT a.node AS src, b.node AS dst FROM hosts a JOIN hosts b ON a.node <> b.node
+      WHERE {h60_sql("a.node || '>' || b.node")} % 100 < {_PR_EDGE_PCT})""",
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"""trusted AS (
+      SELECT node FROM hosts WHERE {h60_sql("node")} % 100 < {_TRUST_PCT})""",
+        "ss AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM trusted)",
+        """tel AS (
+      SELECT h.node,
+             CASE WHEN t.node IS NOT NULL THEN 1.0 / (SELECT s FROM ss)
+                  ELSE 0.0 END AS tel
+      FROM hosts h LEFT JOIN trusted t USING (node))""",
+        "r0 AS (SELECT node, tel AS rank FROM tel)",
+    ]
+    d = _PR_DAMPING
+    for i in range(1, _PR_ITER + 1):
+        cte.append(
+            f"""c{i} AS (
+      SELECT e.dst AS node, SUM(r.rank / o.deg) AS contrib
+      FROM edges e JOIN r{i - 1} r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst)"""
+        )
+        cte.append(
+            f"""d{i} AS (
+      SELECT COALESCE(SUM(rank), 0) AS m FROM r{i - 1}
+      WHERE node NOT IN (SELECT src FROM edges))"""
+        )
+        cte.append(
+            f"""r{i} AS (
+      SELECT t.node,
+             (1.0 - {d}) * t.tel
+             + {d} * (COALESCE(c.contrib, 0) + (SELECT m FROM d{i}) * t.tel) AS rank
+      FROM tel t LEFT JOIN c{i} c USING (node))"""
+        )
+    cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"""
+    SELECT node AS source, ROUND(rank, 6) AS trust FROM r{_PR_ITER}"""
+    )
+
+
+@register("graph_host_trustrank", _trustrank_sql())
+def graph_host_trustrank(spark, sf_dir):
+    """TrustRank over the host graph (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004): PageRank with the teleport vector biased to a trusted seed
+    set, so trust propagates only along paths OUT of vetted hosts and a
+    link farm no trusted host points at scores exactly 0 — the
+    spam-demotion complement to graph_host_pagerank's popularity signal
+    (the reference has neither; its priority is seed order,
+    IncrementalDatasetCrawler.java:154). The trusted set is derived
+    deterministically (h60(host) mod 100 < {pct}) so Spark and DuckDB agree
+    on the same seeds; operators/graph.py:trustrank reuses pagerank's
+    static-side prep and per-iteration join+agg shape."""
+    from dataset_crawler_spark.operators import graph as G
+
+    hosts, edges = _host_graph(spark, sf_dir)
+    trusted = hosts.where(F.pmod(h60(F.col("node")), F.lit(100)) < _TRUST_PCT)
+    ranks = G.trustrank(
+        edges, trusted, nodes=hosts, n_iter=_PR_ITER, damping=_PR_DAMPING
+    )
+    return ranks.select(
+        F.col("node").alias("source"), F.round("trust", 6).alias("trust")
+    )
+
+
+def _centrality_budget_sql() -> str:
+    """DuckDB twin of centrality_host_budgets ∘ pagerank: the full unrolled
+    power iteration nests as a MATERIALIZED CTE, then the share-based budget
+    formula applies verbatim (multiplier quantized to 4 decimals BEFORE the
+    floor, exactly like the operator)."""
+    mult = (
+        "ROUND(LEAST(4.0, COALESCE(p.rank, 0) * (SELECT n FROM st)"
+        " / (SELECT tot FROM st)), 4)"
+    )
+    return f"""
+    WITH pr AS MATERIALIZED ({_pagerank_sql()}),
+    hosts AS MATERIALIZED (
+      SELECT DISTINCT source AS host, 100 AS crawl_delay_ms,
+             50 AS max_fetch_per_round
+      FROM documents),
+    st AS MATERIALIZED (
+      SELECT SUM(rank) AS tot, CAST(COUNT(*) AS DOUBLE) AS n FROM pr)
+    SELECT h.host, h.crawl_delay_ms,
+           GREATEST(1, CAST(FLOOR(h.max_fetch_per_round * {mult}) AS INT))
+             AS max_fetch_per_round,
+           {mult} AS centrality_mult
+    FROM hosts h LEFT JOIN pr p ON p.source = h.host
+    """
+
+
+@register("crawl_centrality_budget", _centrality_budget_sql())
+def crawl_centrality_budget(spark, sf_dir):
+    """Importance-driven budget allocation (Cho, Garcia-Molina & Page,
+    WWW 1998, at host granularity): the host-graph PageRank feeds
+    operators/scheduler.py centrality_host_budgets, scaling each host's
+    per-round fetch budget by its share of total rank (capped 4×, floor
+    min_budget, crawl_delay_ms untouched — centrality buys volume, never
+    rate). This closes the loop the centrality queries open: the same
+    scores the analytics surface reports are consumed by the scheduler dim
+    that schedule_round takes, exactly how adaptive_host_budgets composes
+    failure rates. The reference schedules by fixed seed order
+    (IncrementalDatasetCrawler.java:154) — uniform budgets are its
+    degenerate case (all shares equal)."""
+    from dataset_crawler_spark.operators import graph as G
+    from dataset_crawler_spark.operators.scheduler import centrality_host_budgets
+
+    hosts, edges = _host_graph(spark, sf_dir)
+    ranks = G.pagerank(edges, nodes=hosts, n_iter=_PR_ITER, damping=_PR_DAMPING)
+    scores = ranks.select(
+        F.col("node").alias("host"), F.round("rank", 6).alias("score")
+    )
+    dim = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("host")
+    ).distinct().select(
+        "host",
+        F.lit(100).cast("int").alias("crawl_delay_ms"),
+        F.lit(50).cast("int").alias("max_fetch_per_round"),
+    )
+    return centrality_host_budgets(scores, dim)
 
 
 def _cosine_spark(a, b):

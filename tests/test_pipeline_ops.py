@@ -5,6 +5,7 @@ the DuckDB twins are checked by the driver's oracle gate."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dataset_crawler_spark.functions.hashing import h60_py
@@ -331,6 +332,73 @@ def test_pagerank_partitioning_invariance(spark):
     assert set(one) == set(many)
     for v in one:
         assert abs(one[v] - many[v]) < 1e-12
+
+
+def _trustrank_py(edges, nodes, trusted, n_iter=8, damping=0.85):
+    out: dict[int, list] = {}
+    for s, d in set(edges):
+        out.setdefault(s, []).append(d)
+    tel = {v: (1.0 / len(trusted) if v in trusted else 0.0) for v in nodes}
+    rank = dict(tel)
+    for _ in range(n_iter):
+        m = sum(rank[v] for v in nodes if v not in out)
+        contrib: dict[int, float] = {v: 0.0 for v in nodes}
+        for s, dsts in out.items():
+            for d in dsts:
+                contrib[d] += rank[s] / len(dsts)
+        rank = {
+            v: (1.0 - damping) * tel[v] + damping * (contrib[v] + m * tel[v])
+            for v in nodes
+        }
+    return rank
+
+
+def test_trustrank_matches_python_twin(spark):
+    from dataset_crawler_spark.operators.graph import trustrank
+
+    edges = spark.createDataFrame(PR_EDGES, "src long, dst long")
+    nodes = spark.createDataFrame([(v,) for v in PR_NODES], "node long")
+    trusted = spark.createDataFrame([(3,)], "node long")
+    got = {
+        r.node: r.trust
+        for r in trustrank(edges, trusted, nodes=nodes).collect()
+    }
+    want = _trustrank_py(PR_EDGES, PR_NODES, {3})
+    assert set(got) == set(want)
+    for v in PR_NODES:
+        assert abs(got[v] - want[v]) < 1e-12
+    # total trust is conserved (dangling mass redistributes along teleport)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # spam-demotion property: the isolated node 5 is reachable from no
+    # trusted seed → trust EXACTLY 0 (pagerank gives it teleport mass)
+    assert got[5] == 0.0
+    # trust flows 3→1→{2,4}: everything downstream of the seed is positive
+    assert got[1] > 0 and got[2] > 0 and got[4] > 0
+
+
+def test_trustrank_empty_seed_raises(spark):
+    from dataset_crawler_spark.operators.graph import trustrank
+
+    edges = spark.createDataFrame(PR_EDGES, "src long, dst long")
+    # seed 99 is outside the node universe → effective seed set is empty
+    trusted = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="no trusted seed"):
+        trustrank(edges, trusted)
+
+
+def test_trustrank_strategy_invariance(spark):
+    from dataset_crawler_spark.operators.graph import trustrank
+
+    edges = spark.createDataFrame(PR_EDGES, "src long, dst long")
+    trusted = spark.createDataFrame([(1,), (3,)], "node long")
+    small = {r.node: r.trust for r in trustrank(edges, trusted).collect()}
+    big = {
+        r.node: r.trust
+        for r in trustrank(edges, trusted, broadcast_threshold=0).collect()
+    }
+    assert small.keys() == big.keys()
+    for v in small:
+        assert abs(small[v] - big[v]) < 1e-12
 
 
 def _hits_py(edges, nodes, n_iter=8):

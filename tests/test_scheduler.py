@@ -189,6 +189,50 @@ def test_budget_respected(spark):
     assert over.count() == 0
 
 
+def test_centrality_host_budgets(spark):
+    """Share-based budget scaling: average-centrality host keeps its budget,
+    above-average scales up (capped 4x), a host absent from the scores drops
+    to min_budget, and an all-zero score vector leaves every budget
+    unchanged (multiplier 1)."""
+    hosts = spark.createDataFrame(
+        [(h, 100, 40) for h in ("a", "b", "c", "d")],
+        "host string, crawl_delay_ms int, max_fetch_per_round int",
+    )
+    # the average is over SCORED hosts (n=3): mults 0.5*3=1.5, 0.25*3=0.75;
+    # d missing from the scores -> mult 0 -> min_budget floor
+    scores = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.25), ("c", 0.25)], "host string, score double"
+    )
+    got = {
+        r.host: (r.max_fetch_per_round, r.centrality_mult, r.crawl_delay_ms)
+        for r in SCH.centrality_host_budgets(scores, hosts).collect()
+    }
+    assert got["a"] == (60, 1.5, 100)
+    assert got["b"] == (30, 0.75, 100)
+    assert got["c"] == (30, 0.75, 100)
+    assert got["d"] == (1, 0.0, 100)
+    # cap: one host holding the whole mass would be 4x the average of 4
+    # hosts -> exactly the max_multiplier ceiling
+    solo = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0), ("c", 0.0), ("d", 0.0)],
+        "host string, score double",
+    )
+    capped = {
+        r.host: r.centrality_mult
+        for r in SCH.centrality_host_budgets(solo, hosts).collect()
+    }
+    assert capped["a"] == 4.0 and capped["b"] == 0.0
+    # all-zero signal: budgets must pass through untouched
+    zero = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0)], "host string, score double"
+    )
+    kept = {
+        r.host: (r.max_fetch_per_round, r.centrality_mult)
+        for r in SCH.centrality_host_budgets(zero, hosts).collect()
+    }
+    assert all(v == (40, 1.0) for v in kept.values())
+
+
 def test_bucketed_frontier_path_matches_plain_and_drops_exchanges(spark, tmp_path):
     """The bucketed-frontier layout (sources/frontier_table.py): writing the
     drop canonicalized + bucketed by url_c makes schedule_round's dedup

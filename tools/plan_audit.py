@@ -98,6 +98,14 @@ AUDIT = [
     # the group-size cap bounding per-key pairs, LCP/LCS stays in codegen
     "crawl_change_rate",
     "crawl_dust_rules",
+    # round-4 tail: the other three centrality signals share pagerank's
+    # audited shape (tiny host graph → single-partition loop; 1M-node path
+    # covered by tools/graph_scale_probe.py); the budget composition is the
+    # pagerank plan + one broadcast-scalar crossJoin + one broadcast dim join
+    "graph_host_trustrank",
+    "graph_host_hits",
+    "crawl_opic_importance",
+    "crawl_centrality_budget",
 ]
 
 INTERESTING = (
