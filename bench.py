@@ -85,6 +85,7 @@ ANALYTIC_QUERIES = [
     "crawl_opic_importance",
     "graph_host_trustrank",
     "crawl_centrality_budget",
+    "graph_spam_mass",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

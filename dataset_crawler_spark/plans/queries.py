@@ -62,6 +62,7 @@ _DRIVER_FIRST = [
     "crawl_opic_importance",
     "graph_host_trustrank",
     "crawl_centrality_budget",
+    "graph_spam_mass",
     # latest green row r02 (never re-sampled since)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
@@ -1762,6 +1763,64 @@ def crawl_centrality_budget(spark, sf_dir):
         F.lit(50).cast("int").alias("max_fetch_per_round"),
     )
     return centrality_host_budgets(scores, dim)
+
+
+def _spam_mass_sql() -> str:
+    """DuckDB twin of the spam-mass composition: the unrolled pagerank and
+    trustrank iterations nest as two MATERIALIZED CTEs, then the relative
+    mass formula applies to the 6-dp-rounded scores exactly like the Spark
+    side (join on host, ratio rounded to 4)."""
+    return f"""
+    WITH pr AS MATERIALIZED ({_pagerank_sql()}),
+    tr AS MATERIALIZED ({_trustrank_sql()})
+    SELECT pr.source, pr.rank, tr.trust,
+           ROUND(CASE WHEN pr.rank > 0
+                      THEN GREATEST(0.0, (pr.rank - tr.trust) / pr.rank)
+                      ELSE 0.0 END, 4) AS spam_mass
+    FROM pr JOIN tr USING (source)
+    """
+
+
+@register("graph_spam_mass", _spam_mass_sql())
+def graph_spam_mass(spark, sf_dir):
+    """Relative spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen,
+    "Link Spam Detection Based on Mass Estimation", VLDB 2006):
+    m(h) = (PR(h) − TR(h)) / PR(h), clamped to [0, 1] — the fraction of a
+    host's PageRank that does NOT arrive through trusted paths. A link farm
+    earns rank from its own internal structure but no trust, so m → 1; a
+    well-linked legitimate host has m near 0. The crawl use: demote or
+    quarantine high-mass hosts BEFORE they spend frontier budget — the
+    inverse composition of crawl_centrality_budget's boost. Pure
+    composition of the two existing signals (same deterministic graph and
+    trusted seed rule), one dimension-sized equi-join, both scores
+    quantized to 6 dp before the ratio so the division is bitwise-stable
+    across engines."""
+    from dataset_crawler_spark.operators import graph as G
+
+    hosts, edges = _host_graph(spark, sf_dir)
+    pr = G.pagerank(edges, nodes=hosts, n_iter=_PR_ITER, damping=_PR_DAMPING)
+    trusted = hosts.where(F.pmod(h60(F.col("node")), F.lit(100)) < _TRUST_PCT)
+    tr = G.trustrank(
+        edges, trusted, nodes=hosts, n_iter=_PR_ITER, damping=_PR_DAMPING
+    )
+    j = (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .join(tr.select("node", F.round("trust", 6).alias("trust")), "node")
+    )
+    return j.select(
+        F.col("node").alias("source"),
+        "rank",
+        "trust",
+        F.round(
+            F.when(
+                F.col("rank") > 0,
+                F.greatest(
+                    F.lit(0.0), (F.col("rank") - F.col("trust")) / F.col("rank")
+                ),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("spam_mass"),
+    )
 
 
 def _cosine_spark(a, b):

@@ -106,6 +106,7 @@ AUDIT = [
     "graph_host_hits",
     "crawl_opic_importance",
     "crawl_centrality_budget",
+    "graph_spam_mass",
 ]
 
 INTERESTING = (
