@@ -691,6 +691,78 @@ class CrawlEngine:
             ops.select("host", "status"), hosts, min_budget=min_budget
         )
 
+    def host_graph(self, as_of: int | None = None) -> DataFrame:
+        """Directed host-level edge list (src, dst) from the engine's OWN
+        committed corpus: outlink occurrences of the visible docs as-of
+        (operators/discovery.py extract_outlinks), targets canonicalized,
+        mapped src-host → dst-host, self-loops dropped, parallel edges
+        deduped. ``doc_id`` IS the canonical URL in the engine's convention
+        (see simulated_fetcher), so the src host comes straight off the doc
+        key. This is the input every operators/graph.py signal takes."""
+        from dataset_crawler_spark.functions.urls import canonicalize_url
+        from dataset_crawler_spark.operators.discovery import extract_outlinks
+
+        out = extract_outlinks(self.visible_docs(as_of))
+        return (
+            out.select(
+                host_of(F.col("parent_doc_id")).alias("src"),
+                host_of(canonicalize_url(F.col("url"))).alias("dst"),
+            )
+            .where(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst"))
+            )
+            .distinct()
+        )
+
+    def centrality_hosts(
+        self,
+        hosts: DataFrame,
+        as_of: int | None = None,
+        signal: str = "pagerank",
+        trusted: DataFrame | None = None,
+        n_iter: int = 8,
+        min_budget: int = 1,
+        max_multiplier: float = 4.0,
+    ) -> DataFrame:
+        """Hosts dim with budgets scaled by the crawl's own link-graph
+        centrality (operators/scheduler.py centrality_host_budgets over
+        operators/graph.py) — the VOLUME counterpart of
+        :meth:`adaptive_hosts`' failure backoff: feed the result into the
+        next :meth:`crawl_round` so the politeness budget flows to the hosts
+        the corpus already links to. ``signal`` ∈ {"pagerank", "trustrank",
+        "opic"}; trustrank requires a ``trusted`` host seed frame (and
+        demotes link farms to min_budget — spam never outbids vetted paths).
+        Before any outlinks are committed the graph is empty and the dim
+        passes through untouched (multiplier 1 everywhere) — a cold start
+        must not zero the whole crawl's budgets."""
+        from dataset_crawler_spark.operators import graph as G
+
+        edges = self.host_graph(as_of)
+        if edges.limit(1).isEmpty():
+            return hosts.drop("centrality_mult").withColumn(
+                "centrality_mult", F.lit(1.0)
+            )
+        if signal == "pagerank":
+            sc = G.pagerank(edges, n_iter=n_iter)
+            sc = sc.select(F.col("node").alias("host"), F.col("rank").alias("score"))
+        elif signal == "trustrank":
+            if trusted is None:
+                raise ValueError("centrality_hosts(signal='trustrank') needs trusted")
+            sc = G.trustrank(edges, trusted, n_iter=n_iter)
+            sc = sc.select(F.col("node").alias("host"), F.col("trust").alias("score"))
+        elif signal == "opic":
+            sc = G.opic(edges, n_rounds=n_iter)
+            sc = sc.select(
+                F.col("node").alias("host"), F.col("importance").alias("score")
+            )
+        else:
+            raise ValueError(f"unknown centrality signal: {signal!r}")
+        return SCH.centrality_host_budgets(
+            sc, hosts, min_budget=min_budget, max_multiplier=max_multiplier
+        )
+
     def refresh_frontier(self, as_of: int | None = None, decay: float = 0.5) -> DataFrame:
         """Freshness-driven re-crawl queue: LIVE documents ranked by their
         decayed change history (operators/scheduler.py refresh_priorities

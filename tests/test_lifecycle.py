@@ -722,3 +722,133 @@ def test_change_rate_frontier_matches_observation_algebra(spark, tmp_path):
         n, x = len(obs), sum(obs)
         assert fr[doc].priority == round(x / (n + 0.5), 4), (doc, obs)
         assert fr[doc].state == "pending"
+
+
+def _linked_corpus(spark):
+    """Six docs on four hosts with an explicit cross-host link structure:
+    h0 is the hub (h1, h2, h3 all link to it), h0 links out to h1 and h2,
+    h3 receives nothing. Host pagerank order: h0 > {h1, h2} > h3."""
+    def u(h, i):
+        return f"https://host{h:04d}.example.org/doc/{i}"
+
+    def link(target):
+        return ("link", None, target, 0)
+
+    def text(t, off=1):
+        return ("text", t, None, off)
+
+    rows = [
+        (u(0, 0), [link(u(1, 0)), link(u(2, 0)), text("hub doc")]),
+        (u(1, 0), [link(u(0, 0)), text("spoke one")]),
+        (u(1, 1), [link(u(0, 0)), text("spoke one b")]),
+        (u(2, 0), [link(u(0, 0)), text("spoke two")]),
+        (u(3, 0), [link(u(0, 0)), text("isolated out-only")]),
+        (u(3, 1), [text("no links at all")]),
+    ]
+    from pyspark.sql import types as T
+
+    from dataset_crawler_spark.schemas import SPAN
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("spans", T.ArrayType(SPAN)),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_centrality_hosts_budgets_from_own_graph(spark, tmp_path):
+    """The centrality→budget composition over the engine's OWN committed
+    corpus: cold start passes the dim through untouched; after one round
+    the hub host's budget scales above the spokes', an unlinked host drops
+    to min_budget, and the adapted dim feeds straight back into the next
+    crawl_round (same contract as adaptive_hosts)."""
+    from dataset_crawler_spark.operators import graph as G
+    from dataset_crawler_spark.operators.scheduler import centrality_host_budgets
+
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    hosts = _open_hosts(spark)
+
+    corpus = _linked_corpus(spark)
+    frontier = spark.createDataFrame(
+        [
+            (r.doc_id, r.doc_id.split("/")[2], 0.5, 0, 0, "pending")
+            for r in corpus.collect()
+        ],
+        FRONTIER_SCHEMA,
+    )
+    # round 0 with a LINK-FREE corpus: committed docs but an empty host
+    # graph -> passthrough multipliers (cold start must not zero budgets)
+    nolinks = corpus.select(
+        "doc_id",
+        F.expr(
+            "filter(transform(spans, s -> named_struct("
+            "'kind', s.kind, 'text', s.text, "
+            "'media_ref', CAST(NULL AS STRING), 'offset', s.offset)), "
+            "s -> s.text IS NOT NULL)"
+        ).alias("spans"),
+    )
+    eng.crawl_round(frontier, hosts, simulated_fetcher(nolinks), 0, mode="full")
+    cold = eng.centrality_hosts(hosts)
+    assert {r.centrality_mult for r in cold.collect()} == {1.0}
+    assert {r.max_fetch_per_round for r in cold.collect()} == {10_000}
+
+    # round 1 commits the linked corpus; the engine's graph is now the
+    # 4-host hub structure
+    eng.crawl_round(frontier, hosts, simulated_fetcher(corpus), 1, mode="full")
+    edges = {(r.src, r.dst) for r in eng.host_graph().collect()}
+    h = [f"host{i:04d}.example.org" for i in range(4)]
+    assert edges == {
+        (h[0], h[1]), (h[0], h[2]),
+        (h[1], h[0]), (h[2], h[0]), (h[3], h[0]),
+    }
+
+    dim = eng.centrality_hosts(hosts, min_budget=7)
+    got = {r.host: r for r in dim.collect()}
+    # hub outranks spokes; spokes outrank the out-only host; every host in
+    # the dim but outside the graph floors at min_budget
+    assert got[h[0]].centrality_mult > got[h[1]].centrality_mult > 0
+    assert got[h[1]].centrality_mult == got[h[2]].centrality_mult
+    assert got[h[3]].centrality_mult < got[h[1]].centrality_mult
+    for i in range(4, N_HOSTS):
+        assert got[f"host{i:04d}.example.org"].max_fetch_per_round == 7
+    # engine output ≡ direct composition over the same graph
+    want = {
+        r.host: (r.max_fetch_per_round, r.centrality_mult)
+        for r in centrality_host_budgets(
+            G.pagerank(eng.host_graph()).select(
+                F.col("node").alias("host"), F.col("rank").alias("score")
+            ),
+            hosts,
+            min_budget=7,
+        ).collect()
+    }
+    assert {
+        k: (v.max_fetch_per_round, v.centrality_mult) for k, v in got.items()
+    } == want
+
+    # the adapted dim feeds the next round unchanged (extra centrality_mult
+    # column tolerated, budgets respected by the scheduler)
+    s2 = eng.crawl_round(
+        frontier, hosts=dim, fetch_fn=simulated_fetcher(corpus), crawl_id=2,
+        mode="full",
+    )
+    assert s2["fetched"] == 6
+
+    # trustrank variant: trust seeded at the hub -> the out-only host h3
+    # (no trusted in-path) drops to the floor; unknown signal raises
+    tdim = eng.centrality_hosts(
+        hosts,
+        signal="trustrank",
+        trusted=spark.createDataFrame([(h[0],)], "node string"),
+        min_budget=3,
+    )
+    tg = {r.host: r for r in tdim.collect()}
+    assert tg[h[3]].centrality_mult == 0.0
+    assert tg[h[3]].max_fetch_per_round == 3
+    assert tg[h[0]].centrality_mult > 0
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown centrality signal"):
+        eng.centrality_hosts(hosts, signal="bogus")
