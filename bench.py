@@ -86,6 +86,7 @@ ANALYTIC_QUERIES = [
     "graph_host_trustrank",
     "crawl_centrality_budget",
     "graph_spam_mass",
+    "engine_kmeans_refine",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

@@ -106,6 +106,53 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame, n_centroids: int = 8, n_iter: int = 3
+) -> DataFrame:
+    """Fixed-iteration Lloyd refinement of :func:`ivf_centroids`' hash-picked
+    init (spherical k-means: assign by max cosine with centroid-id
+    tie-break, update = element-wise mean of the members). Returns
+    (centroid_id, c_emb) — drop-in for the coarse table in :func:`ivf_topk`
+    (its docstring's promised upgrade), cutting cell imbalance that makes
+    probe cost skew at 10^9 vectors.
+
+    Determinism: fixed iterations, no RNG; the ONLY order-sensitive step is
+    the distributed mean, so every refreshed centroid component is quantized
+    to 4 decimals before the next assignment — accumulation-order ulp can
+    never leak into an argmax. An emptied cluster keeps its previous
+    centroid (quantized the same way), the standard deterministic Lloyd
+    fallback. Scale shape per iteration: one broadcast cross join
+    (corpus × k) + one (k · dim)-row hash aggregate — the corpus never
+    shuffles; lineage cut per iteration with non-eager localCheckpoint.
+    """
+    cent = ivf_centroids(corpus, n_centroids)
+    q4 = lambda col: F.round(col.cast("double"), 4)  # noqa: E731
+    for _ in range(n_iter):
+        a = ivf_assign(corpus, cent)
+        upd = (
+            a.select("centroid_id", F.posexplode("embedding").alias("i", "x"))
+            .groupBy("centroid_id", "i")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 4).alias("x"))
+        )
+        newc = (
+            upd.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "x"))).alias("_p"))
+            .select(
+                "centroid_id", F.transform("_p", lambda s: s["x"]).alias("c_emb")
+            )
+        )
+        cent = (
+            cent.select(
+                "centroid_id",
+                F.transform("c_emb", q4).alias("_prev"),
+            )
+            .join(newc, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("c_emb", "_prev").alias("c_emb"))
+            .localCheckpoint(eager=False)
+        )
+    return cent
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

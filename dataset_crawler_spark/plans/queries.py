@@ -63,6 +63,7 @@ _DRIVER_FIRST = [
     "graph_host_trustrank",
     "crawl_centrality_budget",
     "graph_spam_mass",
+    "engine_kmeans_refine",
     # latest green row r02 (never re-sampled since)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
@@ -2706,6 +2707,85 @@ def engine_sim_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(q, e, k=3, n_centroids=8, n_probe=4).select(
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
     )
+
+
+_KM_K = 8
+_KM_ITER = 3
+
+
+def _kmeans_sql() -> str:
+    """DuckDB twin of operators/similarity.py kmeans_refine ∘ ivf_assign:
+    the h60-picked init and the fixed Lloyd iterations unrolled — per
+    iteration an argmax-cosine assignment (row_number window, centroid-id
+    tie-break), an element-wise mean quantized to 4 dp (the operator's
+    determinism contract), and the empty-cluster carry-over branch."""
+    cte = [
+        """h AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+      FROM embeddings)""",
+        f"""c0 AS MATERIALIZED (
+      SELECT centroid_id, embedding AS c_emb FROM (
+        SELECT embedding, row_number() OVER (ORDER BY hk, vec_id) - 1 AS centroid_id
+        FROM h) WHERE centroid_id < {_KM_K})""",
+    ]
+    for t in range(1, _KM_ITER + 1):
+        cte.append(
+            f"""a{t} AS MATERIALIZED (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) DESC,
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN c{t - 1} c) WHERE rn = 1)"""
+        )
+        cte.append(
+            f"""x{t} AS MATERIALIZED (
+      SELECT centroid_id, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM a{t})"""
+        )
+        cte.append(
+            f"""u{t} AS MATERIALIZED (
+      SELECT centroid_id, i, ROUND(AVG(embedding[i]::DOUBLE), 4) AS x
+      FROM x{t} GROUP BY centroid_id, i)"""
+        )
+        cte.append(
+            f"""c{t} AS MATERIALIZED (
+      SELECT centroid_id, list(x ORDER BY i) AS c_emb FROM u{t} GROUP BY centroid_id
+      UNION ALL
+      SELECT p.centroid_id, list_transform(p.c_emb, v -> ROUND(v::DOUBLE, 4)) AS c_emb
+      FROM c{t - 1} p WHERE p.centroid_id NOT IN (SELECT centroid_id FROM u{t}))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"""
+    SELECT vec_id, centroid_id FROM (
+      SELECT e.vec_id, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) DESC,
+                        c.centroid_id) AS rn
+      FROM embeddings e CROSS JOIN c{_KM_ITER} c) WHERE rn = 1"""
+    )
+
+
+@register("engine_kmeans_refine", _kmeans_sql())
+def engine_kmeans_refine(spark, sf_dir):
+    """Distributed spherical k-means (fixed-iteration Lloyd over the
+    deterministic h60-picked init) and the final cluster assignment — the
+    IVF index's promised centroid upgrade (operators/similarity.py
+    ivf_centroids docstring): refined cells are balanced, so probe cost
+    stops skewing with the data distribution at 10^9 vectors. Per iteration
+    the corpus never shuffles (broadcast cross join vs k centroids + a
+    (k·dim)-row mean aggregate); centroid components quantize to 4 dp
+    before the next assignment so distributed-mean accumulation order can
+    never flip an argmax. Twin = the same iterations unrolled in SQL."""
+    from dataset_crawler_spark.operators import similarity as SIM
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = SIM.kmeans_refine(e, n_centroids=_KM_K, n_iter=_KM_ITER)
+    return SIM.ivf_assign(e, cent).select("vec_id", "centroid_id")
 
 
 @register(

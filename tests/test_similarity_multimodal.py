@@ -249,3 +249,46 @@ def test_semantic_dedup_survivors_invariants(spark):
                     seen.add(nb)
                     stack.append(nb)
         assert set(members) <= seen
+
+
+def test_kmeans_refine_improves_objective_and_is_invariant(spark):
+    """Lloyd refinement must not degrade the spherical objective (mean
+    cosine of each vector to its assigned centroid) vs the hash-picked
+    init, and the refined centroids must be identical at any input
+    partitioning (the 4-dp quantization contract)."""
+    from dataset_crawler_spark.operators.similarity import (
+        cosine_col,
+        ivf_assign,
+        ivf_centroids,
+        kmeans_refine,
+    )
+
+    e = _emb(spark)
+
+    def objective(cent):
+        a = ivf_assign(e, cent)
+        j = a.join(cent, "centroid_id").select(
+            cosine_col(F.col("embedding"), F.col("c_emb")).alias("cos")
+        )
+        return j.agg(F.avg("cos")).collect()[0][0]
+
+    init = ivf_centroids(e, 8)
+    refined = kmeans_refine(e, n_centroids=8, n_iter=3)
+    assert objective(refined) >= objective(init) - 1e-9
+
+    def snap(df):
+        return {
+            r.centroid_id: tuple(round(float(x), 4) for x in r.c_emb)
+            for r in df.collect()
+        }
+
+    one = snap(kmeans_refine(e.coalesce(1), n_centroids=8, n_iter=3))
+    many = snap(kmeans_refine(e.repartition(7), n_centroids=8, n_iter=3))
+    assert one == many
+    # every cluster is non-degenerate on this corpus (k=8 over 50+ vectors)
+    sizes = (
+        ivf_assign(e, kmeans_refine(e, n_centroids=8, n_iter=3))
+        .groupBy("centroid_id")
+        .count()
+    )
+    assert sizes.count() == 8

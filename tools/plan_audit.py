@@ -107,6 +107,9 @@ AUDIT = [
     "crawl_opic_importance",
     "crawl_centrality_budget",
     "graph_spam_mass",
+    # corpus must not shuffle: per iteration one broadcast cross join vs k
+    # centroids + a (k·dim)-row mean aggregate
+    "engine_kmeans_refine",
 ]
 
 INTERESTING = (
