@@ -87,6 +87,7 @@ ANALYTIC_QUERIES = [
     "crawl_centrality_budget",
     "graph_spam_mass",
     "engine_kmeans_refine",
+    "engine_online_opic",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

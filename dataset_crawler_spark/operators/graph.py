@@ -368,6 +368,89 @@ def hits(
     return out
 
 
+def opic_step(state: DataFrame, edges: DataFrame, fetched: DataFrame) -> DataFrame:
+    """ONE adaptive-OPIC round (Abiteboul, Preda & Cobena, WWW 2003 §3 —
+    the schedule the paper actually proposes: only the pages FETCHED this
+    round bank their cash into history and distribute it over their
+    out-links; everyone else's cash just sits). This is the incremental
+    form of :func:`opic` for a standing per-round state, the same
+    batch→incremental move as the minhash/signlsh/substring/CC index family:
+    per crawl round the cost is ∝ |fetched| joins, never a full-graph
+    iteration.
+
+        hist'(u) = hist(u) + cash(u)                       u ∈ fetched
+        cash'(v) = [v ∉ fetched]·cash(v)
+                   + Σ_{(u,v)∈E, u∈fetched} cash(u)/outdeg(u)
+                   + (Σ_{u∈fetched, outdeg(u)=0} cash(u)) / n
+
+    Total cash is invariant (a fetched node's cash leaves it exactly once,
+    along edges or via the collapsed virtual page), so Σcash = its
+    bootstrap value forever and (hist+cash)/(steps+1) estimates the same
+    fixpoint as the synchronous variant.
+
+    ``state``: (node, cash, hist) covering the full node universe —
+    callers union new nodes in with (cash 0, hist 0) BEFORE stepping
+    (conservation-safe: newcomers only receive). ``edges``: current
+    (src, dst) graph; ``fetched``: (node) this round's visited set. No
+    broadcast hints on the fetched/contribution sides — a round's fetch set
+    is budget-bounded but can be millions of hosts; AQE picks the strategy.
+    """
+    e = edges.select("src", "dst").distinct()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    f = fetched.select(
+        F.col(fetched.columns[0]).alias("node"), F.lit(True).alias("_f")
+    ).distinct()
+
+    st = (
+        state.select("node", "cash", "hist")
+        .join(f, "node", "left")
+        .join(outdeg.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            "node",
+            "cash",
+            "hist",
+            F.coalesce("_f", F.lit(False)).alias("_f"),
+            "deg",
+        )
+    )
+    # scalars in-plan (1-row aggregate broadcast): node count for the
+    # virtual-page share, dangling mass = fetched cash with no out-edges
+    sc = st.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("_f") & F.col("deg").isNull(), F.col("cash"))),
+            F.lit(0.0),
+        ).alias("_m"),
+    )
+    recv = (
+        e.join(
+            st.where(F.col("_f") & F.col("deg").isNotNull()).select(
+                F.col("node").alias("src"), (F.col("cash") / F.col("deg")).alias("_share")
+            ),
+            "src",
+        )
+        .groupBy("dst")
+        .agg(F.sum("_share").alias("_recv"))
+        .withColumnRenamed("dst", "node")
+    )
+    return (
+        st.join(recv, "node", "left")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "node",
+            (
+                F.when(F.col("_f"), F.lit(0.0)).otherwise(F.col("cash"))
+                + F.coalesce(F.col("_recv"), F.lit(0.0))
+                + F.col("_m") / F.col("_n")
+            ).alias("cash"),
+            (
+                F.col("hist")
+                + F.when(F.col("_f"), F.col("cash")).otherwise(F.lit(0.0))
+            ).alias("hist"),
+        )
+    )
+
+
 def opic(
     edges: DataFrame,
     nodes: DataFrame | None = None,

@@ -64,6 +64,7 @@ _DRIVER_FIRST = [
     "crawl_centrality_budget",
     "graph_spam_mass",
     "engine_kmeans_refine",
+    "engine_online_opic",
     # latest green row r02 (never re-sampled since)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
@@ -1630,6 +1631,94 @@ def crawl_opic_importance(spark, sf_dir):
     imp = G.opic(edges, nodes=hosts, n_rounds=_OPIC_ROUNDS)
     return imp.select(
         F.col("node").alias("source"), F.round("importance", 6).alias("importance")
+    )
+
+
+_ONLINE_OPIC_ROUNDS = 3
+
+
+def _online_opic_sql() -> str:
+    """DuckDB twin of operators/graph.py opic_step replayed for
+    ``_ONLINE_OPIC_ROUNDS`` adaptive rounds: per round a deterministic
+    hash-picked fetched set banks its cash (hist += cash, cash masked to 0)
+    and distributes it along out-edges, fetched dangling mass spreading
+    uniformly — unfetched nodes' cash just sits, exactly the operator's
+    masked update."""
+    cte = [
+        "hosts AS (SELECT DISTINCT source AS node FROM documents)",
+        f"""edges AS (
+      SELECT a.node AS src, b.node AS dst FROM hosts a JOIN hosts b ON a.node <> b.node
+      WHERE {h60_sql("a.node || '>' || b.node")} % 100 < {_PR_EDGE_PCT})""",
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hosts)",
+        "s0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS cash, 0.0 AS hist FROM hosts)",
+    ]
+    for r in range(1, _ONLINE_OPIC_ROUNDS + 1):
+        cte.append(
+            f"""f{r} AS (
+      SELECT node FROM hosts WHERE {h60_sql(f"node || '#{r}'")} % 2 = 0)"""
+        )
+        cte.append(
+            f"""r{r} AS (
+      SELECT e.dst AS node, SUM(s.cash / o.deg) AS v
+      FROM edges e JOIN s{r - 1} s ON s.node = e.src JOIN outdeg o ON o.src = e.src
+      WHERE s.node IN (SELECT node FROM f{r})
+      GROUP BY e.dst)"""
+        )
+        cte.append(
+            f"""d{r} AS (
+      SELECT COALESCE(SUM(cash), 0) AS m FROM s{r - 1}
+      WHERE node IN (SELECT node FROM f{r})
+        AND node NOT IN (SELECT src FROM edges))"""
+        )
+        cte.append(
+            f"""s{r} AS (
+      SELECT s.node,
+             (CASE WHEN s.node IN (SELECT node FROM f{r}) THEN 0.0 ELSE s.cash END)
+             + COALESCE(r.v, 0) + (SELECT m FROM d{r}) / (SELECT n FROM nn) AS cash,
+             s.hist
+             + (CASE WHEN s.node IN (SELECT node FROM f{r}) THEN s.cash ELSE 0.0 END)
+               AS hist
+      FROM s{r - 1} s LEFT JOIN r{r} r USING (node))"""
+        )
+    k = _ONLINE_OPIC_ROUNDS
+    cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"""
+    SELECT node AS source, ROUND((hist + cash) / {k + 1}.0, 6) AS importance
+    FROM s{k}"""
+    )
+
+
+@register("engine_online_opic", _online_opic_sql())
+def engine_online_opic(spark, sf_dir):
+    """ADAPTIVE OPIC (the schedule Abiteboul et al. actually proposed for a
+    running crawl — §3 of the WWW 2003 paper): per round only a fetched
+    subset banks cash into history and pushes it along out-links; everyone
+    else's cash sits. This is the query twin of the engine's standing
+    per-round state (CrawlEngine.opic_update / opic_scores — incremental
+    cost ∝ |fetched| like the minhash/signlsh/substring/CC indexes), with
+    the fetched sets hash-picked per round so Spark and DuckDB replay the
+    identical visit sequence; importance = (hist + cash) / (rounds + 1),
+    rounded to 6."""
+    from dataset_crawler_spark.operators import graph as G
+
+    hosts, edges = _host_graph(spark, sf_dir)
+    n = hosts.count()
+    state = hosts.select(
+        "node", (F.lit(1.0) / n).alias("cash"), F.lit(0.0).alias("hist")
+    )
+    for r in range(1, _ONLINE_OPIC_ROUNDS + 1):
+        fetched = hosts.where(
+            F.pmod(h60(F.concat(F.col("node"), F.lit(f"#{r}"))), F.lit(2)) == 0
+        )
+        state = G.opic_step(state, edges, fetched).localCheckpoint(eager=False)
+    k = _ONLINE_OPIC_ROUNDS
+    return state.select(
+        F.col("node").alias("source"),
+        F.round((F.col("hist") + F.col("cash")) / (k + 1), 6).alias("importance"),
     )
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 
 from dataset_crawler_spark.functions.urls import host_of
 from dataset_crawler_spark.operators import diff as D
+from dataset_crawler_spark.operators.graph import opic_step as G_opic_step
 from dataset_crawler_spark.operators import scheduler as SCH
 from dataset_crawler_spark.operators import seen as SN
 from dataset_crawler_spark.operators import state as S
@@ -761,6 +762,98 @@ class CrawlEngine:
             raise ValueError(f"unknown centrality signal: {signal!r}")
         return SCH.centrality_host_budgets(
             sc, hosts, min_budget=min_budget, max_multiplier=max_multiplier
+        )
+
+    def opic_update(self, crawl_id: int | None = None) -> DataFrame:
+        """Advance the standing ONLINE importance state by one crawl round
+        (operators/graph.py opic_step — adaptive OPIC, WWW 2003): only the
+        hosts the round actually visited (ops-log fetches that returned
+        content or a 304) bank their cash and push it along the CURRENT
+        host graph's out-links. Cost per round ∝ |fetched| — the same
+        batch→incremental contract as the minhash/signlsh/substring/CC
+        standing indexes; a full :func:`~dataset_crawler_spark.operators.
+        graph.opic` recomputation is never needed. Appends the new
+        (host, cash, hist) state partition and returns it.
+
+        Bootstrap: the first update seeds every then-known host with cash
+        1/n; hosts discovered later enter with cash 0 (conservation-safe —
+        newcomers only receive) so Σcash stays exactly 1 forever.
+        Idempotent per round: a replay overwrites its own partition and
+        reads only state strictly older than ``crawl_id``.
+        """
+        as_of = self.store.last_round() if crawl_id is None else crawl_id
+        edges = self.host_graph(as_of)
+        fetched = (
+            self.ops_log_as_of(as_of)
+            .where(
+                (F.col("crawl_id") == as_of)
+                & (F.col("stage") == "fetch")
+                & F.col("status").isin(OP_SUCCESS, OP_NOT_MODIFIED)
+            )
+            .select("host")
+            .distinct()
+        )
+        universe = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .unionByName(fetched.select(F.col("host").alias("node")))
+            .distinct()
+        )
+        try:
+            prior = self.store.read("opic_state").where(F.col("crawl_id") < as_of)
+            has_prior = not prior.limit(1).isEmpty()
+        except FileNotFoundError:
+            has_prior = False
+        if has_prior:
+            prev = prior.groupBy("node").agg(
+                F.max_by("cash", "crawl_id").alias("cash"),
+                F.max_by("hist", "crawl_id").alias("hist"),
+            )
+            state = (
+                universe.join(prev, "node", "left")
+                .unionByName(prev.join(universe, "node", "left_anti"))
+                .select(
+                    "node",
+                    F.coalesce("cash", F.lit(0.0)).alias("cash"),
+                    F.coalesce("hist", F.lit(0.0)).alias("hist"),
+                )
+            )
+        else:
+            n = universe.count()
+            if n == 0:
+                return self.spark.createDataFrame(
+                    [], "node string, cash double, hist double"
+                )
+            state = universe.select(
+                "node", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist")
+            )
+        out = G_opic_step(state, edges, fetched.select(F.col("host").alias("node")))
+        out = out.localCheckpoint()
+        self.store.append("opic_state", out, as_of)
+        return out
+
+    def opic_scores(self, as_of: int | None = None) -> DataFrame | None:
+        """(host, score): the online importance estimate (hist + cash) /
+        (steps + 1) from the standing state — drop-in scores for
+        :func:`~dataset_crawler_spark.operators.scheduler.
+        centrality_host_budgets` (or :meth:`centrality_hosts`-style budget
+        shaping) without ever running a batch iteration. None before the
+        first :meth:`opic_update`."""
+        as_of = self.store.last_round() if as_of is None else as_of
+        try:
+            st = self.store.read("opic_state", as_of=as_of)
+        except FileNotFoundError:
+            return None
+        if st.limit(1).isEmpty():
+            return None
+        steps = st.select("crawl_id").distinct().count()
+        latest = st.groupBy("node").agg(
+            F.max_by("cash", "crawl_id").alias("cash"),
+            F.max_by("hist", "crawl_id").alias("hist"),
+        )
+        return latest.select(
+            F.col("node").alias("host"),
+            ((F.col("hist") + F.col("cash")) / (steps + 1)).alias("score"),
         )
 
     def refresh_frontier(self, as_of: int | None = None, decay: float = 0.5) -> DataFrame:

@@ -852,3 +852,52 @@ def test_centrality_hosts_budgets_from_own_graph(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown centrality signal"):
         eng.centrality_hosts(hosts, signal="bogus")
+
+
+def test_online_opic_state_through_rounds(spark, tmp_path):
+    """The standing online-importance state (CrawlEngine.opic_update /
+    opic_scores): bootstrap seeds the then-known hosts, each round's update
+    banks only the visited hosts' cash along the CURRENT graph, cash is
+    conserved exactly, the hub ends on top, and a replay of a round is
+    idempotent."""
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    hosts = _open_hosts(spark)
+    assert eng.opic_scores() is None  # nothing standing before any update
+
+    corpus = _linked_corpus(spark)
+    frontier = spark.createDataFrame(
+        [
+            (r.doc_id, r.doc_id.split("/")[2], 0.5, 0, 0, "pending")
+            for r in corpus.collect()
+        ],
+        FRONTIER_SCHEMA,
+    )
+    nolinks = corpus.select(
+        "doc_id",
+        F.expr(
+            "filter(transform(spans, s -> named_struct("
+            "'kind', s.kind, 'text', s.text, "
+            "'media_ref', CAST(NULL AS STRING), 'offset', s.offset)), "
+            "s -> s.text IS NOT NULL)"
+        ).alias("spans"),
+    )
+    eng.crawl_round(frontier, hosts, simulated_fetcher(nolinks), 0, mode="full")
+    s0 = {r.node: r for r in eng.opic_update(0).collect()}
+    # bootstrap universe = the 4 fetched hosts; empty graph -> every host's
+    # cash banks and returns uniformly via the virtual page
+    assert len(s0) == 4
+    assert all(abs(r.cash - 0.25) < 1e-12 and abs(r.hist - 0.25) < 1e-12
+               for r in s0.values())
+
+    eng.crawl_round(frontier, hosts, simulated_fetcher(corpus), 1, mode="full")
+    s1 = {r.node: r for r in eng.opic_update(1).collect()}
+    h = [f"host{i:04d}.example.org" for i in range(4)]
+    assert abs(sum(r.cash for r in s1.values()) - 1.0) < 1e-9  # conservation
+    scores = {r.host: r.score for r in eng.opic_scores().collect()}
+    # hub receives from all three spokes -> top importance; h3 gives its
+    # cash away and receives nothing -> bottom
+    assert scores[h[0]] == max(scores.values())
+    assert scores[h[3]] == min(scores.values())
+    # replaying the round overwrites its own partition and changes nothing
+    s1b = {r.node: (r.cash, r.hist) for r in eng.opic_update(1).collect()}
+    assert s1b == {k: (v.cash, v.hist) for k, v in s1.items()}

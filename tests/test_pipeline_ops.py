@@ -502,6 +502,76 @@ def test_hits_opic_strategy_invariance(spark):
         assert abs(o_small[v] - o_big[v]) < 1e-12
 
 
+def _opic_online_py(edges, nodes, fetch_sets):
+    """Pure-Python adaptive-OPIC twin: per round only the fetched subset
+    banks cash and distributes it; fetched dangling mass spreads uniformly."""
+    out: dict[int, list] = {}
+    for s, d in set(edges):
+        out.setdefault(s, []).append(d)
+    n = len(nodes)
+    cash = {v: 1.0 / n for v in nodes}
+    hist = {v: 0.0 for v in nodes}
+    for fetched in fetch_sets:
+        m = sum(cash[v] for v in fetched if v not in out)
+        recv = {v: 0.0 for v in nodes}
+        for u in fetched:
+            for d in out.get(u, []):
+                recv[d] += cash[u] / len(out[u])
+        hist = {v: hist[v] + (cash[v] if v in fetched else 0.0) for v in nodes}
+        cash = {
+            v: (0.0 if v in fetched else cash[v]) + recv[v] + m / n for v in nodes
+        }
+    return cash, hist
+
+
+def test_opic_step_full_fetch_equals_synchronous(spark):
+    """Stepping with fetched = EVERY node must reproduce the synchronous
+    variant exactly — the adaptive update degenerates to opic()."""
+    from dataset_crawler_spark.operators.graph import opic, opic_step
+
+    edges = spark.createDataFrame(PR_EDGES, "src long, dst long")
+    nodes = spark.createDataFrame([(v,) for v in PR_NODES], "node long")
+    n = len(PR_NODES)
+    state = nodes.select(
+        "node", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist")
+    )
+    k = 4
+    for _ in range(k):
+        state = opic_step(state, edges, nodes).localCheckpoint(eager=False)
+    got = {
+        r.node: (r.hist + r.cash) / (k + 1)
+        for r in state.collect()
+    }
+    want = {r.node: r.importance for r in opic(edges, nodes=nodes, n_rounds=k).collect()}
+    assert set(got) == set(want)
+    for v in PR_NODES:
+        assert abs(got[v] - want[v]) < 1e-12
+
+
+def test_opic_step_partial_fetch_matches_python_twin(spark):
+    from dataset_crawler_spark.operators.graph import opic_step
+
+    edges = spark.createDataFrame(PR_EDGES, "src long, dst long")
+    nodes = spark.createDataFrame([(v,) for v in PR_NODES], "node long")
+    n = len(PR_NODES)
+    fetch_sets = [{1, 4}, {2, 5}, {3}, {1, 2, 3}]
+    state = nodes.select(
+        "node", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist")
+    )
+    for fs in fetch_sets:
+        fetched = spark.createDataFrame([(v,) for v in sorted(fs)], "node long")
+        state = opic_step(state, edges, fetched).localCheckpoint(eager=False)
+    rows = state.collect()
+    got_c = {r.node: r.cash for r in rows}
+    got_h = {r.node: r.hist for r in rows}
+    want_c, want_h = _opic_online_py(PR_EDGES, PR_NODES, fetch_sets)
+    for v in PR_NODES:
+        assert abs(got_c[v] - want_c[v]) < 1e-12
+        assert abs(got_h[v] - want_h[v]) < 1e-12
+    # cash conservation: the invariant that makes the estimate consistent
+    assert abs(sum(got_c.values()) - 1.0) < 1e-9
+
+
 def test_incremental_minhash_index_through_store(spark, tmp_path):
     """Three-round ingestion through a SnapshotStore-persisted band index:
     the union of per-round pair outputs must equal the from-scratch batch

@@ -110,6 +110,9 @@ AUDIT = [
     # corpus must not shuffle: per iteration one broadcast cross join vs k
     # centroids + a (k·dim)-row mean aggregate
     "engine_kmeans_refine",
+    # masked per-round update: one fetched-side contribution agg + one left
+    # join per step; no full-graph iteration anywhere
+    "engine_online_opic",
 ]
 
 INTERESTING = (
