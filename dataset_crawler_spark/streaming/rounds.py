@@ -737,9 +737,23 @@ class CrawlEngine:
         demotes link farms to min_budget — spam never outbids vetted paths).
         Before any outlinks are committed the graph is empty and the dim
         passes through untouched (multiplier 1 everywhere) — a cold start
-        must not zero the whole crawl's budgets."""
+        must not zero the whole crawl's budgets.
+
+        ``signal="online"`` skips the batch iteration entirely and reads
+        the standing adaptive-OPIC state (:meth:`opic_scores` — kept fresh
+        per round by :meth:`opic_update` at cost ∝ |fetched|); same
+        passthrough behavior before the first update."""
         from dataset_crawler_spark.operators import graph as G
 
+        if signal == "online":
+            sc = self.opic_scores(as_of)
+            if sc is None:
+                return hosts.drop("centrality_mult").withColumn(
+                    "centrality_mult", F.lit(1.0)
+                )
+            return SCH.centrality_host_budgets(
+                sc, hosts, min_budget=min_budget, max_multiplier=max_multiplier
+            )
         edges = self.host_graph(as_of)
         if edges.limit(1).isEmpty():
             return hosts.drop("centrality_mult").withColumn(

@@ -901,3 +901,15 @@ def test_online_opic_state_through_rounds(spark, tmp_path):
     # replaying the round overwrites its own partition and changes nothing
     s1b = {r.node: (r.cash, r.hist) for r in eng.opic_update(1).collect()}
     assert s1b == {k: (v.cash, v.hist) for k, v in s1.items()}
+
+    # budget shaping straight off the standing state (no batch iteration):
+    # hub scales up, the cash-poor h3 floors
+    dim = eng.centrality_hosts(hosts, signal="online", min_budget=5)
+    got = {r.host: r for r in dim.collect()}
+    assert got[h[0]].centrality_mult == max(r.centrality_mult for r in got.values())
+    assert got[h[3]].max_fetch_per_round <= got[h[1]].max_fetch_per_round
+    # and a fresh engine with no standing state passes the dim through
+    cold = CrawlEngine(spark, str(tmp_path / "empty")).centrality_hosts(
+        hosts, signal="online"
+    )
+    assert {r.centrality_mult for r in cold.collect()} == {1.0}
