@@ -166,6 +166,7 @@ def run_crawl(args) -> int:
         adapt_budgets=True,
         host_dim_fn=fetch_dim,
         conditional=args.conditional,
+        centrality=args.centrality,
     )
     for rnd, s in enumerate(stats):
         print(json.dumps({"round": rnd, "store": store, **s}))
@@ -291,6 +292,13 @@ def main(argv: list[str] | None = None) -> int:
                          "discovery rounds (revalidation itself fires in the "
                          "'refresh' subcommand, which reuses the stored "
                          "validators for 304-cheap revisits)")
+    pc.add_argument("--centrality", choices=["pagerank", "trustrank", "opic", "online"],
+                    default=None,
+                    help="shape per-host budgets each round by link-graph "
+                         "importance over the crawl's own outlinks "
+                         "(CrawlEngine.centrality_hosts); 'online' keeps a "
+                         "standing adaptive-OPIC state updated per round at "
+                         "cost proportional to the fetched set")
     pc.set_defaults(fn=run_crawl)
 
     pr = sub.add_parser(

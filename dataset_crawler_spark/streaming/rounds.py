@@ -540,6 +540,7 @@ class CrawlEngine:
         adapt_budgets: bool = False,
         host_dim_fn=None,
         conditional: bool = False,
+        centrality: str | None = None,
     ) -> list[dict]:
         """Crawl to link closure: round 0 schedules the seeds, every later
         round schedules the URLs discovered by the previous round's fetches,
@@ -572,8 +573,30 @@ class CrawlEngine:
         the loop's plan flat; the robots fetch is one-shot per AVAILABLE
         host, while hosts whose last probe failed are re-probed on any
         later round whose frontier still wants them.
+
+        ``centrality``: optional budget shaping per round —
+        :meth:`centrality_hosts` re-derives each round's fetch quotas from
+        the BASE dim (never the previous round's shaped copy, so
+        multipliers never compound) using the signal named here; with
+        ``"online"`` the standing adaptive-OPIC state is advanced after
+        every committed round (:meth:`opic_update`, cost ∝ |fetched|) and
+        consumed by the next round's shaping, so importance-driven budgets
+        stay fresh without ever running a batch iteration inside the loop.
+        Round 0 always runs unshaped (nothing committed yet). With
+        ``"trustrank"`` the trusted set is the SEED hosts — TrustRank's
+        premise verbatim: the operator's vetted pages are exactly what a
+        seed list is, so spam hosts the seeds never transitively endorse
+        floor at min_budget.
         """
         from dataset_crawler_spark.sources.robots import robots_urls_of
+
+        trusted = None
+        if centrality == "trustrank":
+            trusted = (
+                seed_frontier.select(host_of(F.col("url")).alias("node"))
+                .distinct()
+                .localCheckpoint()
+            )
 
         out = []
         for _ in range(max_rounds):
@@ -604,9 +627,14 @@ class CrawlEngine:
                         .unionByName(fresh)
                         .localCheckpoint()
                     )
+            dim_for_round = hosts
+            if centrality is not None and crawl_id > 0:
+                dim_for_round = self.centrality_hosts(
+                    hosts, as_of=crawl_id - 1, signal=centrality, trusted=trusted
+                ).localCheckpoint()
             stats = self.crawl_round(
                 frontier,
-                hosts,
+                dim_for_round,
                 fetch_fn,
                 crawl_id,
                 bloom_params=bloom_params,
@@ -618,6 +646,8 @@ class CrawlEngine:
                 conditional=conditional,
             )
             out.append(stats)
+            if centrality == "online":
+                self.opic_update(crawl_id)
             if stats["scheduled"] == 0:
                 break
         return out

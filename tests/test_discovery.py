@@ -320,3 +320,68 @@ def test_crawl_closure_resumes_after_crash(spark, tmp_path):
     assert sorted(fetched) == sorted({_u("a"), _u("b"), _u("c"), _u("d")})
     assert len(fetched) == len(set(fetched))  # no double-fetch across the crash
     assert stats[-1]["scheduled"] == 0
+
+
+def _mu(host: str, name: str) -> str:
+    return f"https://{host}.example.org/d/{name}"
+
+
+def test_crawl_closure_with_online_centrality_budgets(spark, tmp_path):
+    """Closure with centrality='online': round 0 runs unshaped, every later
+    round's host budgets come off the standing adaptive-OPIC state (which
+    advances once per committed round), and the crawl still reaches the
+    exact link closure. The hub host ends with the top online-importance
+    score."""
+    # seed on hub: hub/a -> spoke1/b, spoke2/c; both spokes link back to
+    # hub/a and on to hub/d; spoke2/c also links to spoke3/e (leaf)
+    corpus = spark.createDataFrame(
+        [
+            (_mu("hub", "a"), [("link", None, _mu("spoke1", "b"), 0),
+                               ("link", None, _mu("spoke2", "c"), 1),
+                               ("text", "hub body", None, 2)]),
+            (_mu("spoke1", "b"), [("link", None, _mu("hub", "a"), 0),
+                                  ("link", None, _mu("hub", "d"), 1),
+                                  ("text", "s1", None, 2)]),
+            (_mu("spoke2", "c"), [("link", None, _mu("hub", "a"), 0),
+                                  ("link", None, _mu("hub", "d"), 1),
+                                  ("link", None, _mu("spoke3", "e"), 2),
+                                  ("text", "s2", None, 3)]),
+            (_mu("hub", "d"), [("text", "sink", None, 0)]),
+            (_mu("spoke3", "e"), [("text", "leaf", None, 0)]),
+        ],
+        DOCS_SCHEMA,
+    )
+    hosts = spark.createDataFrame(
+        [(f"{h}.example.org", 10, 100, [], True)
+         for h in ("hub", "spoke1", "spoke2", "spoke3")],
+        "host string, crawl_delay_ms int, max_fetch_per_round int, "
+        "robots_disallow array<string>, is_available boolean",
+    )
+    seeds = spark.createDataFrame(
+        [(_mu("hub", "a"), "hub.example.org", 1.0, 0, 0, "pending")],
+        "url string, host string, priority double, discovered_crawl_id int, "
+        "seed_rank int, state string",
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    params = SN.BloomParams.for_capacity(64, fp_rate=0.01, n_shards=4)
+    stats = eng.crawl_closure(
+        seeds, hosts, simulated_fetcher(corpus), bloom_params=params,
+        centrality="online",
+    )
+    # closure reached: all 5 docs fetched exactly once, terminating round 0
+    fetched = sorted(r.url_c for r in eng.store.read("fetched").collect())
+    assert fetched == sorted(r.doc_id for r in corpus.collect())
+    assert stats[-1]["scheduled"] == 0
+    # one opic_state partition per committed round (the update runs even on
+    # the empty terminating round — its fetched set is just empty)
+    state_rounds = {
+        r.crawl_id for r in eng.store.read("opic_state").select("crawl_id").distinct().collect()
+    }
+    assert state_rounds == {s for s in range(len(stats))}
+    scores = {r.host: r.score for r in eng.opic_scores().collect()}
+    # the hub receives cash from both spokes every time they're visited
+    assert scores["hub.example.org"] == max(scores.values())
+    # and the shaped dim for the NEXT round would boost the hub
+    dim = eng.centrality_hosts(hosts, signal="online")
+    got = {r.host: r.centrality_mult for r in dim.collect()}
+    assert got["hub.example.org"] == max(got.values())

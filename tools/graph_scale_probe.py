@@ -122,6 +122,30 @@ def main() -> None:
     t_op = round(time.time() - t0, 1)
     print(f"local[{cores}] opic 1M-node/5M-edge 8 rounds: {t_op} s ({z:,} scores)", flush=True)
 
+    # adaptive (per-crawl-round) step at a 1% visit rate — the engine's
+    # standing-state path (CrawlEngine.opic_update): ONE masked update per
+    # crawl round instead of a full k-round batch refresh
+    from dataset_crawler_spark.operators.graph import opic_step
+
+    nodes1m = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n1m = nodes1m.count()
+    state = nodes1m.select(
+        "node", (F.lit(1.0) / n1m).alias("cash"), F.lit(0.0).alias("hist")
+    ).localCheckpoint()
+    fetched = nodes1m.where(F.pmod(F.xxhash64("node"), F.lit(100)) == 0)
+    t0 = time.time()
+    st = opic_step(state, edges, fetched)
+    z = st.select(F.count_distinct("node", "cash", "hist").alias("z")).collect()[0][0]
+    t_st = round(time.time() - t0, 1)
+    print(
+        f"local[{cores}] opic_step 1M-node/5M-edge 1% fetched: {t_st} s ({z:,} states)",
+        flush=True,
+    )
+
     t0 = time.time()
     fr = expand_frontier(docs, 0)
     z = fr.select(F.count_distinct("url", "priority").alias("z")).collect()[0][0]
