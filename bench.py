@@ -88,6 +88,7 @@ ANALYTIC_QUERIES = [
     "graph_spam_mass",
     "engine_kmeans_refine",
     "engine_online_opic",
+    "sketch_hll_distinct",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

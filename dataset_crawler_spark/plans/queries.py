@@ -4979,3 +4979,67 @@ def crawl_sitemap_lastmod(spark, sf_dir):
         with_lastmod=True,
     )
     return lastmod_priority(seeds, as_of=_SM_AS_OF, halflife_days=_SM_HALFLIFE)
+
+
+# ==========================================================================
+# Round-4 additions (late): mergeable-sketch family #2 — HyperLogLog
+# distinct counting (operators/sketches.py)
+# ==========================================================================
+
+from dataset_crawler_spark.operators.sketches import (  # noqa: E402
+    hll_estimate,
+    hll_sketch,
+    hll_sql,
+)
+
+
+@register(
+    "sketch_hll_distinct",
+    f"""
+    WITH {hll_sql("CAST(l_orderkey AS VARCHAR)", "lineitem", "l_returnflag")},
+    ex AS (
+      SELECT l_returnflag AS grp, COUNT(DISTINCT l_orderkey) AS n_exact
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT grp AS l_returnflag, n_exact, hll_s, v_empty,
+           ROUND(hll_estimate, 2) AS hll_estimate,
+           ROUND(100.0 * ABS(hll_estimate - n_exact) / n_exact, 2) AS rel_err_pct
+    FROM ex JOIN hest USING (grp)
+    """,
+)
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-order count per returnflag, checked against the
+    exact COUNT(DISTINCT) — the mergeable-summary companion to
+    sketch_countmin_topk (frequency → CMS, cardinality → HLL). The
+    reference reports exact per-type distinct counts from its relational
+    store (CrawlerStats-style loops); at 10^10 URLs the sketch is the
+    drop-in: 2^{HLL_P} = {1 << HLL_P} registers per group, merge = MAX.
+
+    Determinism: the register sum is exact-integer (2^(53-rho) bigints), so
+    the raw estimate is ONE IEEE division — the mix_source_token_shares
+    round-3 flake class (order-dependent float accumulation under ROUND)
+    is structurally impossible here; the linear-counting branch's ln
+    follows the suite's 4dp-safe ln convention (crawl_change_rate).
+
+    Scale shape (100 TB): one map-side-combined aggregate bounded at 2^p
+    rows per group per task; the exact side exists only as the twin."""
+    from dataset_crawler_spark.operators.sketches import HLL_P  # noqa: F401
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    sk = hll_sketch(li, ["l_returnflag"], F.col("l_orderkey").cast("string"))
+    est = hll_estimate(sk, ["l_returnflag"])
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    return ex.join(est, "l_returnflag").select(
+        "l_returnflag",
+        "n_exact",
+        "hll_s",
+        "v_empty",
+        F.round("hll_estimate", 2).alias("hll_estimate"),
+        F.round(
+            F.lit(100.0)
+            * F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            2,
+        ).alias("rel_err_pct"),
+    )

@@ -1251,6 +1251,56 @@ def test_countmin_sketch_is_merge_associative(spark):
     assert got == full and len(full) > 0
 
 
+def test_hll_sketch_is_merge_associative_and_bounded(spark):
+    """HLL registers built over disjoint halves, merged by MAX, equal the
+    whole-corpus registers EXACTLY — the lossless map-side-combine property
+    that makes per-host distinct-URL cardinality a 1000-executor O(2^p)
+    aggregate. The estimate itself must land within 3σ of the exact
+    distinct count (σ = 1.04/√m), and the register frame can never exceed
+    2^p rows per group."""
+    from pyspark.sql import functions as F
+
+    from dataset_crawler_spark.operators.sketches import (
+        HLL_M,
+        hll_estimate,
+        hll_sketch,
+    )
+    from dataset_crawler_spark.plans.queries import _t
+
+    li = _t(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_returnflag", F.col("l_orderkey").cast("string").alias("k")
+    )
+
+    def regs(df):
+        return hll_sketch(df, ["l_returnflag"], F.col("k"))
+
+    merged = (
+        regs(li.where(F.crc32("k") % 2 == 0))
+        .unionByName(regs(li.where(F.crc32("k") % 2 == 1)))
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    full = {(r.l_returnflag, r.bucket): r.max_rho for r in regs(li).collect()}
+    got = {(r.l_returnflag, r.bucket): r.max_rho for r in merged.collect()}
+    assert got == full and len(full) > 0
+    # bounded summary: at most 2^p registers per group
+    from collections import Counter
+
+    per_group = Counter(k[0] for k in full)
+    assert all(v <= HLL_M for v in per_group.values())
+    # 3-sigma accuracy vs exact (sigma = 1.04/sqrt(m) ~ 6.5% at p=8)
+    est = {
+        r.l_returnflag: r.hll_estimate
+        for r in hll_estimate(regs(li), ["l_returnflag"]).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    for flag, n in exact.items():
+        assert abs(est[flag] - n) / n < 3 * 1.04 / (HLL_M ** 0.5), (flag, est[flag], n)
+
+
 def test_new_topk_ops_partitioning_invariance(spark, tmp_path):
     """BM25 and the weighted sample pick their top-k via per-partition heaps
     over FP-scored keys — the result must be byte-identical at any input

@@ -238,3 +238,18 @@ def test_html_extract_is_narrow(spark):
     # nothing Python
     assert "Exchange" not in plan
     assert re.search(PY_STAGES, plan) is None
+
+
+def test_hll_sketch_plan_is_bounded_aggregates(spark):
+    """The HLL distinct sketch must stay a pair of hash aggregates over the
+    scan (registers, then per-group fold) joined to the exact twin — no
+    sort-merge join, no Python stage, and the register aggregate must
+    partial-aggregate map-side (HashAggregate appears above AND below its
+    exchange) so at most 2^p rows per group ever shuffle."""
+    from dataset_crawler_spark.plans.queries import sketch_hll_distinct
+
+    p = _plan(sketch_hll_distinct(spark, SF_DIR))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert re.search(PY_STAGES, p) is None
+    assert p.count("HashAggregate") >= 4  # partial+final for registers & fold
