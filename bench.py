@@ -89,6 +89,7 @@ ANALYTIC_QUERIES = [
     "engine_kmeans_refine",
     "engine_online_opic",
     "sketch_hll_distinct",
+    "graph_doc_triangles",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

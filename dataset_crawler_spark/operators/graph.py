@@ -515,3 +515,79 @@ def opic(
     ).localCheckpoint()
     g.release()
     return out
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + degree over an UNDIRECTED simple graph,
+    by degree orientation (Schank & Wagner 2005; Suri & Vassilvitskii,
+    WWW 2011 — the MapReduce formulation this DataFrame plan mirrors).
+
+    ``edges`` is any (src, dst) pair list; it is normalized to distinct
+    undirected pairs first, so direction, duplicates, and self-loops in the
+    input are all harmless. Triangles are the standard link-farm /
+    tight-knit-community signal on a host graph: spam clusters show
+    clustering coefficients near 1 while organic hub neighborhoods stay
+    sparse (complements graph_spam_mass's trust-gap view).
+
+    Shape (100 TB): orient each edge from its (degree, id)-smaller endpoint
+    to the larger — every triangle then has exactly ONE wedge rooted at its
+    (degree, id)-minimum vertex, so each triangle is found exactly once and
+    the wedge self-join fans out by oriented OUT-degree, which degree
+    orientation bounds at O(sqrt(m)) per node: O(m^1.5) candidate wedges
+    total instead of quadratic hub fan-out. Three hash-partitioned
+    equi-joins + two aggregates, all integer arithmetic — no float
+    accumulation anywhere, so results are bitwise deterministic.
+
+    Returns (node, degree, triangles) for every node with degree ≥ 1.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    u = und.alias("u")
+    a_first = F.struct(F.col("da.degree"), F.col("u.a")) < F.struct(
+        F.col("db.degree"), F.col("u.b")
+    )
+    orient = (
+        u.join(da, F.col("da.node") == F.col("u.a"))
+        .join(db, F.col("db.node") == F.col("u.b"))
+        .select(
+            F.when(a_first, F.col("u.a")).otherwise(F.col("u.b")).alias("lo"),
+            F.when(a_first, F.col("u.b")).otherwise(F.col("u.a")).alias("hi"),
+            F.when(a_first, F.col("db.degree"))
+            .otherwise(F.col("da.degree"))
+            .alias("deg_hi"),
+        )
+    )
+    e1, e2 = orient.alias("e1"), orient.alias("e2")
+    wedge = e1.join(e2, F.col("e1.lo") == F.col("e2.lo")).where(
+        F.struct(F.col("e1.deg_hi"), F.col("e1.hi"))
+        < F.struct(F.col("e2.deg_hi"), F.col("e2.hi"))
+    ).select(
+        F.col("e1.lo").alias("u"),
+        F.col("e1.hi").alias("v"),
+        F.col("e2.hi").alias("w"),
+    )
+    tri = wedge.join(
+        orient.select(F.col("lo").alias("v"), F.col("hi").alias("w")), ["v", "w"]
+    )
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles"),
+    )

@@ -5043,3 +5043,114 @@ def sketch_hll_distinct(spark, sf_dir):
             2,
         ).alias("rel_err_pct"),
     )
+
+
+#: triangle-graph out-stub count: each doc gets 3 hash-derived undirected
+#: link stubs (avg degree ~6 after dedup/self-loop removal) — dense enough
+#: that the sf0.01 fixture has hundreds of triangles, sparse enough that the
+#: wedge join stays visibly bounded.
+_TRI_STUBS = 3
+
+
+@register(
+    "graph_doc_triangles",
+    f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS src,
+             {h60_sql("'tri|' || CAST(doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)")}
+               % (SELECT n FROM nn) AS dst
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(0, {_TRI_STUBS - 1})) AS j)),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      GROUP BY node),
+    orient AS (
+      SELECT CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.a ELSE u.b END AS lo,
+             CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.b ELSE u.a END AS hi,
+             CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN db.degree ELSE da.degree END AS deg_hi
+      FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+    wedge AS (
+      SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+      FROM orient e1 JOIN orient e2 ON e1.lo = e2.lo
+      WHERE (e1.deg_hi, e1.hi) < (e2.deg_hi, e2.hi)),
+    tri AS (
+      SELECT u, v, w FROM wedge
+      JOIN orient o ON o.lo = wedge.v AND o.hi = wedge.w),
+    pern AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+      GROUP BY node)
+    SELECT d.node AS doc_id, d.degree,
+           COALESCE(p.triangles, 0) AS triangles,
+           ROUND(CASE WHEN d.degree >= 2
+                      THEN 2.0 * COALESCE(p.triangles, 0)
+                           / (d.degree * (d.degree - 1))
+                      ELSE 0.0 END, 4) AS clustering_coeff
+    FROM deg d LEFT JOIN pern p ON p.node = d.node
+    """,
+)
+def graph_doc_triangles(spark, sf_dir):
+    """Per-document triangle counts + local clustering coefficient over a
+    hash-derived outlink graph (operators/graph.py triangle_counts —
+    degree-oriented wedge join, Suri & Vassilvitskii WWW 2011). Triangle
+    density is the classic link-farm / tight-community signal the
+    centrality family (spam mass, TrustRank) reads alongside rank; the
+    reference has no graph analytics at all — this extends its host
+    bookkeeping (CrawlerStats-style per-type loops) with the structure
+    signal a frontier scheduler demotes collusion clusters by.
+
+    Determinism: the whole pipeline is integer arithmetic (counts, ids);
+    the only division is the final coefficient 2T/(d(d-1)) of two exact
+    ints — one IEEE op, bitwise identical cross-engine.
+
+    Scale shape (100 TB): normalize → degree agg → orient (two equi-joins)
+    → wedge self-join bounded by oriented out-degree O(sqrt(m)) → closing
+    semi-join — O(m^1.5) candidates, three hash joins, no cartesian."""
+    from dataset_crawler_spark.operators.graph import triangle_counts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    raw = (
+        d.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_TRI_STUBS - 1)),
+                    lambda j: F.pmod(
+                        h60(
+                            F.concat(
+                                F.lit("tri|"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("|"),
+                                j.cast("string"),
+                            )
+                        ),
+                        F.col("n_docs"),
+                    ),
+                )
+            ).alias("dst"),
+        )
+    )
+    t = triangle_counts(raw)
+    return t.select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        "triangles",
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                F.lit(2.0)
+                * F.col("triangles")
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("clustering_coeff"),
+    )

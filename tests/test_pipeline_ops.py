@@ -1619,3 +1619,34 @@ def test_incremental_cc_through_store(spark, tmp_path):
     want = {(r.node, r.comp) for r in batch.collect()}
     assert got == want
     assert len({c for _, c in want}) < len(want)  # non-trivial clusters exist
+
+
+def test_triangle_counts_planted_clique_and_normalization(spark):
+    """triangle_counts on a hand graph: a 4-clique (4 triangles, every
+    member in exactly 3), a triangle-free path, and deliberately dirty
+    input (reversed duplicates, a self-loop) that normalization must
+    absorb. Every count is integer-exact by construction."""
+    from pyspark.sql import functions as F
+
+    from dataset_crawler_spark.operators.graph import triangle_counts
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(4, 5), (5, 6)]
+    dirty = [(1, 0), (2, 1), (7, 7), (5, 4)]  # reversed dups + self-loop
+    edges = spark.createDataFrame(clique + path + dirty, "src long, dst long")
+    rows = {r.node: r for r in triangle_counts(edges).collect()}
+
+    assert set(rows) == {0, 1, 2, 3, 4, 5, 6}  # self-loop node 7 dropped
+    for n in range(4):
+        assert rows[n].degree == 3 and rows[n].triangles == 3
+    assert rows[4].triangles == 0 and rows[6].triangles == 0
+    assert rows[5].degree == 2 and rows[5].triangles == 0
+    total = sum(r.triangles for r in rows.values())
+    assert total == 3 * 4  # 4 triangles, counted once per member
+
+    # direction/duplication invariance: fully reversed edge list
+    rev = spark.createDataFrame(
+        [(b, a) for a, b in clique + path], "src long, dst long"
+    )
+    again = {r.node: (r.degree, r.triangles) for r in triangle_counts(rev).collect()}
+    assert again == {n: (r.degree, r.triangles) for n, r in rows.items()}

@@ -253,3 +253,18 @@ def test_hll_sketch_plan_is_bounded_aggregates(spark):
     assert "CartesianProduct" not in p
     assert re.search(PY_STAGES, p) is None
     assert p.count("HashAggregate") >= 4  # partial+final for registers & fold
+
+
+def test_triangle_wedge_join_is_equi_join_only(spark):
+    """The wedge step must be an EQUI-join on the shared root `lo` (with the
+    orientation order as a residual predicate), never a cartesian pair
+    blowup — if `lo` falls out of the join keys the plan goes quadratic at
+    scale. The only nested-loop joins allowed are the suite's sanctioned
+    crossJoin(broadcast(<1-row aggregate>)) scalar attachments. No Python
+    stages; all-integer pipeline."""
+    from dataset_crawler_spark.plans.queries import graph_doc_triangles
+
+    p = _plan(graph_doc_triangles(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert re.search(r"(BroadcastHash|ShuffledHash|SortMerge)Join \[lo#", p)
+    assert re.search(PY_STAGES, p) is None
