@@ -90,6 +90,7 @@ ANALYTIC_QUERIES = [
     "engine_online_opic",
     "sketch_hll_distinct",
     "graph_doc_triangles",
+    "crawl_registered_domain",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

@@ -158,3 +158,37 @@ def url_hash64(col: Column | str) -> Column:
     """Engine-internal 64-bit URL id (xxhash64 — JVM-side, fast path)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.xxhash64(c)
+
+
+def registered_domain(
+    host: Column | str, suffixes: list[str]
+) -> tuple[Column, Column]:
+    """(registered_domain, public_suffix) of a hostname under a
+    public-suffix list — longest-suffix-match with the PSL fallback
+    (unknown TLD ⇒ suffix = last label), as a PURE narrow expression: a
+    higher-order filter over the host's ≤k label-suffixes against the
+    suffix set inlined as an array literal. Zero joins, zero explode — the
+    politeness-grouping extraction stays inside whole-stage codegen even
+    at 10^10 URLs (the real PSL's ~9k rules still fit a literal/broadcast).
+
+    Politeness MUST group by registered domain, not host: `a.github.io`
+    and `b.github.io` are different registrants (private suffix) while
+    `www.x.co.uk` / `cdn.x.co.uk` are one site. Twinned in SQL by
+    plans/queries.py crawl_registered_domain."""
+    h = F.col(host) if isinstance(host, str) else host
+    psl = F.array(*[F.lit(s) for s in suffixes])
+    parts = F.split(h, r"\.")
+    np_ = F.size(parts)
+    i_hit = F.array_min(
+        F.filter(
+            F.sequence(F.lit(2), np_),
+            lambda i: F.array_contains(
+                psl, F.array_join(F.slice(parts, i, np_ - i + 1), ".")
+            ),
+        )
+    )
+    reg_start = F.coalesce(i_hit, np_) - 1
+    return (
+        F.array_join(F.slice(parts, reg_start, np_ - reg_start + 1), "."),
+        F.array_join(F.slice(parts, reg_start + 1, np_ - reg_start), "."),
+    )

@@ -1650,3 +1650,30 @@ def test_triangle_counts_planted_clique_and_normalization(spark):
     )
     again = {r.node: (r.degree, r.triangles) for r in triangle_counts(rev).collect()}
     assert again == {n: (r.degree, r.triangles) for n, r in rows.items()}
+
+
+def test_registered_domain_psl_semantics(spark):
+    """Hand probes for the public-suffix extraction: same registrant across
+    subdomains of a normal suffix, DIFFERENT registrants under a private
+    suffix, longest-match beats the plain TLD, unknown TLD falls back to
+    last-label. These are the exact cases that make per-host politeness
+    either unfair or evadable when gotten wrong."""
+    from dataset_crawler_spark.functions.urls import registered_domain
+
+    suffixes = ["com", "io", "co.uk", "github.io"]
+    probes = {
+        "www.x.co.uk": ("x.co.uk", "co.uk"),
+        "cdn.x.co.uk": ("x.co.uk", "co.uk"),       # same registrant
+        "a.github.io": ("a.github.io", "github.io"),
+        "b.github.io": ("b.github.io", "github.io"),  # different registrant
+        "deep.sub.y.com": ("y.com", "com"),
+        "plain.io": ("plain.io", "io"),
+        "box.internal": ("box.internal", "internal"),  # unknown TLD fallback
+    }
+    df = spark.createDataFrame([(h,) for h in probes], "host string")
+    reg, suf = registered_domain("host", suffixes)
+    got = {
+        r.host: (r.reg, r.suf)
+        for r in df.select("host", reg.alias("reg"), suf.alias("suf")).collect()
+    }
+    assert got == probes

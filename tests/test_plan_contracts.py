@@ -268,3 +268,16 @@ def test_triangle_wedge_join_is_equi_join_only(spark):
     assert "CartesianProduct" not in p
     assert re.search(r"(BroadcastHash|ShuffledHash|SortMerge)Join \[lo#", p)
     assert re.search(PY_STAGES, p) is None
+
+
+def test_registered_domain_is_joinless_narrow(spark):
+    """PSL longest-match must stay a narrow higher-order expression — no
+    join against a suffix table, no explode of label-suffix candidates, no
+    Python stage; the only exchanges belong to the final per-domain
+    distinct-count aggregate."""
+    from dataset_crawler_spark.plans.queries import crawl_registered_domain
+
+    p = _plan(crawl_registered_domain(spark, SF_DIR))
+    assert "Join" not in p
+    assert "Generate" not in p  # no explode
+    assert re.search(PY_STAGES, p) is None
