@@ -91,6 +91,7 @@ ANALYTIC_QUERIES = [
     "sketch_hll_distinct",
     "graph_doc_triangles",
     "crawl_registered_domain",
+    "engine_incremental_hll",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

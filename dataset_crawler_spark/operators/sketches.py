@@ -152,3 +152,17 @@ def hll_sql(value_expr: str, from_clause: str, group_expr: str, p: int = HLL_P) 
                   ELSE {lit} / CAST(hll_s AS DOUBLE)
              END AS hll_estimate
       FROM hagg)"""
+
+
+def hll_merge(sketches: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Merge register frames from independent ingestion rounds: union +
+    per-register MAX. Lossless by the register algebra (MAX is idempotent,
+    commutative, associative), so N rounds of |new|-cost ingestion end in
+    registers EXACTLY equal to the from-scratch batch build — the property
+    engine_incremental_hll value-hash-checks against its batch twin."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )

@@ -5247,3 +5247,45 @@ def crawl_registered_domain(spark, sf_dir):
         F.countDistinct("host").alias("n_hosts"),
         F.count("*").alias("n_urls"),
     )
+
+
+@register(
+    "engine_incremental_hll",
+    f"""
+    WITH {hll_sql("CAST(l_orderkey AS VARCHAR)", "lineitem", "l_returnflag")}
+    SELECT grp AS l_returnflag, hll_s, v_empty,
+           ROUND(hll_estimate, 2) AS hll_estimate
+    FROM hest
+    """,
+)
+def engine_incremental_hll(spark, sf_dir):
+    """Incremental cardinality tracking, value-hash-checked: ingest the
+    order stream in two rounds (orderkey parity) through standing HLL
+    registers — each round builds registers over only ITS rows (|new|
+    cost), merged into the standing state by per-register MAX — then
+    estimate from the merged registers. The DuckDB twin is the from-scratch
+    BATCH sketch over the whole table: the value-hash match proves
+    round-at-a-time ingestion is LOSSLESS (bitwise — registers, exact-
+    integer sum, and estimate all identical), which is what lets a
+    10^10-URL frontier keep per-host distinct-URL counts as a standing
+    2^p-row state instead of re-scanning history every round. Store-backed
+    3-round lifecycle (crash-invisibility included) pinned by
+    tests/test_pipeline_ops.py::test_incremental_hll_registers_through_store."""
+    from dataset_crawler_spark.operators.sketches import hll_merge
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    rounds = [
+        hll_sketch(
+            li.where(F.col("l_orderkey") % 2 == r),
+            ["l_returnflag"],
+            F.col("l_orderkey").cast("string"),
+        )
+        for r in (0, 1)
+    ]
+    merged = hll_merge(rounds, ["l_returnflag"])
+    return hll_estimate(merged, ["l_returnflag"]).select(
+        "l_returnflag",
+        "hll_s",
+        "v_empty",
+        F.round("hll_estimate", 2).alias("hll_estimate"),
+    )

@@ -1677,3 +1677,38 @@ def test_registered_domain_psl_semantics(spark):
         for r in df.select("host", reg.alias("reg"), suf.alias("suf")).collect()
     }
     assert got == probes
+
+
+def test_incremental_hll_registers_through_store(spark, tmp_path):
+    """Three-round cardinality ingestion through SnapshotStore-persisted HLL
+    registers: the merged standing registers must equal the from-scratch
+    batch registers EXACTLY (bitwise — MAX-merge is lossless), and an
+    appended-but-uncommitted round's registers must stay invisible."""
+    from pyspark.sql import functions as F
+
+    from dataset_crawler_spark.operators.sketches import hll_merge, hll_sketch
+    from dataset_crawler_spark.sources.snapshots import SnapshotStore
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag", F.col("l_orderkey").cast("string").alias("k")
+    )
+    store = SnapshotStore(str(tmp_path / "store"), spark)
+
+    for rnd in range(3):
+        new = li.where(F.crc32("k") % 3 == rnd)
+        regs = hll_sketch(new, ["l_returnflag"], F.col("k"))
+        store.append("hll_regs", regs, rnd)
+        store.commit_round(rnd)
+
+    standing = hll_merge([store.read("hll_regs").drop("crawl_id")], ["l_returnflag"])
+    batch = hll_sketch(li, ["l_returnflag"], F.col("k"))
+    got = {(r.l_returnflag, r.bucket): r.max_rho for r in standing.collect()}
+    want = {(r.l_returnflag, r.bucket): r.max_rho for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+    # crash-safety: uncommitted append is invisible to the standing view
+    store.append("hll_regs", hll_sketch(li.limit(0), ["l_returnflag"], F.col("k")), 99)
+    seen_rounds = {
+        r.crawl_id for r in store.read("hll_regs").select("crawl_id").distinct().collect()
+    }
+    assert seen_rounds == {0, 1, 2}
