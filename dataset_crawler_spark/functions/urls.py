@@ -160,6 +160,42 @@ def url_hash64(col: Column | str) -> Column:
     return F.xxhash64(c)
 
 
+def surt_key(col: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the canonical
+    web-archive index key (Internet Archive CDX / OpenWayback): scheme
+    dropped, host lowercased with the port and one leading ``www.``
+    removed, host labels REVERSED and comma-joined so one registrant's
+    URLs sort adjacently, then ``)`` + path (trailing slashes stripped,
+    empty ⇒ ``/``) + query with its parameters SORTED::
+
+        https://WWW.Example.ORG:443/a/b/?y=2&x=1  →  org,example)/a/b?x=1&y=2
+
+    A prefix range scan over SURT keys is how a 10^11-capture archive
+    answers "everything under this domain", and the key doubles as the
+    capture-dedup identity for dirty variants (host case, default port,
+    trailing slash, http/https, query order) of one resource — the same
+    equivalences canonicalize_url normalizes, re-expressed as a SORTABLE
+    key. Ports are dropped entirely (the upstream canonicalizer already
+    strips default ports; a non-default port stays in the raw URL record,
+    not in the index key).
+
+    Pure built-in expression (regex extract + split/reverse/array_join) —
+    stays in whole-stage codegen at any scale; twinned in DuckDB SQL by
+    plans/queries.py crawl_cdx_index."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(c, _URL_RE, 2)), r"^www\.", ""
+    )
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    raw_path = F.regexp_replace(F.regexp_extract(c, _URL_RE, 4), "/+$", "")
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    qbody = F.regexp_replace(F.regexp_extract(c, _URL_RE, 5), r"^\?", "")
+    query = F.when(qbody == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(qbody, "&")), "&"))
+    )
+    return F.concat(rev_host, F.lit(")"), path, query)
+
+
 def registered_domain(
     host: Column | str, suffixes: list[str]
 ) -> tuple[Column, Column]:

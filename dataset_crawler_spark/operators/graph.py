@@ -160,12 +160,24 @@ def pagerank(
     n_iter: int = 8,
     damping: float = DAMPING,
     broadcast_threshold: int = 100_000,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` damped power iterations.
 
     ``edges``: (src, dst) directed edge list (parallel edges count once —
     deduped here). ``nodes``: optional (node) universe; isolated nodes get
     teleport-only rank; defaults to nodes appearing in ``edges``.
+
+    ``init``: optional (node, rank) WARM START — the incremental-crawl
+    path: ranks from the previous round seed this round's iteration, so a
+    frontier whose link graph grows by |new edges| per round needs only a
+    few refresh iterations to re-converge instead of a cold power iteration
+    over the whole graph (power iteration contracts toward the unique
+    fixpoint from ANY start, so warm starting changes the iterate sequence,
+    never the limit). Nodes missing from ``init`` (newly discovered) start
+    at the uniform 1/n; the vector is NOT renormalized — after one
+    iteration the update re-injects the correct teleport + dangling mass
+    exactly as the twin algebra does.
 
     Physical strategy is size-aware (same values either way — pinned by
     tests/test_pipeline_ops.py): at or below ``broadcast_threshold`` nodes
@@ -191,9 +203,19 @@ def pagerank(
     # it, so lineage is still cut per iteration.
     has_dangling = g.has_dangling
 
-    ranks = nodes.select("node", "has_out", (F.lit(1.0) / n).alias("rank")).localCheckpoint(
-        eager=False
-    )
+    if init is None:
+        ranks = nodes.select("node", "has_out", (F.lit(1.0) / n).alias("rank"))
+    else:
+        i0 = init.select(
+            F.col(init.columns[0]).alias("node"),
+            F.col(init.columns[1]).alias("_ir"),
+        )
+        ranks = nodes.join(F.broadcast(i0) if small else i0, "node", "left").select(
+            "node",
+            "has_out",
+            F.coalesce("_ir", F.lit(1.0) / n).alias("rank"),
+        )
+    ranks = ranks.localCheckpoint(eager=False)
     for _ in range(n_iter):
         rhs = F.broadcast(ranks) if small else ranks
         contrib = (
@@ -599,4 +621,68 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         "node",
         "degree",
         F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles"),
+    )
+
+
+def kcore(edges: DataFrame, k: int, n_iter: int = 8) -> DataFrame:
+    """Nodes of the k-core of an UNDIRECTED simple graph (the maximal
+    subgraph where every node keeps degree ≥ k), with each survivor's
+    degree INSIDE the core — iterative peeling (Matula & Beck 1983; the
+    distributed round formulation of Montresor, De Pellegrini & Miorandi,
+    IEEE TPDS 2013).
+
+    The k-core is the standard dense-subgraph signal on a link graph:
+    link farms and tight mirror rings survive high-k peels that organic
+    long-tail pages do not (complements triangle_counts' closed-wedge view
+    and graph_spam_mass's trust-gap view), and core number is a cheap
+    frontier-priority / spam-demotion feature.
+
+    ``edges``: any (src, dst) pair list — normalized to distinct
+    undirected pairs (direction, duplicates, self-loops all harmless),
+    then expanded to both orientations so per-node degree is ONE groupBy
+    on src.
+
+    Shape (100 TB): each peel round is ONE map-side-combinable hash
+    aggregate (degree per node over surviving edges) + a HAVING filter +
+    TWO semi-joins (keep edges whose src AND dst survive) — all
+    hash-partitioned on the node key, all integer arithmetic (bitwise
+    deterministic, no float anywhere). The edge set shrinks monotonically,
+    so later rounds cost less; lineage is cut per round with non-eager
+    localCheckpoint exactly like the pagerank/CC loops so the plan does
+    not grow. Fixed ``n_iter`` (determinism contract — the DuckDB twin
+    unrolls the same rounds); convergence at fixture scale is pinned by a
+    fixpoint test, and extra rounds past the fixpoint are no-ops on
+    already-peeled state, not value changes.
+
+    Returns (node, core_degree) for k-core members only (empty frame if
+    the k-core is empty).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(n_iter):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("src")
+            .localCheckpoint(eager=False)
+        )
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return e.groupBy("src").agg(F.count("*").alias("core_degree")).select(
+        F.col("src").alias("node"), "core_degree"
     )

@@ -65,6 +65,10 @@ _DRIVER_FIRST = [
     "graph_spam_mass",
     "engine_kmeans_refine",
     "engine_online_opic",
+    "crawl_cdx_index",
+    "text_token_entropy",
+    "graph_doc_kcore",
+    "engine_incremental_pagerank",
     # latest green row r02 (never re-sampled since)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
@@ -5288,4 +5292,408 @@ def engine_incremental_hll(spark, sf_dir):
         "hll_s",
         "v_empty",
         F.round("hll_estimate", 2).alias("hll_estimate"),
+    )
+
+
+# SURT twin fragments for the CDX oracle SQL (DuckDB side of
+# functions/urls.surt_key — same regex, same normalization steps).
+_SURT_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$"
+_SURT_HOST_SQL = (
+    "array_to_string(list_reverse(string_split("
+    f"regexp_replace(lower(regexp_extract({{u}}, '{_SURT_URL_RE}', 2)), '^www\\.', ''),"
+    " '.')), ',')"
+)
+_SURT_PATH_SQL = (
+    f"CASE WHEN regexp_replace(regexp_extract({{u}}, '{_SURT_URL_RE}', 4), '/+$', '') = ''"
+    " THEN '/'"
+    f" ELSE regexp_replace(regexp_extract({{u}}, '{_SURT_URL_RE}', 4), '/+$', '') END"
+)
+_SURT_QUERY_SQL = (
+    f"CASE WHEN regexp_replace(regexp_extract({{u}}, '{_SURT_URL_RE}', 5), '^\\?', '') = ''"
+    " THEN ''"
+    " ELSE '?' || array_to_string(list_sort(string_split("
+    f"regexp_replace(regexp_extract({{u}}, '{_SURT_URL_RE}', 5), '^\\?', ''), '&')), '&') END"
+)
+
+#: per-doc capture-history knobs for crawl_cdx_index: ≤4 captures per doc,
+#: content change period ∈ 1..3 rounds (h60-derived, cross-engine)
+_CDX_MAX_EXTRA_CAPS = 3
+_CDX_PERIOD_SQL = (
+    "1 + (" + h60_sql("'cdxp|' || CAST(doc_id AS VARCHAR)") + " % 3)"
+)
+_CDX_DIGEST_SQL = h60_sql(
+    "'cdxv|' || CAST(doc_id AS VARCHAR) || '|' || CAST(r // ("
+    + _CDX_PERIOD_SQL
+    + ") AS VARCHAR)"
+)
+
+
+@register(
+    "crawl_cdx_index",
+    f"""
+    WITH caps AS (
+      SELECT doc_id, source,
+             unnest(generate_series(0, CAST(1 + doc_id % {_CDX_MAX_EXTRA_CAPS} AS INT))) AS r
+      FROM documents),
+    u AS (
+      SELECT doc_id, CAST(r AS BIGINT) AS ts,
+             CASE r % 3
+               WHEN 0 THEN 'https://' || source || '.example.org/p/'
+                         || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+               WHEN 1 THEN 'https://WWW.' || upper(source) || '.EXAMPLE.ORG:443/p/'
+                         || CAST(doc_id AS VARCHAR) || '/?b=2&a=1'
+               ELSE 'http://www.' || source || '.example.org/p/'
+                         || CAST(doc_id AS VARCHAR) || '?b=2&a=1'
+             END AS url,
+             {_CDX_DIGEST_SQL} AS digest
+      FROM caps),
+    s AS (
+      SELECT {_SURT_HOST_SQL.format(u="url")} || ')'
+             || {_SURT_PATH_SQL.format(u="url")}
+             || {_SURT_QUERY_SQL.format(u="url")} AS surt,
+             ts, digest
+      FROM u)
+    SELECT surt, COUNT(*) AS n_captures, COUNT(DISTINCT digest) AS n_versions,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           arg_max(digest, ts) AS last_digest
+    FROM s GROUP BY surt
+    """,
+)
+def crawl_cdx_index(spark, sf_dir):
+    """CDX-style capture index keyed by SURT — the web-archive artifact a
+    crawl's snapshot history rolls up into (Internet Archive CDX(J): one
+    index row per captured resource with capture count, version count and
+    the latest digest; replays and dedup-at-ingest both look captures up by
+    SURT key). The construction plants a deterministic per-doc capture
+    history — 2..4 captures whose RAW urls cycle three dirty variants (host
+    case, default :443 port, trailing slash, http/https, query-param order)
+    and whose content digest changes with an h60-derived period ∈ 1..3
+    rounds — so the value-hash twin pins BOTH the SURT normalization
+    (functions/urls.surt_key: every variant of one doc must collapse to ONE
+    key) and the capture rollup algebra. In production the capture frame is
+    the snapshot store's (url, crawl_id, fingerprint) history — the same
+    shape the reference accumulates per crawl round (CrawlLoadData.java's
+    resource-history tables, re-read by crawl-range scans = j8).
+
+    Scale shape (100 TB): SURT is a pure narrow projection (regex + array
+    reverse — whole-stage codegen, no UDF); the index is ONE hash aggregate
+    keyed by surt with map-side partial aggregation (count/min/max/max_by
+    all combine; COUNT(DISTINCT digest) expands to the standard two-level
+    aggregate). No join, no explode beyond the bounded ≤4-row capture
+    generator; a 10^11-capture archive builds this index in one pass."""
+    from dataset_crawler_spark.functions.urls import surt_key
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    did = F.col("doc_id").cast("string")
+    caps = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.pmod(F.col("doc_id"), F.lit(_CDX_MAX_EXTRA_CAPS)) + 1,
+            )
+        ).alias("r"),
+    )
+    did_c = F.col("doc_id").cast("string")
+    u0 = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/p/"), did_c,
+        F.lit("?a=1&b=2"),
+    )
+    u1 = F.concat(
+        F.lit("https://WWW."), F.upper("source"), F.lit(".EXAMPLE.ORG:443/p/"),
+        did_c, F.lit("/?b=2&a=1"),
+    )
+    u2 = F.concat(
+        F.lit("http://www."), F.col("source"), F.lit(".example.org/p/"), did_c,
+        F.lit("?b=2&a=1"),
+    )
+    v = F.pmod(F.col("r"), F.lit(3))
+    url = F.when(v == 0, u0).when(v == 1, u1).otherwise(u2)
+    period = F.pmod(h60(F.concat(F.lit("cdxp|"), did_c)), F.lit(3)) + 1
+    epoch = F.floor(F.col("r") / period).cast("long")
+    digest = h60(
+        F.concat(F.lit("cdxv|"), did_c, F.lit("|"), epoch.cast("string"))
+    )
+    s = caps.select(
+        surt_key(url).alias("surt"),
+        F.col("r").cast("long").alias("ts"),
+        digest.alias("digest"),
+    )
+    return s.groupBy("surt").agg(
+        F.count("*").alias("n_captures"),
+        F.countDistinct("digest").alias("n_versions"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.max_by("digest", "ts").alias("last_digest"),
+    )
+
+
+#: token-entropy gate band (bits): below = repetitive/boilerplate text,
+#: above = high-variety text; both bounds are quality-filter conventions in
+#: the Gopher/C4 family (repetition filters catch the low tail; the high
+#: tail at short lengths is symbol soup).
+_ENT_MIN_BITS = 3.0
+_ENT_MAX_BITS = 9.0
+
+
+@register(
+    "text_token_entropy",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+    ent AS (
+      SELECT doc_id,
+             SUM(c) AS n_tokens,
+             COUNT(*) AS n_types,
+             log2(CAST(SUM(c) AS DOUBLE))
+               - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c) AS h
+      FROM tc GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           ROUND(h, 4) AS token_entropy,
+           CASE WHEN n_tokens <= 1 THEN 0.0
+                ELSE ROUND(h / log2(CAST(n_tokens AS DOUBLE)), 4) END AS entropy_ratio,
+           (ROUND(h, 4) >= {_ENT_MIN_BITS} AND ROUND(h, 4) <= {_ENT_MAX_BITS}) AS keep
+    FROM ent
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """Token Shannon entropy per document — the information-density quality
+    signal: H = log2(n) − Σ c·log2(c)/n over the doc's token counts. Very
+    low entropy means repetitive/templated text (the distribution-level
+    view of what the Gopher repetition filter catches span-by-span —
+    text_repetition_filter); entropy_ratio = H / log2(n) normalizes to
+    [0,1] across lengths (1.0 = all tokens distinct). The gate keeps docs
+    inside the [{_ENT_MIN_BITS}, {_ENT_MAX_BITS}]-bit band, compared on the
+    ROUNDED value in both engines so the keep flag cannot flake when the
+    underlying double sits a last-ulp from the threshold (the
+    mix_source_token_shares round-3 lesson applied to a boolean).
+
+    Scale shape (100 TB): explode → two chained hash aggregates, both
+    map-side combinable, keyed by doc_id then (doc_id, tok) — the same
+    zero-join narrow-fold shape as text_quality_score; no window, no UDF.
+    The (doc_id, tok) key is unskewed by construction (doc_id leads), so
+    stop-word heavy corpora do not hot-spot a reducer."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ent = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        (
+            F.log2(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / F.sum("c")
+        ).alias("h"),
+    )
+    h4 = F.round("h", 4)
+    return ent.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        h4.alias("token_entropy"),
+        F.when(F.col("n_tokens") <= 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.col("h") / F.log2(F.col("n_tokens").cast("double")), 4)
+        )
+        .alias("entropy_ratio"),
+        ((h4 >= _ENT_MIN_BITS) & (h4 <= _ENT_MAX_BITS)).alias("keep"),
+    )
+
+
+#: k-core peel knobs: k=4 over the 3-outlink doc graph (undirected mean
+#: degree ≈ 5.8 — above the 4-core emergence threshold, so the core is
+#: non-trivial and the peel removes a real low-degree tail); 8 fixed rounds
+#: reach the fixpoint at sf0.01 AND sf0.1 (pinned by the pytest fixpoint
+#: check: round 8 ≡ round 10).
+_KCORE_K = 4
+_KCORE_ITER = 8
+
+
+def _kcore_sql() -> str:
+    """DuckDB twin of operators/graph.kcore over the deterministic doc
+    outlink graph: the same ``_KCORE_ITER`` peel rounds unrolled as chained
+    CTEs (degree agg + HAVING + two-sided membership filter per round) —
+    integer-only algebra, so the value-hash match is bitwise."""
+    cte = [
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
+        f"""raw AS (
+      SELECT d.doc_id AS src,
+             {h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")}
+               % n.n_docs AS dst
+      FROM documents d CROSS JOIN n
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj)""",
+        """und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst)""",
+        "e0 AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und)",
+    ]
+    for i in range(1, _KCORE_ITER + 1):
+        cte.append(
+            f"""k{i} AS (
+      SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {_KCORE_K})"""
+        )
+        cte.append(
+            f"""e{i} AS (
+      SELECT e.src, e.dst FROM e{i - 1} e
+      WHERE e.src IN (SELECT src FROM k{i}) AND e.dst IN (SELECT src FROM k{i}))"""
+        )
+    # MATERIALIZED is load-bearing: each e{i} references e{i-1} and k{i}
+    # multiple times, so DuckDB's default CTE inlining expands the chain
+    # exponentially (~3^rounds parquet re-opens → "too many open files").
+    cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"\n    SELECT src AS node, COUNT(*) AS core_degree"
+        f" FROM e{_KCORE_ITER} GROUP BY src"
+    )
+
+
+@register("graph_doc_kcore", _kcore_sql())
+def graph_doc_kcore(spark, sf_dir):
+    """k-core decomposition (k=4) of the deterministic doc-level
+    outlink graph — the dense-subgraph crawl signal: link farms and mirror
+    rings survive high-k peels that organic pages do not, so core
+    membership demotes (or caps) frontier budget the way graph_spam_mass
+    does with trust gaps. Same h60-derived link corpus as
+    crawl_outlink_degree/crawl_outlink_pagerank, peeled by
+    operators/graph.kcore; the DuckDB twin unrolls the identical fixed
+    peel rounds, and the fixpoint at both oracle scales is pinned in
+    tests/test_graph_ops.py (one extra round changes nothing)."""
+    from dataset_crawler_spark.operators import graph as G
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    i = F.col("doc_id")
+    raw = (
+        d.crossJoin(F.broadcast(n))
+        .select(
+            i.alias("src"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(2)),
+                    lambda j: F.pmod(
+                        h60(
+                            F.concat(
+                                F.lit("lk|"),
+                                i.cast("string"),
+                                F.lit("|"),
+                                j.cast("string"),
+                            )
+                        ),
+                        F.col("n_docs"),
+                    ),
+                )
+            ).alias("dst"),
+        )
+    )
+    return G.kcore(raw, k=_KCORE_K, n_iter=_KCORE_ITER)
+
+
+#: warm-start split: 4 cold iterations on round-1 edges, then 4 refresh
+#: iterations after round 2's links land (same total work as one cold
+#: _PR_ITER run, but round 2 re-converges from the standing ranks)
+_IPR_T1 = 4
+_IPR_T2 = 4
+_IPR_EDGE1_SQL = "({h} % 2) = 0"
+
+
+def _incr_pagerank_sql() -> str:
+    """DuckDB twin of the warm-start pagerank lifecycle: phase 1 runs
+    ``_IPR_T1`` cold iterations over the round-1 edge subset, phase 2
+    seeds from phase 1's ranks (new nodes would fall back to 1/n — the
+    universe is constant here, so the seed is a straight carry) and runs
+    ``_IPR_T2`` refresh iterations over the full edge set. Same chained-CTE
+    iteration algebra as _pagerank_sql, phase-prefixed."""
+    h_inc = h60_sql("'inc|' || src || '>' || dst")
+    cte = [
+        "hosts AS (SELECT DISTINCT source AS node FROM documents)",
+        f"""alledges AS (
+      SELECT a.node AS src, b.node AS dst FROM hosts a JOIN hosts b ON a.node <> b.node
+      WHERE {h60_sql("a.node || '>' || b.node")} % 100 < {_PR_EDGE_PCT})""",
+        f"e1 AS (SELECT src, dst FROM alledges WHERE {_IPR_EDGE1_SQL.format(h=h_inc)})",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hosts)",
+    ]
+    d = _PR_DAMPING
+
+    def phase(p: str, edges: str, r0: str, n_iter: int) -> str:
+        cte.append(f"{p}r0 AS ({r0})")
+        cte.append(
+            f"{p}outdeg AS (SELECT src, COUNT(*) AS deg FROM {edges} GROUP BY src)"
+        )
+        for i in range(1, n_iter + 1):
+            cte.append(
+                f"""{p}c{i} AS (
+      SELECT e.dst AS node, SUM(r.rank / o.deg) AS contrib
+      FROM {edges} e JOIN {p}r{i - 1} r ON r.node = e.src
+      JOIN {p}outdeg o ON o.src = e.src
+      GROUP BY e.dst)"""
+            )
+            cte.append(
+                f"""{p}d{i} AS (
+      SELECT COALESCE(SUM(rank), 0) AS m FROM {p}r{i - 1}
+      WHERE node NOT IN (SELECT src FROM {edges}))"""
+            )
+            cte.append(
+                f"""{p}r{i} AS (
+      SELECT h.node,
+             (1.0 - {d}) / (SELECT n FROM nn)
+             + {d} * (COALESCE(c.contrib, 0) + (SELECT m FROM {p}d{i}) / (SELECT n FROM nn)) AS rank
+      FROM hosts h LEFT JOIN {p}c{i} c USING (node))"""
+            )
+        return f"{p}r{n_iter}"
+
+    last1 = phase("p", "e1", "SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM hosts", _IPR_T1)
+    last2 = phase("q", "alledges", f"SELECT node, rank FROM {last1}", _IPR_T2)
+    # r{i-1} is referenced twice per iteration (contrib + dangling mass) —
+    # materialize to keep DuckDB's CTE expansion linear, like _pagerank_sql.
+    cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"\n    SELECT node AS source, ROUND(rank, 6) AS rank FROM {last2}"
+    )
+
+
+@register("engine_incremental_pagerank", _incr_pagerank_sql())
+def engine_incremental_pagerank(spark, sf_dir):
+    """Incremental WARM-START PageRank — the rank-maintenance discipline of
+    a standing crawl engine: round 1 ranks the links known so far (cold
+    power iteration on the round-1 edge subset), round 2's newly discovered
+    links arrive and the refresh re-iterates FROM THE STANDING RANKS
+    (operators/graph.pagerank ``init=``) instead of from uniform. The
+    DuckDB twin replicates both phases' iteration algebra exactly, so the
+    value-hash match proves the warm-start lifecycle is bitwise
+    reproducible; the CONVERGENCE value of warm starting — refresh reaches
+    the batch fixpoint in fewer iterations than a cold start at equal edge
+    sets — is pinned separately in tests/test_graph_ops.py (power iteration
+    contracts from any start, so this is exact-algebra + convergence, the
+    same two-sided evidence as engine_incremental_minhash/cc/hll).
+
+    Scale shape: identical per-iteration cost to graph_host_pagerank (one
+    equi-join + one hash agg, in-plan dangling mass); the warm start adds
+    ONE left join to seed the rank vector. At 10^10 URLs the payoff is
+    that per-round refresh work tracks the RATE OF RANK DRIFT (few
+    iterations) instead of cold-start convergence depth every round."""
+    from dataset_crawler_spark.operators import graph as G
+
+    hosts, edges = _host_graph(spark, sf_dir)
+    e1 = edges.where(
+        F.pmod(
+            h60(F.concat(F.lit("inc|"), F.col("src"), F.lit(">"), F.col("dst"))),
+            F.lit(2),
+        )
+        == 0
+    )
+    r1 = G.pagerank(e1, nodes=hosts, n_iter=_IPR_T1, damping=_PR_DAMPING)
+    r2 = G.pagerank(
+        edges, nodes=hosts, n_iter=_IPR_T2, damping=_PR_DAMPING, init=r1
+    )
+    return r2.select(
+        F.col("node").alias("source"), F.round("rank", 6).alias("rank")
     )

@@ -1712,3 +1712,212 @@ def test_incremental_hll_registers_through_store(spark, tmp_path):
         r.crawl_id for r in store.read("hll_regs").select("crawl_id").distinct().collect()
     }
     assert seen_rounds == {0, 1, 2}
+
+
+# --------------------------------------------------------------------------
+# SURT / CDX index, token entropy, k-core, warm-start pagerank (round 4)
+# --------------------------------------------------------------------------
+
+
+def test_surt_key_normalization_hand_probes(spark):
+    """surt_key on hand URLs: scheme/port/case/trailing-slash/query-order
+    variants of one resource must collapse to ONE key; only a LEADING
+    ``www.`` is stripped; fragments never reach the key; empty path ⇒ '/'."""
+    from pyspark.sql import functions as F
+
+    from dataset_crawler_spark.functions.urls import surt_key
+
+    cases = [
+        ("https://WWW.Example.ORG:443/a/b/?y=2&x=1", "org,example)/a/b?x=1&y=2"),
+        ("http://example.org/a/b?x=1&y=2", "org,example)/a/b?x=1&y=2"),
+        ("https://example.org", "org,example)/"),
+        ("https://example.org/#frag", "org,example)/"),
+        ("https://sub.www.example.org/p", "org,example,www,sub)/p"),
+        ("https://example.org/p?a=1", "org,example)/p?a=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = dict(
+        df.select("url", surt_key("url").alias("s")).collect()
+    )
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_cdx_index_collapses_dirty_variants(spark):
+    """crawl_cdx_index at sf0.001: every doc's 2-4 dirty-variant captures
+    must collapse to exactly ONE surt key per doc (index row count == doc
+    count), capture counts must match the planted 1 + 1 + doc_id % 3, and
+    version counts must never exceed capture counts."""
+    import re
+
+    from dataset_crawler_spark.plans.queries import crawl_cdx_index
+
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    rows = crawl_cdx_index(spark, SF_DIR).collect()
+    assert len(rows) == n_docs
+    pat = re.compile(r"^org,example,[a-z0-9_\-]+\)/p/[0-9]+\?a=1&b=2$")
+    for r in rows:
+        assert pat.match(r.surt), r.surt
+        assert 2 <= r.n_captures <= 4
+        assert 1 <= r.n_versions <= r.n_captures
+        assert r.first_ts == 0 and r.last_ts == r.n_captures - 1
+    assert {r.n_captures for r in rows} == {2, 3, 4}
+
+
+def test_token_entropy_hand_values(spark, tmp_path):
+    """text_token_entropy on hand corpora with closed-form entropies:
+    all-same tokens ⇒ 0 bits (gated out), all-distinct ⇒ log2(n) bits and
+    ratio 1.0, a 2+2 mix ⇒ exactly 1 bit; single-token doc hits the
+    ratio guard instead of dividing by log2(1)=0."""
+    from dataset_crawler_spark.plans.queries import text_token_entropy
+
+    sf = _docs_fixture(
+        spark,
+        tmp_path,
+        [
+            "a a a a",          # H = 0
+            "a b c d e f g h",  # H = 3, ratio 1.0 — exactly at the gate min
+            "a a b b",          # H = 1
+            "solo",             # 1 token — ratio guard
+        ],
+    )
+    rows = {r.doc_id: r for r in text_token_entropy(spark, sf).collect()}
+    assert rows[0].token_entropy == 0.0 and rows[0].keep is False
+    assert rows[0].n_tokens == 4 and rows[0].n_types == 1
+    assert rows[1].token_entropy == 3.0 and rows[1].entropy_ratio == 1.0
+    assert rows[1].keep is True  # >= min bound inclusive
+    assert rows[2].token_entropy == 1.0 and rows[2].entropy_ratio == 0.5
+    assert rows[3].n_tokens == 1 and rows[3].entropy_ratio == 0.0
+    assert rows[3].token_entropy == 0.0 and rows[3].keep is False
+
+
+def test_kcore_planted_structure(spark):
+    """kcore on a hand graph: a 4-clique survives k=3 peeling with every
+    member at core degree 3; an attached pendant chain peels away in a
+    CASCADE (removing the chain tip drops the next node under k); k=4
+    peels the entire graph to empty. Dirty input (reversed duplicates,
+    self-loop) must be absorbed by normalization."""
+    from dataset_crawler_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 4), (4, 5)]  # 4- and 5- peel in cascade under k=3... no:
+    # deg(4)=2, deg(5)=1 — both below 3, but 4 only falls AFTER 5 is gone
+    # for the cascade ordering; either way both leave the 3-core.
+    dirty = [(1, 0), (2, 1), (7, 7)]
+    edges = spark.createDataFrame(clique + chain + dirty, "src long, dst long")
+
+    core3 = {r.node: r.core_degree for r in kcore(edges, k=3).collect()}
+    assert core3 == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    core4 = kcore(edges, k=4).collect()
+    assert core4 == []
+
+    # direction invariance: fully reversed edges give the same core
+    rev = spark.createDataFrame(
+        [(b, a) for a, b in clique + chain], "src long, dst long"
+    )
+    assert {r.node: r.core_degree for r in kcore(rev, k=3).collect()} == core3
+
+
+def test_kcore_fixpoint_at_driver_scale(spark):
+    """graph_doc_kcore's fixed peel count must BE the fixpoint at the
+    driver's oracle scale: two extra rounds change nothing (otherwise the
+    registered result would be an artifact of the iteration constant, not
+    the k-core)."""
+    from dataset_crawler_spark.operators import graph as G
+    from dataset_crawler_spark.plans import queries as QL
+
+    sf01 = "/root/testdata/sf0.01"
+    base = {
+        (r.node, r.core_degree)
+        for r in QL.graph_doc_kcore(spark, sf01).collect()
+    }
+    assert base, "4-core unexpectedly empty — planted graph density changed"
+
+    d = QL._t(spark, sf01, "documents").select("doc_id")
+    from pyspark.sql import functions as F
+
+    from dataset_crawler_spark.functions.hashing import h60
+
+    n = d.agg(F.count("*").alias("n_docs"))
+    i = F.col("doc_id")
+    raw = d.crossJoin(F.broadcast(n)).select(
+        i.alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda j: F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit("lk|"), i.cast("string"),
+                            F.lit("|"), j.cast("string"),
+                        )
+                    ),
+                    F.col("n_docs"),
+                ),
+            )
+        ).alias("dst"),
+    )
+    more = {
+        (r.node, r.core_degree)
+        for r in G.kcore(raw, k=QL._KCORE_K, n_iter=QL._KCORE_ITER + 2).collect()
+    }
+    assert more == base
+
+
+def test_pagerank_warm_start_semantics(spark):
+    """Warm-start pagerank: (1) seeding with the fixpoint is STATIONARY —
+    two more iterations move nothing beyond float noise; (2) at equal
+    refresh budget, warm-starting from the half-graph ranks lands closer
+    to the full-graph fixpoint than a cold start (the incremental-crawl
+    payoff); (3) nodes absent from the init vector fall back to uniform."""
+    from pyspark.sql import functions as F
+
+    from dataset_crawler_spark.operators.graph import pagerank
+    from dataset_crawler_spark.plans import queries as QL
+
+    hosts, edges = QL._host_graph(spark, SF_DIR)
+    fix = pagerank(edges, nodes=hosts, n_iter=40)
+    again = pagerank(edges, nodes=hosts, n_iter=2, init=fix)
+    drift = (
+        fix.withColumnRenamed("rank", "a")
+        .join(again.withColumnRenamed("rank", "b"), "node")
+        .agg(F.max(F.abs(F.col("a") - F.col("b"))).alias("d"))
+        .collect()[0]
+        .d
+    )
+    assert drift < 1e-9
+
+    from dataset_crawler_spark.functions.hashing import h60
+
+    e1 = edges.where(
+        F.pmod(
+            h60(F.concat(F.lit("inc|"), F.col("src"), F.lit(">"), F.col("dst"))),
+            F.lit(2),
+        )
+        == 0
+    )
+    warm0 = pagerank(e1, nodes=hosts, n_iter=QL._IPR_T1)
+
+    def l1_to_fix(r):
+        return (
+            fix.withColumnRenamed("rank", "a")
+            .join(r.withColumnRenamed("rank", "b"), "node")
+            .agg(F.sum(F.abs(F.col("a") - F.col("b"))).alias("s"))
+            .collect()[0]
+            .s
+        )
+
+    warm = pagerank(edges, nodes=hosts, n_iter=QL._IPR_T2, init=warm0)
+    cold = pagerank(edges, nodes=hosts, n_iter=QL._IPR_T2)
+    assert l1_to_fix(warm) < l1_to_fix(cold)
+
+    # partial init: nodes missing from the vector seed at uniform 1/n
+    some = fix.limit(1)
+    partial = pagerank(edges, nodes=hosts, n_iter=0, init=some)
+    n = hosts.count()
+    vals = {r.node: r.rank for r in partial.collect()}
+    seeded = {r.node: r.rank for r in some.collect()}
+    for node, rank in vals.items():
+        want = seeded.get(node, 1.0 / n)
+        assert abs(rank - want) < 1e-12
