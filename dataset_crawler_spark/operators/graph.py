@@ -686,3 +686,102 @@ def kcore(edges: DataFrame, k: int, n_iter: int = 8) -> DataFrame:
     return e.groupBy("src").agg(F.count("*").alias("core_degree")).select(
         F.col("src").alias("node"), "core_degree"
     )
+
+
+def hyperball(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 4,
+    p: int | None = None,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", ICDMW 2013): the per-node neighborhood
+    function N(v, t) = |{u : d(v, u) ≤ t}| estimated with one HyperLogLog
+    sketch per node, grown one hop per round. THE web-scale answer to
+    geometric centralities (harmonic/closeness) and effective diameter —
+    exact per-node ball sizes need all-pairs BFS (O(n·m), hopeless at
+    10^10 nodes), while HyperBall keeps a FIXED 2^p-register summary per
+    node whose one-hop growth is ``union + elementwise MAX``: exactly the
+    merge algebra of operators/sketches.py, so each round is ONE
+    edges⋈registers equi-join + ONE map-side-combinable hash aggregate,
+    both partitioned on the node key. Rows per round are capped at
+    n_nodes × 2^p regardless of ball volume — the ball SIZES explode
+    exponentially with t, the sketches never do.
+
+    Balls grow along OUT-edges: round t adds every register set reachable
+    through one more hop, so N(v, t) counts nodes REACHABLE FROM v. For
+    harmonic centrality (Σ 1/d(u→v) over nodes that can REACH v — the
+    crawl-priority direction) pass the TRANSPOSED edge list; the registered
+    query graph_doc_harmonic does.
+
+    Determinism contract: node identity is hashed with the suite's h60
+    (sketch value ``'nb|' || node``), register/rank/estimate algebra is the
+    sketches.py exact-integer form (sum of 2^(53-rho) as BIGINT, one IEEE
+    division), and the round count is FIXED — the DuckDB twin unrolls the
+    identical rounds as MATERIALIZED CTEs and matches value-hash-exact.
+    Registers after round t equal the plain HLL sketch of the EXACT t-ball
+    (pinned by tests/test_pipeline_ops.py::
+    test_hyperball_registers_equal_exact_ball_sketch) because max-merge along edges commutes with set
+    union.
+
+    ``edges``: directed (src, dst); duplicates and self-loops are
+    normalized away. ``nodes``: optional (node) universe — isolated nodes
+    keep their self-only ball; defaults to endpoints of ``edges``.
+
+    Returns the LONG-FORM neighborhood table (node, t, hll_s, v_empty,
+    nf_estimate) for t ∈ [0, n_iter], one row per node per round; callers
+    pivot fixed t values into columns (never aggregate the doubles — the
+    pivot keeps harmonic sums in fixed expression order, the
+    mix_source_token_shares determinism lesson).
+    """
+    from dataset_crawler_spark.functions.hashing import h60
+    from dataset_crawler_spark.operators.sketches import (
+        _H_BITS,
+        HLL_P,
+        hll_estimate,
+        hll_rho,
+    )
+
+    if p is None:
+        p = HLL_P
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    h = h60(F.concat(F.lit("nb|"), F.col("node").cast("string")))
+    cur = nodes.select(
+        "node",
+        h.bitwiseAND(F.lit((1 << p) - 1)).alias("bucket"),
+        hll_rho(F.shiftright(h, p), _H_BITS - p).alias("max_rho"),
+    ).localCheckpoint(eager=False)
+
+    def snap(regs: DataFrame, t: int) -> DataFrame:
+        return hll_estimate(regs, ["node"], p).select(
+            "node",
+            F.lit(t).alias("t"),
+            "hll_s",
+            "v_empty",
+            F.col("hll_estimate").alias("nf_estimate"),
+        )
+
+    out = snap(cur, 0)
+    for t in range(1, n_iter + 1):
+        prop = e.join(
+            cur.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "bucket", "max_rho")
+        cur = (
+            cur.unionByName(prop)
+            .groupBy("node", "bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(snap(cur, t))
+    return out

@@ -69,6 +69,7 @@ _DRIVER_FIRST = [
     "text_token_entropy",
     "graph_doc_kcore",
     "engine_incremental_pagerank",
+    "graph_doc_harmonic",
     # latest green row r02 (never re-sampled since)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
@@ -5696,4 +5697,163 @@ def engine_incremental_pagerank(spark, sf_dir):
     )
     return r2.select(
         F.col("node").alias("source"), F.round("rank", 6).alias("rank")
+    )
+
+
+#: HyperBall ball-growth rounds for graph_doc_harmonic: 4 hops covers the
+#: effective diameter of the 3-outlink random doc graph at both oracle
+#: scales (ball sizes near-saturate by t=4; the per-t columns expose the
+#: growth curve itself, so a deeper probe is a constant change)
+_HB_ITER = 4
+
+
+def _hyperball_sql() -> str:
+    """DuckDB twin of operators/graph.hyperball over the transposed
+    deterministic doc outlink graph: register init, per-round
+    edges⋈registers MAX-merge, and the sketches.py exact-integer estimate,
+    unrolled as MATERIALIZED CTEs (b{t} is referenced by p{t+1}, b{t+1} AND
+    its est{t} — inlining would expand the chain exponentially, the
+    _kcore_sql lesson)."""
+    from dataset_crawler_spark.operators.sketches import (
+        _H_BITS,
+        _S_SCALE,
+        HLL_P,
+        _alpha_m2_scaled,
+    )
+
+    p = HLL_P
+    m = 1 << p
+    width = _H_BITS - p
+    lit = repr(_alpha_m2_scaled(p))
+    cte = [
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
+        f"""raw AS (
+      SELECT d.doc_id AS src,
+             {h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")}
+               % n.n_docs AS dst
+      FROM documents d CROSS JOIN n
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj)""",
+        # transpose: balls must count nodes that can REACH v (harmonic)
+        "e AS (SELECT DISTINCT dst AS src, src AS dst FROM raw WHERE src <> dst)",
+        f"""h0 AS (
+      SELECT doc_id AS node,
+             {h60_sql("'nb|' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents)""",
+        f"""b0 AS (
+      SELECT node, h & {m - 1} AS bucket,
+             CASE WHEN (h >> {p}) = 0 THEN {width + 1}
+                  ELSE {width + 1} - length(bin(h >> {p})) END AS max_rho
+      FROM h0)""",
+    ]
+    for t in range(1, _HB_ITER + 1):
+        cte.append(
+            f"""p{t} AS (
+      SELECT e.src AS node, b.bucket, b.max_rho
+      FROM e JOIN b{t - 1} b ON b.node = e.dst)"""
+        )
+        cte.append(
+            f"""b{t} AS (
+      SELECT node, bucket, MAX(max_rho) AS max_rho
+      FROM (SELECT * FROM b{t - 1} UNION ALL SELECT * FROM p{t})
+      GROUP BY node, bucket)"""
+        )
+    for t in range(_HB_ITER + 1):
+        cte.append(
+            f"""s{t} AS (
+      SELECT node,
+             CAST(SUM(1::BIGINT << ({_S_SCALE} - max_rho)) AS BIGINT)
+               + ({m} - COUNT(*)) * (1::BIGINT << {_S_SCALE}) AS hll_s,
+             {m} - COUNT(*) AS v_empty
+      FROM b{t} GROUP BY node)"""
+        )
+        cte.append(
+            f"""est{t} AS (
+      SELECT node,
+             CASE WHEN {lit} / CAST(hll_s AS DOUBLE) <= {2.5 * m}
+                       AND v_empty > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST(v_empty AS DOUBLE))
+                  ELSE {lit} / CAST(hll_s AS DOUBLE)
+             END AS nf
+      FROM s{t})"""
+        )
+    cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+    joins = " ".join(
+        f"JOIN est{t} e{t} USING (node)" for t in range(1, _HB_ITER + 1)
+    )
+    terms = " + ".join(
+        f"(ROUND(e{t}.nf, 2) - ROUND(e{t - 1}.nf, 2)) / {float(t)!r}"
+        for t in range(1, _HB_ITER + 1)
+    )
+    nf_cols = ", ".join(
+        f"ROUND(e{t}.nf, 2) AS nf_t{t}" for t in range(1, _HB_ITER + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"\n    SELECT e0.node AS doc_id, {nf_cols},"
+        f" ROUND({terms}, 4) AS harmonic"
+        f" FROM est0 e0 {joins}"
+    )
+
+
+@register("graph_doc_harmonic", _hyperball_sql())
+def graph_doc_harmonic(spark, sf_dir):
+    """Harmonic centrality over the deterministic doc link graph via
+    HyperBall (operators/graph.hyperball — Boldi & Vigna 2013): per-doc
+    neighborhood-function estimates N(v, t) for t = 1..4 hops along
+    INCOMING paths (transposed edges), and the harmonic score
+    Σ_t (N(t) − N(t−1)) / t. This is the geometric-centrality frontier
+    signal PageRank cannot give: it counts how much of the web can reach a
+    page and HOW CLOSE it is, with per-node cost independent of ball
+    volume.
+
+    Determinism: both engines round each N(t) at 2dp (the suite's HLL
+    convention) and compute the harmonic sum from the ROUNDED values in a
+    FIXED left-to-right expression — never a float aggregate — so the
+    value hash cannot flake (the mix_source_token_shares lesson).
+
+    Scale shape (100 TB): per round ONE edges⋈registers hash join + ONE
+    map-side-combinable MAX aggregate, both keyed on node; register rows
+    are capped at n_nodes × 256 forever, while the ball sizes being
+    estimated grow exponentially — the entire point of the sketch."""
+    from dataset_crawler_spark.operators import graph as G
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    i = F.col("doc_id")
+    raw = d.crossJoin(F.broadcast(n)).select(
+        i.alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda j: F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit("lk|"), i.cast("string"),
+                            F.lit("|"), j.cast("string"),
+                        )
+                    ),
+                    F.col("n_docs"),
+                ),
+            )
+        ).alias("dst"),
+    )
+    transposed = raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nb = G.hyperball(
+        transposed, nodes=d.select(i.alias("node")), n_iter=_HB_ITER
+    )
+    wide = nb.groupBy("node").agg(
+        *[
+            F.max(F.when(F.col("t") == t, F.col("nf_estimate"))).alias(f"nf{t}")
+            for t in range(_HB_ITER + 1)
+        ]
+    )
+    r = [F.round(F.col(f"nf{t}"), 2) for t in range(_HB_ITER + 1)]
+    harmonic = r[1] - r[0]  # t=1 term, divisor 1.0
+    for t in range(2, _HB_ITER + 1):
+        harmonic = harmonic + (r[t] - r[t - 1]) / F.lit(float(t))
+    return wide.select(
+        F.col("node").alias("doc_id"),
+        *[r[t].alias(f"nf_t{t}") for t in range(1, _HB_ITER + 1)],
+        F.round(harmonic, 4).alias("harmonic"),
     )

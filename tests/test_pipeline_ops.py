@@ -1921,3 +1921,63 @@ def test_pagerank_warm_start_semantics(spark):
     for node, rank in vals.items():
         want = seeded.get(node, 1.0 / n)
         assert abs(rank - want) < 1e-12
+
+
+def test_hyperball_registers_equal_exact_ball_sketch(spark):
+    """HyperBall's state after round t must EQUAL the plain HLL sketch of
+    the exact t-ball (max-merge along edges commutes with set union), so
+    (hll_s, v_empty, nf_estimate) per node/round must match the estimate of
+    the BFS-exact reachable set bit for bit. Also pins: isolated nodes keep
+    their self-only ball; saturation (t past the eccentricity) is a no-op."""
+    from pyspark.sql import functions as F
+
+    from dataset_crawler_spark.operators.graph import hyperball
+    from dataset_crawler_spark.operators.sketches import hll_estimate, hll_sketch
+
+    edge_list = [(0, 1), (1, 2), (2, 3), (0, 2), (1, 0)]  # cycle 0↔1, chain to 3
+    node_ids = [0, 1, 2, 3, 4]  # 4 is isolated
+    n_iter = 4
+
+    adj: dict[int, set[int]] = {v: set() for v in node_ids}
+    for s, d in edge_list:
+        adj[s].add(d)
+    balls = {v: {v} for v in node_ids}
+    exact: dict[tuple[int, int], frozenset] = {
+        (v, 0): frozenset(balls[v]) for v in node_ids
+    }
+    for t in range(1, n_iter + 1):
+        balls = {
+            v: balls[v] | {w for u in balls[v] for w in adj[u]} for v in node_ids
+        }
+        for v in node_ids:
+            exact[(v, t)] = frozenset(balls[v])
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    nodes = spark.createDataFrame([(v,) for v in node_ids], "node long")
+    got = {
+        (r.node, r.t): (r.hll_s, r.v_empty, r.nf_estimate)
+        for r in hyperball(edges, nodes=nodes, n_iter=n_iter).collect()
+    }
+    assert len(got) == len(node_ids) * (n_iter + 1)
+
+    members = spark.createDataFrame(
+        [(v, t, m) for (v, t), ball in exact.items() for m in ball],
+        "node long, t long, member long",
+    )
+    sk = hll_sketch(
+        members, ["node", "t"], F.concat(F.lit("nb|"), F.col("member").cast("string"))
+    )
+    want = {
+        (r.node, r.t): (r.hll_s, r.v_empty, r.hll_estimate)
+        for r in hll_estimate(sk, ["node", "t"]).collect()
+    }
+    assert got == want
+
+    # saturation: node 3 is a sink — its ball never grows past itself
+    assert got[(3, 0)] == got[(3, n_iter)]
+    # isolation: node 4 has no edges at all
+    assert got[(4, 0)] == got[(4, n_iter)]
+    # reachability ordering is visible through the estimates: node 0 reaches
+    # everything but 4 by t=2, and the t=2 state equals the t=4 state
+    assert exact[(0, 2)] == frozenset({0, 1, 2, 3})
+    assert got[(0, 2)] == got[(0, 4)]
