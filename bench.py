@@ -92,6 +92,11 @@ ANALYTIC_QUERIES = [
     "graph_doc_triangles",
     "crawl_registered_domain",
     "engine_incremental_hll",
+    "crawl_cdx_index",
+    "text_token_entropy",
+    "graph_doc_kcore",
+    "engine_incremental_pagerank",
+    "graph_doc_harmonic",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

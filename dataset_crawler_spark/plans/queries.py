@@ -70,6 +70,8 @@ _DRIVER_FIRST = [
     "graph_doc_kcore",
     "engine_incremental_pagerank",
     "graph_doc_harmonic",
+    "graph_doc_diameter",
+    "graph_doc_cocitation",
     # latest green row r02 (never re-sampled since)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
@@ -5707,13 +5709,14 @@ def engine_incremental_pagerank(spark, sf_dir):
 _HB_ITER = 4
 
 
-def _hyperball_sql() -> str:
-    """DuckDB twin of operators/graph.hyperball over the transposed
-    deterministic doc outlink graph: register init, per-round
-    edges⋈registers MAX-merge, and the sketches.py exact-integer estimate,
-    unrolled as MATERIALIZED CTEs (b{t} is referenced by p{t+1}, b{t+1} AND
-    its est{t} — inlining would expand the chain exponentially, the
-    _kcore_sql lesson)."""
+def _hyperball_ctes() -> list[str]:
+    """Shared CTE prefix for the HyperBall twins (graph_doc_harmonic and
+    graph_doc_diameter): register init over the transposed deterministic
+    doc outlink graph, per-round edges⋈registers MAX-merge, and the
+    sketches.py exact-integer estimate, unrolled as MATERIALIZED CTEs
+    (b{t} is referenced by p{t+1}, b{t+1} AND its est{t} — inlining would
+    expand the chain exponentially, the _kcore_sql lesson). Ends with
+    est0..est{_HB_ITER}, each (node, nf)."""
     from dataset_crawler_spark.operators.sketches import (
         _H_BITS,
         _S_SCALE,
@@ -5776,7 +5779,12 @@ def _hyperball_sql() -> str:
              END AS nf
       FROM s{t})"""
         )
-    cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+    return [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+
+
+def _hyperball_sql() -> str:
+    """graph_doc_harmonic twin: per-node N(t) columns + the harmonic sum
+    over the 2dp-ROUNDED estimates in fixed left-to-right order."""
     joins = " ".join(
         f"JOIN est{t} e{t} USING (node)" for t in range(1, _HB_ITER + 1)
     )
@@ -5789,7 +5797,7 @@ def _hyperball_sql() -> str:
     )
     return (
         "WITH "
-        + ",\n    ".join(cte)
+        + ",\n    ".join(_hyperball_ctes())
         + f"\n    SELECT e0.node AS doc_id, {nf_cols},"
         f" ROUND({terms}, 4) AS harmonic"
         f" FROM est0 e0 {joins}"
@@ -5856,4 +5864,205 @@ def graph_doc_harmonic(spark, sf_dir):
         F.col("node").alias("doc_id"),
         *[r[t].alias(f"nf_t{t}") for t in range(1, _HB_ITER + 1)],
         F.round(harmonic, 4).alias("harmonic"),
+    )
+
+
+def _hb_diameter_sql() -> str:
+    """graph_doc_diameter twin: global neighborhood function per round as
+    EXACT-INTEGER centi-sums (SUM over per-node doubles would be
+    accumulation-order-dependent; rounding each estimate to an integer
+    number of hundredths first makes the reduction bigint arithmetic), then
+    the standard interpolated effective-diameter read-off."""
+    sums = ",\n    ".join(
+        f"g{t} AS MATERIALIZED (SELECT CAST(SUM(CAST(ROUND(nf * 100.0, 0) AS BIGINT)) AS BIGINT)"
+        f" AS nf100 FROM est{t})"
+        for t in range(_HB_ITER + 1)
+    )
+    tgt = f"0.9 * CAST(g{_HB_ITER}.nf100 AS DOUBLE)"
+    cases = [f"WHEN CAST(g0.nf100 AS DOUBLE) >= {tgt} THEN 0.0"]
+    for t in range(1, _HB_ITER + 1):
+        cases.append(
+            f"WHEN CAST(g{t}.nf100 AS DOUBLE) >= {tgt} THEN {float(t - 1)!r}"
+            f" + ({tgt} - CAST(g{t - 1}.nf100 AS DOUBLE))"
+            f" / (CAST(g{t}.nf100 AS DOUBLE) - CAST(g{t - 1}.nf100 AS DOUBLE))"
+        )
+    case = "CASE " + " ".join(cases) + f" ELSE {float(_HB_ITER)!r} END"
+    nf_cols = ", ".join(
+        f"g{t}.nf100 / 100.0 AS nf_total_t{t}" for t in range(_HB_ITER + 1)
+    )
+    froms = " CROSS JOIN ".join(f"g{t}" for t in range(_HB_ITER + 1))
+    return (
+        "WITH "
+        + ",\n    ".join(_hyperball_ctes())
+        + ",\n    "
+        + sums
+        + f"\n    SELECT {nf_cols}, ROUND({case}, 4) AS effective_diameter"
+        f" FROM {froms}"
+    )
+
+
+@register("graph_doc_diameter", _hb_diameter_sql())
+def graph_doc_diameter(spark, sf_dir):
+    """Effective diameter of the doc link graph — HyperBall's original
+    application (Boldi & Vigna 2013 §1; the HyperANF lineage, Palmer et
+    al.'s ANF, KDD 2002): the global neighborhood function NF(t) = Σ_v
+    N(v, t) per round, and the interpolated smallest t where NF(t) reaches
+    90% of its final value. One scalar row of crawl-graph telemetry — the
+    signal that tells a scheduler how many hop-expansions separate the
+    frontier from link closure.
+
+    Determinism: each per-node estimate is rounded to an exact integer
+    count of hundredths BEFORE the global sum, so the reduction is bigint
+    arithmetic (any-order safe); the interpolation is then a fixed CASE
+    expression over those exact integers in both engines.
+
+    Scale shape: the hyperball rounds (see graph_doc_harmonic) plus ONE
+    map-side-combinable global sum per round — no new join, no collect."""
+    from dataset_crawler_spark.operators import graph as G
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    i = F.col("doc_id")
+    raw = d.crossJoin(F.broadcast(n)).select(
+        i.alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda j: F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit("lk|"), i.cast("string"),
+                            F.lit("|"), j.cast("string"),
+                        )
+                    ),
+                    F.col("n_docs"),
+                ),
+            )
+        ).alias("dst"),
+    )
+    transposed = raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nb = G.hyperball(
+        transposed, nodes=d.select(i.alias("node")), n_iter=_HB_ITER
+    )
+    centi = F.round(F.col("nf_estimate") * 100.0, 0).cast("long")
+    g = nb.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("t") == t, centi)).alias(f"g{t}")
+            for t in range(_HB_ITER + 1)
+        ]
+    )
+    gd = [F.col(f"g{t}").cast("double") for t in range(_HB_ITER + 1)]
+    tgt = F.lit(0.9) * gd[_HB_ITER]
+    eff = F.when(gd[0] >= tgt, F.lit(0.0))
+    for t in range(1, _HB_ITER + 1):
+        eff = eff.when(
+            gd[t] >= tgt,
+            F.lit(float(t - 1)) + (tgt - gd[t - 1]) / (gd[t] - gd[t - 1]),
+        )
+    eff = eff.otherwise(F.lit(float(_HB_ITER)))
+    return g.select(
+        *[
+            (F.col(f"g{t}") / F.lit(100.0)).alias(f"nf_total_t{t}")
+            for t in range(_HB_ITER + 1)
+        ],
+        F.round(eff, 4).alias("effective_diameter"),
+    )
+
+
+#: co-citation support floor: pairs cited together by at least this many
+#: distinct citing docs (1 would emit every sibling pair of every page —
+#: quadratic noise; ≥2 is the classic "related pages" evidence bar)
+_COCITE_MIN = 2
+
+
+@register(
+    "graph_doc_cocitation",
+    f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    raw AS MATERIALIZED (
+      SELECT d.doc_id AS src,
+             {h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")}
+               % n.n_docs AS dst
+      FROM documents d CROSS JOIN n
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj),
+    e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    co AS MATERIALIZED (
+      SELECT x.dst AS a, y.dst AS b, COUNT(*) AS cocite
+      FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+      GROUP BY x.dst, y.dst
+      HAVING COUNT(*) >= {_COCITE_MIN}),
+    ind AS MATERIALIZED (
+      SELECT dst AS node, COUNT(*) AS indeg FROM e GROUP BY dst)
+    SELECT co.a, co.b, co.cocite, ia.indeg AS indeg_a, ib.indeg AS indeg_b,
+           ROUND(CAST(co.cocite AS DOUBLE)
+                 / (ia.indeg + ib.indeg - co.cocite), 4) AS jaccard
+    FROM co JOIN ind ia ON ia.node = co.a JOIN ind ib ON ib.node = co.b
+    """,
+)
+def graph_doc_cocitation(spark, sf_dir):
+    """Co-citation related-page mining (Small 1973; Dean & Henzinger's
+    related-pages algorithm, WWW 1999): two docs are related when the same
+    pages link to BOTH — the link-structure complement of content
+    similarity, and the classic mirror/duplicate-site candidate generator
+    (mirrors attract identical citers even when their content drifts,
+    complementing crawl_mirror_hosts' content view). Pairs with co-citation
+    support ≥ {_COCITE_MIN} get the co-citation Jaccard
+    |citers(a) ∩ citers(b)| / |citers(a) ∪ citers(b)| (intersection = the
+    pair count; union = indeg_a + indeg_b − cocite — exact integers, one
+    rounded division at the end).
+
+    Scale shape (100 TB): the self-join on the citing side emits
+    out_degree² pairs PER PAGE — bounded because per-page outlinks are
+    capped at extraction (here the corpus has exactly 3; production caps at
+    ~100, the same cap crawl_outlink_degree applies), so the pair volume is
+    O(pages × cap²) with no hot key: the pair key (a, b) is
+    hash-partitioned and the count is map-side combinable. The support
+    floor then cuts the long random tail before the indegree joins."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    i = F.col("doc_id")
+    raw = d.crossJoin(F.broadcast(n)).select(
+        i.alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda j: F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit("lk|"), i.cast("string"),
+                            F.lit("|"), j.cast("string"),
+                        )
+                    ),
+                    F.col("n_docs"),
+                ),
+            )
+        ).alias("dst"),
+    )
+    e = raw.where(F.col("src") != F.col("dst")).distinct()
+    x = e.select(F.col("src").alias("s"), F.col("dst").alias("a"))
+    y = e.select(F.col("src").alias("s"), F.col("dst").alias("b"))
+    co = (
+        x.join(y, "s")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cocite"))
+        .where(F.col("cocite") >= _COCITE_MIN)
+    )
+    ind = e.groupBy("dst").agg(F.count("*").alias("indeg"))
+    return (
+        co.join(ind.select(F.col("dst").alias("a"), F.col("indeg").alias("indeg_a")), "a")
+        .join(ind.select(F.col("dst").alias("b"), F.col("indeg").alias("indeg_b")), "b")
+        .select(
+            "a",
+            "b",
+            "cocite",
+            "indeg_a",
+            "indeg_b",
+            F.round(
+                F.col("cocite").cast("double")
+                / (F.col("indeg_a") + F.col("indeg_b") - F.col("cocite")),
+                4,
+            ).alias("jaccard"),
+        )
     )

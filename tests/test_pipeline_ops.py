@@ -1981,3 +1981,73 @@ def test_hyperball_registers_equal_exact_ball_sketch(spark):
     # everything but 4 by t=2, and the t=2 state equals the t=4 state
     assert exact[(0, 2)] == frozenset({0, 1, 2, 3})
     assert got[(0, 2)] == got[(0, 4)]
+
+
+def test_cocitation_pairs_hand_graph(spark):
+    """Co-citation algebra on a hand graph: pairs, support counts, and the
+    co-citation Jaccard are closed-form. Citers: 10,11,12 → {1,2}; 12 also
+    → 3; 13 → {2,3}. So (1,2) cocite=3, (2,3) cocite=2, (1,3) cocite=1
+    (below the floor). indeg: 1→3, 2→4, 3→2."""
+    from pyspark.sql import functions as F
+
+    edge_list = [
+        (10, 1), (10, 2),
+        (11, 1), (11, 2),
+        (12, 1), (12, 2), (12, 3),
+        (13, 2), (13, 3),
+    ]
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    x = e.select(F.col("src").alias("s"), F.col("dst").alias("a"))
+    y = e.select(F.col("src").alias("s"), F.col("dst").alias("b"))
+    co = (
+        x.join(y, "s")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cocite"))
+        .where(F.col("cocite") >= 2)
+    )
+    got = {(r.a, r.b): r.cocite for r in co.collect()}
+    assert got == {(1, 2): 3, (2, 3): 2}
+    # jaccard for (1,2): 3 / (3 + 4 - 3) = 0.75
+    ind = e.groupBy("dst").agg(F.count("*").alias("indeg"))
+    indeg = {r.dst: r.indeg for r in ind.collect()}
+    assert indeg == {1: 3, 2: 4, 3: 2}
+    assert got[(1, 2)] / (indeg[1] + indeg[2] - got[(1, 2)]) == 0.75
+
+
+def test_cocitation_registered_query_supports_floor(spark):
+    """graph_doc_cocitation at fixture scale: every emitted pair carries
+    support ≥ the floor, jaccard ∈ (0, 1], and the pair key is ordered."""
+    from dataset_crawler_spark.plans.queries import (
+        _COCITE_MIN,
+        graph_doc_cocitation,
+    )
+
+    rows = graph_doc_cocitation(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "support floor unexpectedly empties the fixture graph"
+    for r in rows:
+        assert r.a < r.b
+        assert r.cocite >= _COCITE_MIN
+        assert r.cocite <= min(r.indeg_a, r.indeg_b)
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_diameter_interpolation_and_monotone_nf(spark):
+    """graph_doc_diameter: the global neighborhood function must be
+    monotone non-decreasing in t (balls only grow), the effective diameter
+    must land inside [0, _HB_ITER], and the 90% target must actually be
+    crossed at ceil(effective_diameter) (the CASE branch that fired)."""
+    import math
+
+    from dataset_crawler_spark.plans.queries import _HB_ITER, graph_doc_diameter
+
+    r = graph_doc_diameter(spark, SF_DIR).collect()[0]
+    nf = [getattr(r, f"nf_total_t{t}") for t in range(_HB_ITER + 1)]
+    assert all(nf[t] <= nf[t + 1] for t in range(_HB_ITER)), nf
+    d = r.effective_diameter
+    assert 0.0 <= d <= _HB_ITER
+    tgt = 0.9 * nf[_HB_ITER]
+    k = math.ceil(d)
+    assert nf[k] >= tgt
+    if k > 0:
+        assert nf[k - 1] < tgt

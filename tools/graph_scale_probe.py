@@ -152,6 +152,28 @@ def main() -> None:
     t_fr = round(time.time() - t0, 1)
     print(f"local[{cores}] expand_frontier 1M docs/5M outlinks: {t_fr} s ({z:,} urls)", flush=True)
 
+    # round-4 additions: peeling and neighborhood sketches at the same volume
+    from dataset_crawler_spark.operators.graph import hyperball, kcore
+
+    t0 = time.time()
+    kc = kcore(edges, k=3, n_iter=4)
+    z = kc.select(F.count_distinct("node", "core_degree").alias("z")).collect()[0][0]
+    t_kc = round(time.time() - t0, 1)
+    print(f"local[{cores}] kcore k=3 1M-node/5M-edge 4 rounds: {t_kc} s ({z:,} members)", flush=True)
+
+    # HyperBall at p=6 (64 registers — the volume knob: per-round join output
+    # is bounded by |E| x 2^p rows, so p trades estimate stderr for traffic;
+    # p=8 quadruples the bound, same plan). 3 rounds covers the interesting
+    # growth regime on a 5-out-degree graph (balls ~1 -> ~6 -> ~30 -> ~150).
+    t0 = time.time()
+    hb = hyperball(edges, n_iter=3, p=6)
+    z = hb.select(F.count_distinct("node", "t", "nf_estimate").alias("z")).collect()[0][0]
+    t_hb = round(time.time() - t0, 1)
+    print(
+        f"local[{cores}] hyperball p=6 1M-node/5M-edge 3 rounds: {t_hb} s ({z:,} (node,t) estimates)",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
