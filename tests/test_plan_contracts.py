@@ -281,3 +281,78 @@ def test_registered_domain_is_joinless_narrow(spark):
     assert "Join" not in p
     assert "Generate" not in p  # no explode
     assert re.search(PY_STAGES, p) is None
+
+
+def test_hyperball_rounds_are_equi_joins_no_python(spark):
+    """Each HyperBall round must be an EQUI-join (edges ⋈ registers on the
+    node key) + hash aggregate — never a cartesian register blowup — and the
+    whole pipeline stays JVM-side (pure integer/hash expressions). The only
+    nested-loop join allowed is the sanctioned crossJoin(broadcast(<1-row
+    aggregate>)) that attaches n_docs to the link generator."""
+    from dataset_crawler_spark.plans.queries import graph_doc_harmonic
+
+    p = _plan(graph_doc_harmonic(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert re.search(PY_STAGES, p) is None
+    # the per-round register MAX-merges sit behind the loop's lineage cuts
+    # (non-eager localCheckpoint), so the FINAL plan shows the per-round
+    # estimate aggregates keyed on node — one per snapshot — plus the pivot
+    assert len(re.findall(r"HashAggregate\(keys=\[node#", p)) >= 6
+
+
+def test_kcore_peel_is_aggregate_plus_semi_joins(spark):
+    """Every k-core peel round = degree aggregate + two LeftSemi joins;
+    integer-only, no Python, no cartesian."""
+    from dataset_crawler_spark.plans.queries import graph_doc_kcore
+
+    p = _plan(graph_doc_kcore(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert re.search(PY_STAGES, p) is None
+    # the peel rounds sit behind per-round lineage cuts; the final plan is
+    # the core-degree aggregate over the checkpointed survivor edges
+    assert re.search(r"HashAggregate\(keys=\[src#", p)
+
+    # the per-round shape (degree agg + HAVING + two LeftSemi membership
+    # joins) IS visible on an uncheckpointed single round built from the
+    # same algebra the operator runs
+    from pyspark.sql import functions as F2
+
+    e = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if a != b],
+        "src long, dst long",
+    )
+    keep = e.groupBy("src").agg(F2.count("*").alias("deg")).where(
+        F2.col("deg") >= 3
+    ).select("src")
+    one_round = e.join(keep, "src", "left_semi").join(
+        keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+    )
+    rp = _plan(one_round)
+    assert rp.count("LeftSemi") == 2
+    assert "CartesianProduct" not in rp
+
+
+def test_cocitation_pair_join_keyed_on_citer(spark):
+    """The co-citation self-join must be keyed on the shared citing page
+    (equi-join on s) with the a<b orientation as a residual — if the key
+    falls out the pair step goes quadratic in the corpus, not in the
+    per-page out-degree."""
+    from dataset_crawler_spark.plans.queries import graph_doc_cocitation
+
+    p = _plan(graph_doc_cocitation(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert re.search(r"(BroadcastHash|ShuffledHash|SortMerge)Join \[s#", p)
+    assert re.search(PY_STAGES, p) is None
+
+
+def test_cdx_index_is_one_hash_aggregate_no_join(spark):
+    """The CDX rollup: bounded capture generator (explode) + SURT narrow
+    projection + ONE surt-keyed aggregate chain — no join anywhere, no
+    Python stage. (COUNT(DISTINCT digest) legitimately expands to the
+    two-level aggregate.)"""
+    from dataset_crawler_spark.plans.queries import crawl_cdx_index
+
+    p = _plan(crawl_cdx_index(spark, SF_DIR))
+    assert "Join" not in p
+    assert re.search(PY_STAGES, p) is None
+    assert re.search(r"HashAggregate.*keys=\[surt#", p)
