@@ -785,3 +785,117 @@ def hyperball(
         )
         out = out.unionByName(snap(cur, t))
     return out
+
+
+def resolve_redirects(redirects: DataFrame, n_doublings: int = 6) -> DataFrame:
+    """Resolve redirect CHAINS to their terminal targets by pointer
+    doubling — the frontier-ingest step that collapses 3xx hops (and the
+    DUST aliases crawl_dust_rules mines) onto the one URL worth fetching,
+    so chain members never occupy frontier slots. The reference follows
+    redirects implicitly one hop at a time inside its fetch loop
+    (DataCrawler.java's per-URL connection handling); at 10^10 URLs the
+    chain walk has to happen as a set operation BEFORE scheduling, not
+    per-fetch.
+
+    ``redirects``: (node, next) — a redirect MAP, at most one out-pointer
+    per node (a functional graph). Terminal = any target that is not
+    itself a redirect source.
+
+    Pointer doubling (the pointer-jumping half of the CC operator,
+    operators/clustering.py): each round every unresolved node's pointer
+    jumps to its pointer's pointer and the hop DISTANCE adds, so after k
+    rounds every chain of length ≤ 2**k is resolved — log-diameter rounds,
+    one hash equi-join per round, integer-only algebra (bitwise
+    deterministic; the DuckDB twin unrolls the identical rounds).
+
+    A chain that never leaves the redirect set within 2**n_doublings hops
+    is a redirect CYCLE (or an over-long chain — real crawlers cap chains
+    far below 64; RFC 9110 permits rejecting after a small fixed bound):
+    those resolve to the (-1, -1) sentinel and the scheduler drops them,
+    the set-operation form of "too many redirects".
+
+    Returns (node, terminal, chain_len); terminal/chain_len = -1 for
+    cycles. Chain members resolve to the SAME terminal, so downstream
+    dedup is a plain groupBy on terminal.
+    """
+    srcs = redirects.select(F.col("node").alias("next")).distinct()
+    state = (
+        redirects.join(srcs.withColumn("_is_src", F.lit(True)), "next", "left")
+        .select(
+            "node",
+            "next",
+            F.lit(1).cast("long").alias("dist"),
+            F.col("_is_src").isNull().alias("done"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(n_doublings):
+        a, b = state.alias("a"), state.alias("b")
+        state = (
+            a.join(
+                b,
+                (~F.col("a.done")) & (F.col("a.next") == F.col("b.node")),
+                "left",
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.when(F.col("a.done"), F.col("a.next"))
+                .otherwise(F.col("b.next"))
+                .alias("next"),
+                F.when(F.col("a.done"), F.col("a.dist"))
+                .otherwise(F.col("a.dist") + F.col("b.dist"))
+                .alias("dist"),
+                F.when(F.col("a.done"), F.lit(True))
+                .otherwise(F.col("b.done"))
+                .alias("done"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state.select(
+        "node",
+        F.when(F.col("done"), F.col("next"))
+        .otherwise(F.lit(-1).cast("long"))
+        .alias("terminal"),
+        F.when(F.col("done"), F.col("dist"))
+        .otherwise(F.lit(-1).cast("long"))
+        .alias("chain_len"),
+    )
+
+
+def bfs_depths(edges: DataFrame, seeds: DataFrame, n_iter: int = 8) -> DataFrame:
+    """Multi-source BFS: hop distance from the nearest seed for every node
+    reachable within ``n_iter`` hops — THE breadth-first crawl-order
+    signal (Najork & Wiener, WWW 2001: BFS from good seeds finds
+    high-quality pages early), and the depth cap every production crawler
+    enforces per host. The reference's frontier has no notion of depth
+    (its work queue is a flat per-type list); at web scale depth-from-seed
+    is a frontier priority axis next to OPIC/centrality.
+
+    Frontier-delta formulation (the set-operation form of Pregel SSSP with
+    unit weights): each round expands ONLY the nodes settled last round —
+    one equi-join frontier⋈edges, one distinct, one anti-join against the
+    settled set — so every node is expanded exactly once regardless of
+    ``n_iter``, and rounds past the true eccentricity are no-ops on empty
+    frontiers. Integer-only: the value hash cannot flake.
+
+    ``seeds``: (node) frame; ``edges``: directed (src, dst).
+    Returns (node, depth) for REACHED nodes only — callers left-join and
+    coalesce to a sentinel for the unreached tail.
+    """
+    settled = seeds.select("node", F.lit(0).cast("long").alias("depth"))
+    frontier = settled.select("node").localCheckpoint(eager=False)
+    settled = settled.localCheckpoint(eager=False)
+    e = edges.select("src", "dst")
+    for r in range(1, n_iter + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        settled = settled.unionByName(
+            nxt.select("node", F.lit(r).cast("long").alias("depth"))
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+    return settled

@@ -72,6 +72,8 @@ _DRIVER_FIRST = [
     "graph_doc_harmonic",
     "graph_doc_diameter",
     "graph_doc_cocitation",
+    "crawl_redirect_resolve",
+    "graph_doc_bfs_depth",
     # latest green row r02 (never re-sampled since)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
@@ -6065,4 +6067,196 @@ def graph_doc_cocitation(spark, sf_dir):
                 4,
             ).alias("jaccard"),
         )
+    )
+
+
+#: redirect-map synthesis knobs: ~40% of docs redirect (h60 % 5 < 2), target
+#: uniform over docs with a +1 bump off self-targets; 6 doublings resolve
+#: chains up to 2**6 = 64 hops — far past the synthetic chain tail at both
+#: oracle scales (pinned by the fixpoint test: one extra doubling changes
+#: nothing).
+_RR_DOUBLINGS = 6
+
+
+def _redirect_sql() -> str:
+    """DuckDB twin of operators/graph.resolve_redirects over the
+    deterministic synthetic redirect map: the same ``_RR_DOUBLINGS``
+    pointer-doubling rounds unrolled as chained CTEs (LEFT self-join +
+    done-carry per round) — integer-only algebra, bitwise value match."""
+    h_rd = h60_sql("'rd|' || CAST(d.doc_id AS VARCHAR)")
+    h_rt = h60_sql("'rt|' || CAST(d.doc_id AS VARCHAR)")
+    cte = [
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
+        f"""rmap AS (
+      SELECT d.doc_id AS node,
+             CASE WHEN ({h_rt} % n.n_docs) = d.doc_id
+                  THEN ({h_rt} % n.n_docs + 1) % n.n_docs
+                  ELSE {h_rt} % n.n_docs END AS next
+      FROM documents d CROSS JOIN n
+      WHERE {h_rd} % 5 < 2)""",
+        """r0 AS (
+      SELECT node, next, CAST(1 AS BIGINT) AS dist,
+             next NOT IN (SELECT node FROM rmap) AS done
+      FROM rmap)""",
+    ]
+    for i in range(1, _RR_DOUBLINGS + 1):
+        cte.append(
+            f"""r{i} AS (
+      SELECT a.node,
+             CASE WHEN a.done THEN a.next ELSE b.next END AS next,
+             CASE WHEN a.done THEN a.dist ELSE a.dist + b.dist END AS dist,
+             CASE WHEN a.done THEN TRUE ELSE b.done END AS done
+      FROM r{i - 1} a LEFT JOIN r{i - 1} b
+        ON (NOT a.done) AND a.next = b.node)"""
+        )
+    cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"""
+    SELECT node AS doc_id,
+           CASE WHEN done THEN next ELSE CAST(-1 AS BIGINT) END AS terminal_id,
+           CASE WHEN done THEN dist ELSE CAST(-1 AS BIGINT) END AS chain_len
+    FROM r{_RR_DOUBLINGS}"""
+    )
+
+
+@register("crawl_redirect_resolve", _redirect_sql())
+def crawl_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution at frontier ingest: every redirecting URL
+    collapses to its terminal target (and its hop count) in
+    O(log chain-length) pointer-doubling rounds, cycles to a drop
+    sentinel — the set-operation form of "follow 3xx, cap the chain" that
+    the reference performs one connection at a time inside its fetch loop
+    (DataCrawler.java's per-URL HttpURLConnection handling follows
+    redirects implicitly per fetch). Resolving BEFORE scheduling keeps
+    chain members out of frontier slots and lets the seen-set key on
+    terminals, the same ingest-collapse role as crawl_dust_rules.
+
+    Synthetic functional graph: ~40% of docs redirect, targets
+    hash-uniform (self-targets bumped +1), so chains and the occasional
+    cycle arise naturally; semantics (chain, branch-in, cycle, self-loop
+    rejection) are pinned on a hand graph in tests/test_pipeline_ops.py.
+
+    Scale shape (100 TB): ``_RR_DOUBLINGS`` rounds of ONE hash
+    equi-join each on the pointer key (node ↔ next), state exactly one row
+    per redirecting URL, distance carried as an integer sum — no
+    per-row Python, no driver-side walk; lineage cut per round like the
+    CC/pagerank loops."""
+    from dataset_crawler_spark.operators.graph import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    i = F.col("doc_id")
+    tgt = F.pmod(h60(F.concat(F.lit("rt|"), i.cast("string"))), F.col("n_docs"))
+    rmap = (
+        d.crossJoin(F.broadcast(n))
+        .where(F.pmod(h60(F.concat(F.lit("rd|"), i.cast("string"))), F.lit(5)) < 2)
+        .select(
+            i.alias("node"),
+            F.when(tgt == i, F.pmod(tgt + 1, F.col("n_docs")))
+            .otherwise(tgt)
+            .alias("next"),
+        )
+    )
+    out = resolve_redirects(rmap, n_doublings=_RR_DOUBLINGS)
+    return out.select(
+        F.col("node").alias("doc_id"),
+        F.col("terminal").alias("terminal_id"),
+        "chain_len",
+    )
+
+
+#: BFS knobs: 2% of docs are seeds (doc_id % 50 = 0) over the 3-outlink
+#: 'bf|' hash graph; 8 rounds cover the reachable set at both oracle scales
+#: (pinned by the fixpoint test: rounds past the true eccentricity expand
+#: empty frontiers and change nothing).
+_BFS_SEED_MOD = 50
+_BFS_ITER = 8
+
+
+def _bfs_sql() -> str:
+    """DuckDB twin of operators/graph.bfs_depths over the deterministic
+    'bf|' doc outlink graph: the same ``_BFS_ITER`` frontier-delta rounds
+    unrolled as chained CTEs (frontier⋈edges + NOT IN settled per round) —
+    integer-only, bitwise value match."""
+    h_bf = h60_sql("'bf|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")
+    cte = [
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
+        f"""raw AS (
+      SELECT d.doc_id AS src, {h_bf} % n.n_docs AS dst
+      FROM documents d CROSS JOIN n
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj)""",
+        "e AS (SELECT src, dst FROM raw WHERE src <> dst)",
+        f"""s0 AS (
+      SELECT doc_id AS node, CAST(0 AS BIGINT) AS depth FROM documents
+      WHERE doc_id % {_BFS_SEED_MOD} = 0)""",
+        "f0 AS (SELECT node FROM s0)",
+    ]
+    for r in range(1, _BFS_ITER + 1):
+        cte.append(
+            f"""f{r} AS (
+      SELECT DISTINCT e.dst AS node FROM f{r - 1} f JOIN e ON e.src = f.node
+      WHERE e.dst NOT IN (SELECT node FROM s{r - 1}))"""
+        )
+        cte.append(
+            f"""s{r} AS (
+      SELECT node, depth FROM s{r - 1}
+      UNION ALL SELECT node, CAST({r} AS BIGINT) FROM f{r})"""
+        )
+    cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"""
+    SELECT d.doc_id, COALESCE(s.depth, CAST(-1 AS BIGINT)) AS depth
+    FROM documents d LEFT JOIN s{_BFS_ITER} s ON s.node = d.doc_id"""
+    )
+
+
+@register("graph_doc_bfs_depth", _bfs_sql())
+def graph_doc_bfs_depth(spark, sf_dir):
+    """Multi-source BFS crawl depth: hop distance from the nearest seed for
+    every doc in the outlink graph (unreached = -1) — the breadth-first
+    crawl-order axis (Najork & Wiener, WWW 2001: BFS from good seeds
+    reaches high-quality pages early) and the per-host depth cap every
+    production frontier enforces. Composes with the centrality budgets the
+    scheduler already reads (crawl_centrality_budget): depth gates WHETHER
+    a URL may enter the frontier, rank orders it within. The reference's
+    flat per-type work queue is the depth-0-only degenerate case.
+
+    Scale shape (100 TB): frontier-delta rounds (operators/graph.
+    bfs_depths) — each round joins ONLY last round's newly settled nodes
+    against the edge table, distincts the targets, and anti-joins the
+    settled set, so every node is expanded exactly once no matter how many
+    rounds run; all integer algebra, the DuckDB twin unrolls the identical
+    rounds."""
+    from dataset_crawler_spark.operators.graph import bfs_depths
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    i = F.col("doc_id")
+    raw = d.crossJoin(F.broadcast(n)).select(
+        i.alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda j: F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit("bf|"), i.cast("string"),
+                            F.lit("|"), j.cast("string"),
+                        )
+                    ),
+                    F.col("n_docs"),
+                ),
+            )
+        ).alias("dst"),
+    )
+    e = raw.where(F.col("src") != F.col("dst"))
+    seeds = d.where(F.pmod(i, F.lit(_BFS_SEED_MOD)) == 0).select(i.alias("node"))
+    depths = bfs_depths(e, seeds, n_iter=_BFS_ITER)
+    return d.join(depths, d["doc_id"] == depths["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("depth"), F.lit(-1).cast("long")).alias("depth"),
     )

@@ -2051,3 +2051,104 @@ def test_diameter_interpolation_and_monotone_nf(spark):
     assert nf[k] >= tgt
     if k > 0:
         assert nf[k - 1] < tgt
+
+
+def test_resolve_redirects_hand_graph(spark):
+    """resolve_redirects on a hand-built redirect map: a 3-hop chain
+    resolves every member to the SAME terminal with the right hop counts,
+    a branch-in (two redirects onto one chain) shares the terminal, a
+    2-cycle and a self-loop get the (-1, -1) drop sentinel, and a redirect
+    INTO a cycle is itself unresolvable."""
+    from dataset_crawler_spark.operators.graph import resolve_redirects
+
+    # 0→1→2→9 (9 terminal); 3→1 branches into the chain; 4⇄5 cycle;
+    # 6→6 self-loop; 7→4 feeds the cycle
+    rmap = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 9), (3, 1), (4, 5), (5, 4), (6, 6), (7, 4)],
+        "node long, next long",
+    )
+    out = {r.node: (r.terminal, r.chain_len) for r in resolve_redirects(rmap).collect()}
+    assert out == {
+        0: (9, 3),
+        1: (9, 2),
+        2: (9, 1),
+        3: (9, 3),
+        4: (-1, -1),
+        5: (-1, -1),
+        6: (-1, -1),
+        7: (-1, -1),
+    }
+
+
+def test_resolve_redirects_doubling_covers_long_chain(spark):
+    """A chain of length exactly 2**n_doublings resolves; the fixed
+    doubling count is a LENGTH CAP, not a correctness knob below it —
+    and one extra doubling changes nothing on the registered query's
+    synthetic map (fixpoint at driver scale)."""
+    from dataset_crawler_spark.operators.graph import resolve_redirects
+    from dataset_crawler_spark.plans import queries as QL
+
+    n = 2**4
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "node long, next long"
+    )
+    out = {r.node: (r.terminal, r.chain_len) for r in
+           resolve_redirects(chain, n_doublings=4).collect()}
+    assert out[0] == (n, n)
+
+    # truncating the doubling budget leaves the head unresolved
+    short = {r.node: r.terminal for r in
+             resolve_redirects(chain, n_doublings=3).collect()}
+    assert short[0] == -1 and short[n - 8] == n
+
+    sf01 = "/root/testdata/sf0.01"
+    base = {(r.doc_id, r.terminal_id, r.chain_len)
+            for r in QL.crawl_redirect_resolve(spark, sf01).collect()}
+    assert base and any(cl > 1 for _, _, cl in base)
+    old = QL._RR_DOUBLINGS
+    QL._RR_DOUBLINGS = old + 1
+    try:
+        more = {(r.doc_id, r.terminal_id, r.chain_len)
+                for r in QL.crawl_redirect_resolve(spark, sf01).collect()}
+    finally:
+        QL._RR_DOUBLINGS = old
+    assert more == base
+
+
+def test_bfs_depths_hand_graph(spark):
+    """bfs_depths on a hand graph: two seeds, competing paths take the MIN
+    depth, unreachable nodes are absent, directedness respected (an edge
+    INTO a seed does not make its source reachable), and the n_iter cap
+    truncates depth beyond it."""
+    from dataset_crawler_spark.operators.graph import bfs_depths
+
+    #   0→1→2→3→4 ;  9→3 (seed 9 shortcuts 3) ; 5→0 (into-seed only) ; 8 isolated
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (9, 3), (5, 0)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,), (9,)], "node long")
+    out = {r.node: r.depth for r in bfs_depths(edges, seeds, n_iter=8).collect()}
+    assert out == {0: 0, 9: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+    capped = {r.node: r.depth for r in bfs_depths(edges, seeds, n_iter=1).collect()}
+    assert capped == {0: 0, 9: 0, 1: 1, 3: 1}
+
+
+def test_bfs_fixpoint_at_driver_scale(spark):
+    """graph_doc_bfs_depth's fixed round count must cover the reachable set
+    at the driver's oracle scale: two extra rounds change nothing."""
+    from dataset_crawler_spark.plans import queries as QL
+
+    sf01 = "/root/testdata/sf0.01"
+    base = {(r.doc_id, r.depth) for r in QL.graph_doc_bfs_depth(spark, sf01).collect()}
+    reached = [d for _, d in base if d >= 0]
+    assert reached and max(reached) >= 2, "graph too shallow to exercise rounds"
+    old = QL._BFS_ITER
+    QL._BFS_ITER = old + 2
+    try:
+        more = {(r.doc_id, r.depth)
+                for r in QL.graph_doc_bfs_depth(spark, sf01).collect()}
+    finally:
+        QL._BFS_ITER = old
+    assert more == base

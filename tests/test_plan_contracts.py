@@ -356,3 +356,53 @@ def test_cdx_index_is_one_hash_aggregate_no_join(spark):
     assert "Join" not in p
     assert re.search(PY_STAGES, p) is None
     assert re.search(r"HashAggregate.*keys=\[surt#", p)
+
+
+def test_redirect_resolution_rounds_are_equi_joins(spark):
+    """Each pointer-doubling round must be ONE equi-join on the pointer key
+    (a.next = b.node) with the done-flag as a residual — never a cartesian
+    — and the whole resolution stays JVM-side integer algebra. The final
+    plan sits behind per-round lineage cuts; the round shape is checked on
+    an uncheckpointed single round built from the same algebra."""
+    from dataset_crawler_spark.plans.queries import crawl_redirect_resolve
+
+    p = _plan(crawl_redirect_resolve(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert re.search(PY_STAGES, p) is None
+
+    state = spark.createDataFrame(
+        [(0, 1, 1, False), (1, 2, 1, False), (2, 9, 1, True)],
+        "node long, next long, dist long, done boolean",
+    )
+    a, b = state.alias("a"), state.alias("b")
+    one = a.join(
+        b, (~F.col("a.done")) & (F.col("a.next") == F.col("b.node")), "left"
+    ).select(F.col("a.node"))
+    rp = _plan(one)
+    assert "CartesianProduct" not in rp
+    assert re.search(r"(BroadcastHash|ShuffledHash|SortMerge)Join \[next#", rp)
+
+
+def test_bfs_round_is_join_distinct_anti_join(spark):
+    """Each BFS frontier round = frontier⋈edges equi-join + distinct +
+    LeftAnti against the settled set — all keyed on the node id, no
+    cartesian, no Python; the registered query's final plan is the settled
+    union behind per-round lineage cuts."""
+    from dataset_crawler_spark.plans.queries import graph_doc_bfs_depth
+
+    p = _plan(graph_doc_bfs_depth(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert re.search(PY_STAGES, p) is None
+
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    f0 = spark.createDataFrame([(0,)], "node long")
+    s0 = spark.createDataFrame([(0, 0)], "node long, depth long")
+    one = (
+        f0.join(e, f0["node"] == e["src"])
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .join(s0.select("node"), "node", "left_anti")
+    )
+    rp = _plan(one)
+    assert "CartesianProduct" not in rp
+    assert rp.count("LeftAnti") == 1
