@@ -817,9 +817,20 @@ def resolve_redirects(redirects: DataFrame, n_doublings: int = 6) -> DataFrame:
     Returns (node, terminal, chain_len); terminal/chain_len = -1 for
     cycles. Chain members resolve to the SAME terminal, so downstream
     dedup is a plain groupBy on terminal.
+
+    Work shape: resolved rows split OUT of the probe side the round they
+    finish — a row whose pointer reached a terminal is a fixpoint of the
+    doubling step, so carrying it through later joins (as the unrolled SQL
+    twin does, and the oracle gate proves equivalent) only re-shuffles
+    dead weight. With hash-uniform targets the pending side shrinks
+    doubly-exponentially (fraction unresolved after round r ≈ p^(2^r) for
+    redirect density p), so late rounds probe a near-empty side; the
+    lookup (build) side stays the full map, which is what lets a pending
+    node hook onto an already-resolved one and inherit its terminal +
+    distance in one jump.
     """
     srcs = redirects.select(F.col("node").alias("next")).distinct()
-    state = (
+    init = (
         redirects.join(srcs.withColumn("_is_src", F.lit(True)), "next", "left")
         .select(
             "node",
@@ -829,36 +840,32 @@ def resolve_redirects(redirects: DataFrame, n_doublings: int = 6) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    resolved = init.where(F.col("done"))
+    pending = init.where(~F.col("done")).localCheckpoint(eager=False)
+    state = init
     for _ in range(n_doublings):
-        a, b = state.alias("a"), state.alias("b")
-        state = (
-            a.join(
-                b,
-                (~F.col("a.done")) & (F.col("a.next") == F.col("b.node")),
-                "left",
-            )
+        a, b = pending.alias("a"), state.alias("b")
+        upd = (
+            a.join(b, F.col("a.next") == F.col("b.node"), "left")
             .select(
                 F.col("a.node").alias("node"),
-                F.when(F.col("a.done"), F.col("a.next"))
-                .otherwise(F.col("b.next"))
-                .alias("next"),
-                F.when(F.col("a.done"), F.col("a.dist"))
-                .otherwise(F.col("a.dist") + F.col("b.dist"))
-                .alias("dist"),
-                F.when(F.col("a.done"), F.lit(True))
-                .otherwise(F.col("b.done"))
-                .alias("done"),
+                F.col("b.next").alias("next"),
+                (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+                F.col("b.done").alias("done"),
             )
             .localCheckpoint(eager=False)
         )
-    return state.select(
-        "node",
-        F.when(F.col("done"), F.col("next"))
-        .otherwise(F.lit(-1).cast("long"))
-        .alias("terminal"),
-        F.when(F.col("done"), F.col("dist"))
-        .otherwise(F.lit(-1).cast("long"))
-        .alias("chain_len"),
+        resolved = resolved.unionByName(upd.where(F.col("done")))
+        pending = upd.where(~F.col("done")).localCheckpoint(eager=False)
+        state = resolved.unionByName(pending)
+    return resolved.select(
+        "node", F.col("next").alias("terminal"), F.col("dist").alias("chain_len")
+    ).unionByName(
+        pending.select(
+            "node",
+            F.lit(-1).cast("long").alias("terminal"),
+            F.lit(-1).cast("long").alias("chain_len"),
+        )
     )
 
 
