@@ -373,19 +373,41 @@ def main() -> None:
                 out[k] = scaling[k]
 
     # The driver captures the LAST 2000 chars of stdout and parses the final
-    # JSON line — the compact headline must fit. Drop diagnostic "_"-prefixed
-    # query keys first if the line ever outgrows the budget — EXCEPT the ones
-    # tools/scaling_bench.py and tools/sf_sweep.py hard-require from this
-    # line (they parse the same final-JSON-line contract as the driver).
-    tool_keys = {"_n_urls", "_n_seen", "_n_scheduled", "_urls_per_sec_bucketed"}
+    # JSON line — the compact headline must fit or the whole round's metric
+    # is lost (round 3 lost it at 2000+; the round-4 tail queries pushed the
+    # full map past 2100, so trimming "_" keys alone no longer suffices).
+    # Contract: the FULL stats always go on their own earlier stdout line;
+    # the FINAL line carries the headline + crawl-stage keys (which
+    # tools/scaling_bench.py and tools/sf_sweep.py hard-require — they parse
+    # the same final-JSON-line contract as the driver) and only as many
+    # analytic query keys as fit the budget, shortest-named first dropped
+    # last so the trim is deterministic.
     line = json.dumps(out)
     if len(line) > 1800:
-        out["queries"] = {
-            k: v
-            for k, v in out["queries"].items()
-            if not k.startswith("_") or k in tool_keys
+        print(line)  # full map, own line — humans and forensics read this
+        stage_keys = [
+            "bloom_build_sec", "schedule_round_sec",
+            "schedule_round_bucketed_sec", "_urls_per_sec_bucketed",
+            "_n_urls", "_n_seen", "_n_scheduled",
+            "diff_bulk_round_sec", "diff_incr_round_sec", "export_shards_sec",
+        ]
+        compact = dict(out)
+        compact["queries"] = {
+            k: out["queries"][k] for k in stage_keys if k in out["queries"]
         }
-        line = json.dumps(out)
+        rest = sorted(
+            (k for k in out["queries"] if k not in compact["queries"]
+             and not k.startswith("_")),
+            key=lambda k: (len(k), k),
+        )
+        for k in rest:
+            trial = dict(compact["queries"])
+            trial[k] = out["queries"][k]
+            if len(json.dumps({**compact, "queries": trial})) > 1700:
+                break
+            compact["queries"] = trial
+        compact["queries_truncated"] = len(out["queries"]) - len(compact["queries"])
+        line = json.dumps(compact)
     if len(line) > 1800:
         print(f"WARNING: headline line {len(line)} chars > 1800", file=sys.stderr)
     print(line)

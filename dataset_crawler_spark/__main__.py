@@ -151,10 +151,11 @@ def run_crawl(args) -> int:
     dim = fetch_dim(robots_urls_of(seeds))
 
     params = SN.BloomParams.for_capacity(args.capacity, fp_rate=0.01, n_shards=32)
+    follow = not args.surface_redirects
     fetch = (
-        http_fetcher_conditional(timeout_s=args.timeout)
+        http_fetcher_conditional(timeout_s=args.timeout, follow_redirects=follow)
         if args.conditional
-        else http_fetcher(timeout_s=args.timeout)
+        else http_fetcher(timeout_s=args.timeout, follow_redirects=follow)
     )
     stats = eng.crawl_closure(
         seeds,
@@ -292,6 +293,12 @@ def main(argv: list[str] | None = None) -> int:
                          "discovery rounds (revalidation itself fires in the "
                          "'refresh' subcommand, which reuses the stored "
                          "validators for 304-cheap revisits)")
+    pc.add_argument("--surface-redirects", action="store_true",
+                    help="report 3xx as their own ops status and queue the "
+                         "Location target through the discovery path (one "
+                         "hop per closure round, seen-set on the hop) "
+                         "instead of letting urllib chase chains off-budget "
+                         "inside the fetch stage")
     pc.add_argument("--centrality", choices=["pagerank", "trustrank", "opic", "online"],
                     default=None,
                     help="shape per-host budgets each round by link-graph "

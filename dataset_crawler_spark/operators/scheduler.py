@@ -304,10 +304,13 @@ def adaptive_host_budgets(
     """
     stats = ops.groupBy("host").agg(
         (
-            # not_modified is a healthy outcome (304 revalidation, zero
-            # bytes) — only genuine fetch failures count against a host
+            # not_modified (304 revalidation, zero bytes) and redirect (3xx
+            # surfaced, target queued) are healthy outcomes — only genuine
+            # fetch failures count against a host
             F.sum(
-                (~F.col("status").isin("success", "not_modified")).cast("int")
+                (
+                    ~F.col("status").isin("success", "not_modified", "redirect")
+                ).cast("int")
             )
             / F.count("*")
         ).alias("fail_rate")

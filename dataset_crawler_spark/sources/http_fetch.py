@@ -37,6 +37,7 @@ import json
 import re
 import socket
 import urllib.error
+import urllib.parse
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
 
@@ -56,6 +57,30 @@ OP_SUCCESS, OP_ERROR, OP_EXCEPTION, OP_TIMEOUT = (
 #: counts against a host's budget) and not a plain success (there is nothing
 #: to diff) — its own status so the ops log records the bandwidth saved.
 OP_NOT_MODIFIED = "not_modified"
+
+#: 3xx surfaced instead of silently followed (``follow_redirects=False``):
+#: the fetch stage reports the hop and the ENGINE decides — the target is
+#: queued through the discovery path (canonicalized, seen-filtered,
+#: robots-gated, politeness-budgeted like any outlink) instead of being
+#: fetched off-budget inside the opener, and chains cap at the closure
+#: loop's round limit rather than urllib's hidden limit. Not a failure
+#: (never retried, never counts against a host's budget): the redirecting
+#: URL is fully handled the moment its target is queued.
+OP_REDIRECT = "redirect"
+
+#: status codes that carry a Location worth following (RFC 9110 §15.4;
+#: 304 is handled by the conditional path, 300/305/306 carry no target)
+_REDIRECT_CODES = frozenset((301, 302, 303, 307, 308))
+
+
+class _NoRedirectHandler(urllib.request.HTTPRedirectHandler):
+    """Turn every 3xx into an HTTPError so the fetch path SEES the hop."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        return None
+
+
+_NOREDIRECT_OPENER = urllib.request.build_opener(_NoRedirectHandler)
 
 USER_AGENT = "dataset-crawler-spark/0.3"
 
@@ -146,14 +171,18 @@ def _classify(exc: BaseException) -> tuple[str, str]:
     return OP_EXCEPTION, f"{type(exc).__name__}: {exc}"
 
 
-def fetch_one(url: str, timeout_s: float, parser=parse_spans) -> tuple:
+def fetch_one(
+    url: str, timeout_s: float, parser=parse_spans, follow_redirects: bool = True
+) -> tuple:
     """GET one URL → (status, message, spans|None). Never raises.
 
     The 3-column projection of :func:`fetch_one_cond` (ONE implementation
     of the GET/classify/parse path — an unsolicited 304 from a buggy
     server classifies as ``not_modified`` here too, which is the sane
     reading either way)."""
-    return fetch_one_cond(url, timeout_s, parser=parser)[:3]
+    return fetch_one_cond(
+        url, timeout_s, parser=parser, follow_redirects=follow_redirects
+    )[:3]
 
 
 def fetch_one_cond(
@@ -162,21 +191,32 @@ def fetch_one_cond(
     etag: str | None = None,
     last_modified: str | None = None,
     parser=parse_spans,
+    follow_redirects: bool = True,
 ) -> tuple:
     """Conditional GET (RFC 9110 §13): sends ``If-None-Match`` /
     ``If-Modified-Since`` when the caller holds validators from a prior
     fetch. Returns (status, message, spans|None, etag|None, last_modified|
     None). A 304 reply keeps the presented validators (the stored document
     is current — zero body bytes moved); a 200 reply carries the server's
-    fresh validators for the next revalidation. Never raises."""
+    fresh validators for the next revalidation. Never raises.
+
+    ``follow_redirects=False`` surfaces 3xx as an ``OP_REDIRECT`` row
+    instead of letting urllib chase the chain off-budget: message is
+    ``"<code>: <absolute-location>"`` (the error-row format, machine-split
+    on ": ") and spans carry one ``kind='redirect'`` span whose
+    ``media_ref`` is the absolute target — the interleaved-document form
+    of "this URL's content is a pointer", which the engine's discovery
+    path turns into a frontier row like any outlink. A 3xx with no
+    Location header is a plain error."""
     headers = {"User-Agent": USER_AGENT}
     if etag:
         headers["If-None-Match"] = etag
     if last_modified:
         headers["If-Modified-Since"] = last_modified
     req = urllib.request.Request(url, headers=headers)
+    opener = urllib.request.urlopen if follow_redirects else _NOREDIRECT_OPENER.open
     try:
-        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        with opener(req, timeout=timeout_s) as resp:
             body = resp.read()
             ctype = resp.headers.get("Content-Type", "")
             new_etag = resp.headers.get("ETag")
@@ -196,13 +236,27 @@ def fetch_one_cond(
             return (
                 OP_NOT_MODIFIED, "304: not modified", None, etag, last_modified
             )
+        if not follow_redirects and exc.code in _REDIRECT_CODES:
+            loc = exc.headers.get("Location") if exc.headers else None
+            if loc:
+                target = urllib.parse.urljoin(url, loc)
+                span = {
+                    "kind": "redirect", "text": None,
+                    "media_ref": target, "offset": 0,
+                }
+                return OP_REDIRECT, f"{exc.code}: {target}", [span], None, None
         return OP_ERROR, f"{exc.code}: {exc.reason}", None, None, None
     except Exception as exc:  # NOT BaseException: Ctrl-C/SystemExit propagate
         status, message = _classify(exc)
         return status, message, None, None, None
 
 
-def http_fetcher(timeout_s: float = 5.0, max_workers: int = 8, parser=parse_spans):
+def http_fetcher(
+    timeout_s: float = 5.0,
+    max_workers: int = 8,
+    parser=parse_spans,
+    follow_redirects: bool = True,
+):
     """Build the production FetchFn: ``fetch(spark, scheduled) -> live_raw``.
 
     ``scheduled`` is schedule_round's output (carries ``url_c``); the result
@@ -220,7 +274,10 @@ def http_fetcher(timeout_s: float = 5.0, max_workers: int = 8, parser=parse_span
     dropped out), so error classification, batching, and pool sizing can
     never drift between the two."""
     cond = http_fetcher_conditional(
-        timeout_s=timeout_s, max_workers=max_workers, parser=parser
+        timeout_s=timeout_s,
+        max_workers=max_workers,
+        parser=parser,
+        follow_redirects=follow_redirects,
     )
 
     def fetch(spark: SparkSession, scheduled: DataFrame) -> DataFrame:
@@ -232,7 +289,10 @@ def http_fetcher(timeout_s: float = 5.0, max_workers: int = 8, parser=parse_span
 
 
 def http_fetcher_conditional(
-    timeout_s: float = 5.0, max_workers: int = 8, parser=parse_spans
+    timeout_s: float = 5.0,
+    max_workers: int = 8,
+    parser=parse_spans,
+    follow_redirects: bool = True,
 ):
     """Conditional-GET FetchFn: like :func:`http_fetcher` but revalidates
     instead of refetching. If the ``scheduled`` frame carries ``etag`` /
@@ -271,7 +331,8 @@ def http_fetcher_conditional(
                     results = list(
                         pool.map(
                             lambda ue: fetch_one_cond(
-                                ue[0], timeout_s, ue[1], ue[2], parser
+                                ue[0], timeout_s, ue[1], ue[2], parser,
+                                follow_redirects=follow_redirects,
                             ),
                             zip(urls, etags, lms),
                         )

@@ -57,6 +57,18 @@ OP_SUCCESS, OP_ERROR, OP_EXCEPTION, OP_TIMEOUT = "success", "error", "exception"
 #: (nothing to diff).
 OP_NOT_MODIFIED = "not_modified"
 
+#: surfaced 3xx (sources/http_fetch.OP_REDIRECT, follow_redirects=False):
+#: the row's spans carry one kind='redirect' span whose media_ref is the
+#: absolute target. Not a failure (never retried, never counts against a
+#: host's budget) and not a document: the redirecting URL enters the seen
+#: set (it IS fully handled) and its target enters the NEXT round's
+#: discovered frontier through the same canonicalize → seen-filter →
+#: robots → politeness path as any outlink — so chains resolve one hop per
+#: closure round and cap at the loop's round limit, and the batch
+#: pointer-doubling operator (operators/graph.resolve_redirects) remains
+#: the offline form for standing redirect maps.
+OP_REDIRECT = "redirect"
+
 
 class CrawlEngine:
     def __init__(
@@ -438,7 +450,29 @@ class CrawlEngine:
             # scheduler's seen filter dedups against history at schedule time.
             from dataset_crawler_spark.operators.discovery import expand_frontier
 
-            self.store.append("discovered", expand_frontier(live, crawl_id), crawl_id)
+            expand_input = live
+            if status_aware:
+                # surfaced 3xx targets ride the SAME discovery path: the
+                # redirect span (kind='redirect', media_ref=target) becomes a
+                # link span so extract_outlinks counts it toward in-link
+                # degree like any citation — a target redirected to from many
+                # URLs is prioritized exactly like a much-cited page
+                red = live_raw.where(F.col("status") == OP_REDIRECT).select(
+                    "doc_id",
+                    F.transform(
+                        "spans",
+                        lambda s: F.struct(
+                            F.lit("link").alias("kind"),
+                            s["text"].alias("text"),
+                            s["media_ref"].alias("media_ref"),
+                            s["offset"].alias("offset"),
+                        ),
+                    ).alias("spans"),
+                )
+                expand_input = live.unionByName(red)
+            self.store.append(
+                "discovered", expand_frontier(expand_input, crawl_id), crawl_id
+            )
 
         if conditional and "etag" in live_raw.columns:
             # persist fresh validators (and re-confirmations) for the next
@@ -469,6 +503,16 @@ class CrawlEngine:
             live_for_diff = live.unionByName(unchanged)
 
         fetched = live.select(F.col("doc_id").alias("url_c"))
+        if status_aware:
+            # a redirecting URL is fully handled (target queued via the
+            # discovery path) — it joins the seen set so no later round
+            # spends budget re-fetching the hop; the chain's TERMINAL is
+            # what gets fetched and committed
+            fetched = fetched.unionByName(
+                live_raw.where(F.col("status") == OP_REDIRECT).select(
+                    F.col("doc_id").alias("url_c")
+                )
+            )
         self.store.append("fetched", fetched, crawl_id)
         if self.seen_index is not None:
             self.seen_index.append(fetched, crawl_id)
@@ -490,10 +534,18 @@ class CrawlEngine:
             if (conditional and status_aware)
             else 0
         )
+        n_redirected = (
+            int(live_raw.where(F.col("status") == OP_REDIRECT).count())
+            if status_aware
+            else 0
+        )
         stats["scheduled"] = int(n_scheduled)
         stats["fetched"] = int(n_fetched)
         stats["not_modified"] = n_not_modified
-        stats["failed"] = int(n_scheduled) - int(n_fetched) - n_not_modified
+        stats["redirected"] = n_redirected
+        stats["failed"] = (
+            int(n_scheduled) - int(n_fetched) - n_not_modified - n_redirected
+        )
         # re-commit the manifest entry with the fetch-stage counts included —
         # idempotent overwrite of the same round; the manifest is the round's
         # ops record (crawl_log twin), so scheduled/fetched/failed belong in it
@@ -692,7 +744,7 @@ class CrawlEngine:
         retry pressure decays instead of starving fresh URLs."""
         failed = self.ops_log_as_of(crawl_id).where(
             (F.col("crawl_id") == crawl_id)
-            & ~F.col("status").isin(OP_SUCCESS, OP_NOT_MODIFIED)
+            & ~F.col("status").isin(OP_SUCCESS, OP_NOT_MODIFIED, OP_REDIRECT)
         )
         return failed.select(
             F.col("url_c").alias("url"),

@@ -122,6 +122,27 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path.startswith("/slow"):
             time.sleep(4.0)
             self._reply(200, "text/plain", b"too late")
+        elif self.path.startswith("/r/"):
+            # redirect fixtures: hop1 → 301 absolute → hop2 → 302 RELATIVE
+            # → /link/d; loop → 308 self-loop; noloc → 301 without Location
+            name = self.path.rsplit("/", 1)[1]
+            if name == "hop1":
+                self.send_response(301)
+                self.send_header(
+                    "Location", f"http://{self.headers['Host']}/r/hop2"
+                )
+            elif name == "hop2":
+                self.send_response(302)
+                self.send_header("Location", "/link/d")
+            elif name == "loop":
+                self.send_response(308)
+                self.send_header(
+                    "Location", f"http://{self.headers['Host']}/r/loop"
+                )
+            else:  # noloc
+                self.send_response(301)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
         elif self.path == "/missing":
             self.send_error(404, "not here")
         elif self.path == "/boom":
@@ -483,3 +504,90 @@ def test_conditional_crawl_round_over_http(spark, tmp_path, server):
     for u in urls:
         if u != f"{server}/cond/2":
             assert v1[u] == v0[u]
+
+
+# -- surfaced redirects: fetch layer + engine composition ---------------------
+
+
+def test_fetch_one_redirect_surfacing(server):
+    """follow_redirects=False turns a 3xx into its own status row: absolute
+    target in the message (error-row format) AND as a kind='redirect' span;
+    a RELATIVE Location resolves against the requested URL; a 3xx without
+    Location is a plain error; the default still chases the chain silently."""
+    ok = fetch_one(f"{server}/r/hop1", 5.0)
+    assert ok[0] == "success"  # urllib followed 301 → 302 → /link/d
+
+    red = fetch_one(f"{server}/r/hop1", 5.0, follow_redirects=False)
+    assert red[0] == "redirect"
+    assert red[1] == f"301: {server}/r/hop2"
+    assert red[2] == [
+        {"kind": "redirect", "text": None,
+         "media_ref": f"{server}/r/hop2", "offset": 0}
+    ]
+
+    rel = fetch_one(f"{server}/r/hop2", 5.0, follow_redirects=False)
+    assert rel[0] == "redirect" and rel[1] == f"302: {server}/link/d"
+
+    loop = fetch_one(f"{server}/r/loop", 5.0, follow_redirects=False)
+    assert loop[0] == "redirect" and loop[1] == f"308: {server}/r/loop"
+
+    nol = fetch_one(f"{server}/r/noloc", 5.0, follow_redirects=False)
+    assert nol[0] == "error" and "301" in nol[1]
+
+
+def test_redirects_feed_discovery_and_seen(spark, tmp_path, server):
+    """Surfaced 3xx end-to-end through crawl_round: the redirect is logged
+    as its own ops status (never a failure, never retried), the redirecting
+    URL joins the seen set, and its target enters the NEXT round's
+    discovered frontier through the outlink path — so a 2-hop chain
+    resolves one hop per round and the already-fetched terminal is blocked
+    by the seen filter instead of refetched."""
+    eng = CrawlEngine(spark, str(tmp_path / "store"))
+    params = SN.BloomParams.for_capacity(64, fp_rate=0.01, n_shards=4)
+    fetch = http_fetcher(timeout_s=5.0, follow_redirects=False)
+
+    frontier = spark.createDataFrame(
+        [
+            (f"{server}/r/hop1", None, 1.0, 0, 0, "pending"),
+            (f"{server}/link/d", None, 1.0, 0, 1, "pending"),
+        ],
+        "url string, host string, priority double, discovered_crawl_id int, "
+        "seed_rank int, state string",
+    )
+    s0 = eng.crawl_round(
+        frontier, _hosts(spark, server), fetch, 0,
+        bloom_params=params, mode="discover", discover_links=True,
+    )
+    assert s0["scheduled"] == 2
+    assert s0["fetched"] == 1       # /link/d — the only document
+    assert s0["redirected"] == 1    # /r/hop1 surfaced, not followed
+    assert s0["failed"] == 0        # a redirect is NOT a failure
+
+    ops = eng.store.read("ops_log", as_of=0).where(F.col("stage") == "fetch")
+    red = ops.where(F.col("status") == "redirect").collect()
+    assert len(red) == 1
+    assert red[0].url_c == f"{server}/r/hop1"
+    assert red[0].message == f"301: {server}/r/hop2"
+    assert eng.retry_frontier(crawl_id=0).count() == 0
+
+    disc0 = {r.url for r in eng.discovered_frontier(0).collect()}
+    assert f"{server}/r/hop2" in disc0
+
+    # round 1: the discovered hop2 redirects again (relative Location)
+    s1 = eng.crawl_round(
+        eng.discovered_frontier(0), _hosts(spark, server), fetch, 1,
+        bloom_params=params, mode="discover", discover_links=True,
+    )
+    assert s1["redirected"] == 1 and s1["fetched"] == 0 and s1["failed"] == 0
+    disc1 = {r.url for r in eng.discovered_frontier(1).collect()}
+    assert disc1 == {f"{server}/link/d"}
+
+    # both hops are SEEN (fully handled), so neither is ever re-scheduled,
+    # and the chain's terminal — already fetched in round 0 — is blocked
+    seen = {r.url_c for r in eng.seen_urls_as_of(1).collect()}
+    assert {f"{server}/r/hop1", f"{server}/r/hop2", f"{server}/link/d"} <= seen
+    s2 = eng.crawl_round(
+        eng.discovered_frontier(1), _hosts(spark, server), fetch, 2,
+        bloom_params=params, mode="discover", discover_links=True,
+    )
+    assert s2["scheduled"] == 0  # chain closed without a single refetch
