@@ -260,6 +260,24 @@ def run_export_shards(args) -> int:
     return 0
 
 
+def run_export_warc(args) -> int:
+    from dataset_crawler_spark.sources.warc import write_warc
+
+    spark, store, eng = _engine(args)
+    as_of = args.as_of if args.as_of is not None else eng.store.last_round()
+    if as_of is None:
+        print("export-warc: store has no committed rounds", file=sys.stderr)
+        return 2
+    summary = write_warc(
+        eng.visible_docs(as_of),
+        args.out,
+        warc_date=args.warc_date,
+        n_files=args.n_files,
+    )
+    print(json.dumps({"store": store, "as_of": as_of, "out": args.out, **summary}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     # backward compatibility: bare flags mean the synthetic smoke run
@@ -343,6 +361,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="cut every duplicated K-token span before packing "
                          "(Lee et al. ExactSubstr removal; operators/substr.py)")
     pe.set_defaults(fn=run_export_shards)
+
+    pww = sub.add_parser(
+        "export-warc",
+        help="export the visible corpus as WARC/1.1 response records "
+             "(ISO 28500 — consumable by any WARC reader)",
+    )
+    _add_common(pww)
+    pww.add_argument("--out", required=True, help="output directory for WARC files")
+    pww.add_argument("--as-of", type=int, default=None,
+                     help="round to export (default: last committed)")
+    pww.add_argument("--n-files", type=int, default=8)
+    pww.add_argument("--warc-date", default="2026-01-01T00:00:00Z",
+                     help="WARC-Date stamp (deterministic output requires an "
+                          "explicit date, never wall-clock)")
+    pww.set_defaults(fn=run_export_warc)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -117,6 +117,35 @@ def test_cli_export_shards_closes_the_loop(spark, tmp_path, capsys):
                  "--out", str(tmp_path / "x")]) == 2
 
 
+def test_cli_export_warc_closes_the_loop(spark, tmp_path, capsys):
+    """crawl store → archival artifact: synthetic rounds populate a store,
+    export-warc writes ISO 28500 response records, and ingest-warc on the
+    OUTPUT reconstructs the same visible doc set — the full
+    crawl → archive → re-ingest cycle through two different stores."""
+    from dataset_crawler_spark.streaming.rounds import CrawlEngine
+
+    store = str(tmp_path / "s")
+    assert main(["--rounds", "1", "--n-urls", "1000", "--n-hosts", "10",
+                 "--store", store]) == 0
+    out = str(tmp_path / "archive")
+    rc = main(["export-warc", "--store", store, "--out", out, "--n-files", "2",
+               "--warc-date", "2026-03-04T05:06:07Z"])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    eng = CrawlEngine(spark, store)
+    visible = {r.doc_id for r in eng.visible_docs(0).select("doc_id").collect()}
+    assert line["n_records"] == len(visible) and line["n_files"] == 2
+
+    store2 = str(tmp_path / "reingest")
+    assert main(["ingest-warc", "--path", out + "/part-*", "--store", store2]) == 0
+    st = SnapshotStore(store2, spark)
+    assert {r.doc_id for r in st.read("versions", as_of=0).collect()} == visible
+
+    # empty store is a clean error, not a stack trace
+    assert main(["export-warc", "--store", str(tmp_path / "nope2"),
+                 "--out", str(tmp_path / "y")]) == 2
+
+
 def test_cli_crawl_then_refresh_revalidates(spark, tmp_path, server, capsys):
     """The full validator lifecycle across subcommands: `crawl --conditional`
     CAPTURES validators during discovery; `refresh` schedules by Poisson

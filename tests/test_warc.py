@@ -262,3 +262,139 @@ def test_html_to_text_entity_order_and_custom_elements(spark):
     df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
     got = [r[0] for r in df.select(html_to_text(F.col("html"))).collect()]
     assert got == [w for _, w in cases]
+
+
+# -- WARC write sink -----------------------------------------------------------
+
+
+def _walk_warc_bytes(data: bytes):
+    """Parse raw WARC bytes the way an EXTERNAL reader does — walk
+    Content-Length, demand the two-CRLF trailer — and yield
+    (warc_headers, http_block_bytes). Proves the sink's framing against
+    the spec, not just against this module's marker-splitting reader."""
+    import re as _re
+
+    pos = 0
+    while pos < len(data):
+        assert data[pos:].startswith(b"WARC/1.1\r\n"), data[pos : pos + 20]
+        hdr_end = data.index(b"\r\n\r\n", pos)
+        headers = data[pos:hdr_end].decode()
+        cl = int(_re.search(r"(?m)^Content-Length: (\d+)$", headers).group(1))
+        block = data[hdr_end + 4 : hdr_end + 4 + cl]
+        trailer = data[hdr_end + 4 + cl : hdr_end + 4 + cl + 4]
+        assert trailer == b"\r\n\r\n", trailer
+        yield headers, block
+        pos = hdr_end + 4 + cl + 4
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    """write_warc → read_warc recovers every document (including unicode
+    bodies and a body that MENTIONS the record marker version string
+    mid-line), fields are spec-shaped (response type, deterministic
+    urn:uuid ids, byte-correct Content-Length), and the raw bytes parse
+    under a Content-Length walk."""
+    import re
+
+    from dataset_crawler_spark.sources.warc import write_warc
+
+    docs = spark.createDataFrame(
+        [
+            ("http://ex.org/a", "hello world"),
+            ("http://ex.org/b", "unicode éé body"),
+            ("http://ex.org/c", "mentions WARC/1.1 mid line"),
+            ("http://ex.org/empty", ""),
+        ],
+        "doc_id string, text string",
+    )
+    out = tmp_path / "out"
+    stats = write_warc(docs, str(out), warc_date="2026-02-03T04:05:06Z", n_files=2)
+    assert stats == {"n_records": 4, "n_files": 2}
+
+    back = read_warc(spark, str(out))
+    rows = {r.target_uri: r for r in back.collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r.warc_type == "response"
+        assert r.http_status == 200
+        assert r.content_type == "text/plain"
+        assert r.warc_date == "2026-02-03T04:05:06Z"
+        assert re.fullmatch(
+            r"<urn:uuid:[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}>", r.record_id
+        )
+    got = {r.doc_id: r.spans[0].text for r in warc_to_documents(spark, str(out)).collect()}
+    assert got == {r.doc_id: r.text for r in docs.collect()}
+
+    # external-reader framing: Content-Length walk over every part file,
+    # HTTP-level Content-Length counts BYTES (the éé body is chars+2)
+    n = 0
+    for f in sorted(out.glob("part-*")):
+        for headers, block in _walk_warc_bytes(f.read_bytes()):
+            n += 1
+            m = re.search(rb"(?m)^Content-Length: (\d+)\r$", block)
+            body = block.split(b"\r\n\r\n", 1)[1]
+            assert int(m.group(1)) == len(body)
+    assert n == 4
+
+
+def test_write_warc_deterministic(spark, tmp_path):
+    """Same corpus + same date ⇒ byte-identical output (no RNG, no
+    wall-clock — the export-shards determinism contract)."""
+    from dataset_crawler_spark.sources.warc import write_warc
+
+    docs = spark.createDataFrame(
+        [(f"http://ex.org/{i}", f"doc {i} body") for i in range(50)],
+        "doc_id string, text string",
+    )
+    a, b = tmp_path / "a", tmp_path / "b"
+    write_warc(docs, str(a), n_files=4)
+    write_warc(docs, str(b), n_files=4)
+
+    def contents(d):
+        return [f.read_bytes() for f in sorted(d.glob("part-*"))]
+
+    ca, cb = contents(a), contents(b)
+    assert len(ca) == 4 and ca == cb
+
+
+def test_write_warc_interleaved_overrides_and_header_safety(spark, tmp_path):
+    """Interleaved (doc_id, spans) input flattens text spans in offset
+    order; per-row http_status/content_type columns override the defaults
+    (404 gets its canonical reason, read back as status 404); CR/LF in a
+    hostile doc_id cannot smuggle a header line."""
+    from dataset_crawler_spark.sources.warc import write_warc
+
+    span = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    inter = spark.createDataFrame(
+        [
+            (
+                "http://ex.org/two-spans",
+                [("text", "second", None, 10), ("text", "first", None, 0)],
+                200,
+                "text/html",
+            ),
+            ("http://ex.org/gone", [("text", "nope", None, 0)], 404, "text/html"),
+            (
+                "http://evil.example/x\r\nWARC-Type: smuggled",
+                [("text", "payload", None, 0)],
+                200,
+                None,
+            ),
+        ],
+        f"doc_id string, spans {span}, http_status int, content_type string",
+    )
+    out = tmp_path / "out"
+    stats = write_warc(inter, str(out), n_files=1)
+    assert stats["n_records"] == 3
+
+    rows = {r.target_uri: r for r in read_warc(spark, str(out)).collect()}
+    assert rows["http://ex.org/two-spans"].body == "first second"
+    assert rows["http://ex.org/two-spans"].content_type == "text/html"
+    assert rows["http://ex.org/gone"].http_status == 404
+    # hostile URI: CR/LF stripped, so the smuggle attempt stays on ONE
+    # header line in the raw bytes and no record acquired a forged
+    # WARC-Type (the reader's \S+ grammar truncates the echo at the space)
+    assert all(r.warc_type == "response" for r in rows.values())
+    raw = b"".join(f.read_bytes() for f in sorted(out.glob("part-*")))
+    assert b"WARC-Target-URI: http://evil.example/xWARC-Type: smuggled\r\n" in raw
+    assert b"\r\nWARC-Type: smuggled" not in raw
+    assert b"HTTP/1.1 404 Not Found\r\n" in raw
