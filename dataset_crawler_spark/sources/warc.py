@@ -208,10 +208,32 @@ def write_warc(
     if "spans" in docs.columns and "text" not in docs.columns:
         from dataset_crawler_spark.sources.training_export import spans_to_text
 
+        # media-only docs (the warc_to_documents shape for images/audio/
+        # video: one media span, no text) round-trip through the content
+        # type: export as "<kind>/unknown" with an empty body, so re-ingest
+        # maps them straight back to the same media span (the bytes were
+        # never stored — decode is the multimodal stage's job). A doc with
+        # BOTH text and media spans exports its flattened text; a single
+        # response record has one content type, so inline media refs ride
+        # the text, not the header — the one lossy case, by ISO mapping.
+        derived_ct = F.when(
+            ~F.expr("exists(spans, s -> s.kind = 'text')"),
+            F.concat(
+                F.expr("filter(spans, s -> s.kind != 'text')[0].kind"),
+                F.lit("/unknown"),
+            ),
+        )
+        docs = docs.withColumn("_derived_ct", derived_ct)
         keep = [c for c in docs.columns if c != "spans"]
-        docs = spans_to_text(docs).join(docs.select(*keep), "doc_id") if len(
-            keep
-        ) > 1 else spans_to_text(docs)
+        docs = spans_to_text(docs.select("doc_id", "spans")).join(
+            docs.select(*keep), "doc_id"
+        )
+        if "content_type" in keep:
+            docs = docs.withColumn(
+                "content_type", F.coalesce("content_type", "_derived_ct")
+            ).drop("_derived_ct")
+        else:
+            docs = docs.withColumnRenamed("_derived_ct", "content_type")
 
     def hdr_safe(c):  # header values must be single-line
         return F.regexp_replace(c.cast("string"), "[\\r\\n]", "")

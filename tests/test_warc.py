@@ -379,12 +379,27 @@ def test_write_warc_interleaved_overrides_and_header_safety(spark, tmp_path):
                 200,
                 None,
             ),
+            # media-only doc (the warc_to_documents shape): no text span —
+            # must round-trip back to the SAME media span via the derived
+            # "<kind>/unknown" content type, not flatten to empty text
+            (
+                "http://ex.org/pic.jpg",
+                [("image", None, "http://ex.org/pic.jpg", 0)],
+                200,
+                None,
+            ),
         ],
         f"doc_id string, spans {span}, http_status int, content_type string",
     )
     out = tmp_path / "out"
     stats = write_warc(inter, str(out), n_files=1)
-    assert stats["n_records"] == 3
+    assert stats["n_records"] == 4
+
+    docs_back = {r.doc_id: r.spans for r in warc_to_documents(spark, str(out)).collect()}
+    pic = docs_back["http://ex.org/pic.jpg"]
+    assert [(s.kind, s.text, s.media_ref, s.offset) for s in pic] == [
+        ("image", None, "http://ex.org/pic.jpg", 0)
+    ]
 
     rows = {r.target_uri: r for r in read_warc(spark, str(out)).collect()}
     assert rows["http://ex.org/two-spans"].body == "first second"
