@@ -97,6 +97,8 @@ ANALYTIC_QUERIES = [
     "graph_doc_kcore",
     "engine_incremental_pagerank",
     "graph_doc_harmonic",
+    "graph_doc_communities",
+    "dedup_containment",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

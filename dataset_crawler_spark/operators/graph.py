@@ -906,3 +906,84 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame, n_iter: int = 8) -> DataFrame
         ).localCheckpoint(eager=False)
         frontier = nxt
     return settled
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara, Phys. Rev. E 2007), made deterministic: every node
+    starts labeled with itself; each round every node adopts the label
+    that is most frequent among its neighbors, ties broken by MINIMUM
+    label, isolated nodes keeping their current label. Fixed ``n_iter``
+    synchronous rounds (the semi-synchronous variant of Cordasco &
+    Gargano, BASNA 2010 — asynchronous LPA's update order is
+    partition-dependent, which a cross-engine value-hash cannot allow).
+
+    Communities are the density signal the connectivity operators miss:
+    connected_components (clustering.py) answers "reachable at all" —
+    one bridge edge merges two mirror farms into one component — while
+    LPA's frequency vote keeps densely-linked host/doc neighborhoods
+    (mirror rings, template families, link farms) separate unless the
+    bridge outvotes them. Complements kcore (dense-subgraph membership)
+    and triangle_counts (local clustering) with an actual partition.
+
+    ``edges``: any (src, dst) pair list — normalized to distinct
+    undirected pairs then expanded to both orientations, exactly like
+    ``kcore``. ``nodes``: optional (node) universe for isolated nodes.
+
+    Shape (100 TB): per round ONE equi-join of the edge list with the
+    label table (both hash-partitioned on the node key) + ONE two-key
+    hash aggregate (node,label count, map-side combinable) + ONE arg-min
+    struct aggregate per node — no window function, no driver-side
+    iteration, no RNG. Lineage cut per round with non-eager
+    localCheckpoint like the pagerank/CC/kcore loops.
+
+    Returns (node, community) — community = the winning label (a node id).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    if nodes is None:
+        nodes = e.select(F.col("src").alias("node")).distinct()
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("community")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(n_iter):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "community")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # arg-max count with min-label tie-break as ONE struct min:
+        # (-cnt, label) ascending == (cnt desc, label asc)
+        best = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("_nc"), F.col("community").alias("_l")
+                    )
+                ).alias("_b")
+            )
+            .select("node", F.col("_b._l").alias("_new"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("_new", "community").alias("community"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -74,6 +74,8 @@ _DRIVER_FIRST = [
     "graph_doc_cocitation",
     "crawl_redirect_resolve",
     "graph_doc_bfs_depth",
+    "graph_doc_communities",
+    "dedup_containment",
     # latest green row r02 (never re-sampled since)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
@@ -6259,4 +6261,175 @@ def graph_doc_bfs_depth(spark, sf_dir):
     return d.join(depths, d["doc_id"] == depths["node"], "left").select(
         "doc_id",
         F.coalesce(F.col("depth"), F.lit(-1).cast("long")).alias("depth"),
+    )
+
+
+_LPA_ITER = 4
+
+
+def _lpa_sql() -> str:
+    """DuckDB twin of operators/graph.label_propagation over the same
+    deterministic doc outlink graph as graph_doc_kcore: the fixed
+    synchronous rounds unrolled as chained CTEs — per round a
+    (node, community) vote count, an arg-max with min-community tie-break
+    (ROW_NUMBER over cnt DESC, community ASC), and a COALESCE carry for
+    nodes with no neighbors. Integer-only algebra, bitwise value-hash."""
+    cte = [
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
+        f"""raw AS (
+      SELECT d.doc_id AS src,
+             {h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")}
+               % n.n_docs AS dst
+      FROM documents d CROSS JOIN n
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj)""",
+        """und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst)""",
+        "e0 AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und)",
+        "r0 AS (SELECT doc_id AS node, doc_id AS community FROM documents)",
+    ]
+    for i in range(1, _LPA_ITER + 1):
+        cte.append(
+            f"""v{i} AS (
+      SELECT e.dst AS node, r.community AS community, COUNT(*) AS cnt
+      FROM e0 e JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst, r.community)"""
+        )
+        cte.append(
+            f"""b{i} AS (
+      SELECT node, community FROM (
+        SELECT node, community,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, community ASC) AS rn
+        FROM v{i}) WHERE rn = 1)"""
+        )
+        cte.append(
+            f"""r{i} AS (
+      SELECT r.node, COALESCE(b.community, r.community) AS community
+      FROM r{i - 1} r LEFT JOIN b{i} b USING (node))"""
+        )
+    cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"\n    SELECT node AS doc_id, community FROM r{_LPA_ITER}"
+    )
+
+
+@register("graph_doc_communities", _lpa_sql())
+def graph_doc_communities(spark, sf_dir):
+    """Community detection over the doc outlink graph by deterministic
+    synchronous label propagation (operators/graph.label_propagation) —
+    the density partition the connectivity family cannot give: CC merges
+    two mirror farms joined by one stray link into one component, LPA's
+    neighbor-frequency vote keeps them apart unless the bridge outvotes
+    the farms. Community id is a frontier feature next to kcore
+    membership and spam mass (cap budget per community, not just per
+    host), and a leakage-safe-split key coarser than dup-clusters. Same
+    'lk|' h60-derived link corpus as graph_doc_kcore/crawl_outlink_*, so
+    the graph signals compose row-for-row; the DuckDB twin unrolls the
+    identical fixed rounds.
+
+    Scale shape (100 TB): per round one edges⋈labels equi-join + one
+    map-side-combinable (node, community) count + one struct-min arg-max —
+    no window function, no RNG, no driver-side iteration; lineage cut per
+    round. Reference anchor: no such operator (its dedup/grouping surface
+    is the flat seen-set, DataCrawler.java:359-361); LLM-pipeline
+    extension surface like the rest of the graph family."""
+    from dataset_crawler_spark.operators.graph import label_propagation
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    i = F.col("doc_id")
+    raw = d.crossJoin(F.broadcast(n)).select(
+        i.alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda j: F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit("lk|"), i.cast("string"),
+                            F.lit("|"), j.cast("string"),
+                        )
+                    ),
+                    F.col("n_docs"),
+                ),
+            )
+        ).alias("dst"),
+    )
+    labels = label_propagation(
+        raw, nodes=d.select(i.alias("node")), n_iter=_LPA_ITER
+    )
+    return labels.select(F.col("node").alias("doc_id"), "community")
+
+
+#: containment threshold: max-side containment at or above this makes the
+#: pair a subset-duplicate candidate (Broder 1997's resemblance/containment
+#: split — a short doc fully quoted inside a long one has jaccard ≈
+#: |short|/|long| → invisible to the 0.2-jaccard gate, but containment 1.0)
+_CONTAIN_MIN = 0.6
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {_SHINGLE_SQL},
+    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+    kept AS (SELECT doc_id, s FROM sh ANTI JOIN hot USING (s)),
+    card AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    c AS (
+      SELECT doc_a, doc_b,
+             ROUND(common * 1.0 / ca.n, 4) AS contain_a,
+             ROUND(common * 1.0 / cb.n, 4) AS contain_b
+      FROM pairs JOIN card ca ON ca.doc_id = doc_a
+                 JOIN card cb ON cb.doc_id = doc_b)
+    SELECT doc_a, doc_b, contain_a, contain_b FROM c
+    WHERE greatest(contain_a, contain_b) >= {_CONTAIN_MIN}
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Shingle containment (Broder, SEQUENCES 1997: containment c(A,B) =
+    |S(A)∩S(B)| / |S(A)| as distinct from resemblance): the
+    subset-duplicate detector the symmetric measures miss — a page quoted
+    whole inside a longer page scores jaccard |A|/|B| (arbitrarily small)
+    but containment 1.0. THE dedup axis for boilerplate-wrapped
+    syndication and quote-inflated pages in a training corpus; pairs
+    whose max-side containment ≥ {_CONTAIN_MIN} are emitted with both
+    directed scores so the keep policy can prefer the superset or the
+    subset. Same doc-frequency-capped shingle space as
+    dedup_ngram_jaccard (one hot shingle shared by k docs is k² candidate
+    pairs — the cap is the 100-TB guard), same
+    aggregate-then-broadcast-anti-join shape; only the normalizer
+    changes: per-side cardinality instead of the union."""
+    sh = _shingles_df(spark, sf_dir).cache()
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > _SHINGLE_DF_CAP)
+        .select("s")
+    )
+    kept = sh.join(F.broadcast(hot), "s", "left_anti")
+    card = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("common") / F.col("na"), 4).alias("contain_a"),
+            F.round(F.col("common") / F.col("nb"), 4).alias("contain_b"),
+        )
+        .where(F.greatest("contain_a", "contain_b") >= _CONTAIN_MIN)
     )

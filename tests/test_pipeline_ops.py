@@ -2152,3 +2152,87 @@ def test_bfs_fixpoint_at_driver_scale(spark):
     finally:
         QL._BFS_ITER = old
     assert more == base
+
+
+def test_label_propagation_bridged_triangles(spark):
+    """Synchronous LPA on two triangles joined by one bridge edge: the
+    bridge must NOT merge the communities (the density contrast with
+    connected_components, which would). Hand-traced with the min-label
+    tie-break: after 4 sync rounds {0,1,2} all carry 0 and {10,11,12} all
+    carry 2 (triangle B converges to its bridge endpoint's side-A-facing
+    min, 2 — not to 10 — because round 1 labels 10 with its min neighbor
+    2 and the vote then keeps it). Two extra rounds change nothing.
+    Dirty input (reversed duplicate, self-loop) is absorbed; an isolated
+    node passed via ``nodes`` labels itself."""
+    from dataset_crawler_spark.operators.graph import label_propagation
+
+    tri_a = [(0, 1), (0, 2), (1, 2)]
+    tri_b = [(10, 11), (10, 12), (11, 12)]
+    bridge = [(2, 10)]
+    dirty = [(1, 0), (7, 7)]
+    edges = spark.createDataFrame(
+        tri_a + tri_b + bridge + dirty, "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(n,) for n in [0, 1, 2, 10, 11, 12, 99]], "node long")
+
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, nodes=nodes, n_iter=4).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 10: 2, 11: 2, 12: 2, 99: 99}
+
+    stable = {
+        r.node: r.community
+        for r in label_propagation(edges, nodes=nodes, n_iter=6).collect()
+    }
+    assert stable == got
+
+    # direction invariance: fully reversed edges give the same partition
+    rev = spark.createDataFrame(
+        [(b, a) for a, b in tri_a + tri_b + bridge], "src long, dst long"
+    )
+    assert {
+        r.node: r.community
+        for r in label_propagation(rev, nodes=nodes, n_iter=4).collect()
+    } == got
+
+
+def test_communities_registered_query_properties(spark):
+    """graph_doc_communities at fixture scale: every doc gets exactly one
+    row, every community id is itself a doc id (LPA labels are node ids),
+    and the partition is non-trivial — more than one community, none of
+    them the whole corpus."""
+    from dataset_crawler_spark.plans.queries import graph_doc_communities
+
+    rows = graph_doc_communities(spark, "/root/testdata/sf0.01").collect()
+    docs = {r.doc_id for r in rows}
+    assert len(rows) == len(docs)
+    comms = {r.community for r in rows}
+    assert comms <= docs
+    assert 1 < len(comms) < len(docs)
+
+
+def test_containment_planted_subset(spark, tmp_path):
+    """dedup_containment on a planted subset pair: doc 1's text appears
+    verbatim inside doc 2's longer text, so every 3-shingle of doc 1 is a
+    shingle of doc 2 — contain_a must be exactly 1.0 while contain_b < 1,
+    i.e. the directed measure catches the quote-inflation case whose
+    jaccard (|A|/|B|) sits under the symmetric gate. An unrelated doc 3
+    must pair with nobody."""
+    from dataset_crawler_spark.plans.queries import dedup_containment
+
+    inner = " ".join(f"w{i}" for i in range(10))
+    outer = inner + " " + " ".join(f"x{i}" for i in range(20))
+    other = " ".join(f"z{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, other)], "doc_id long, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = dedup_containment(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.contain_a == 1.0
+    # doc 1 has 8 shingles, doc 2 has 28: 8/28 rounded to 4 dp
+    assert r.contain_b == round(8 / 28, 4)

@@ -406,3 +406,51 @@ def test_bfs_round_is_join_distinct_anti_join(spark):
     rp = _plan(one)
     assert "CartesianProduct" not in rp
     assert rp.count("LeftAnti") == 1
+
+
+def test_lpa_round_is_equi_join_plus_two_aggregates(spark):
+    """Every label-propagation round = one equi-join of edges with labels +
+    one (node, community) count aggregate + one struct-min arg-max — no
+    window function (a global window would single-partition the vote), no
+    Python stage, no cartesian. The final plan sits behind per-round
+    lineage cuts, so the round shape is checked on an uncheckpointed
+    single round built from the operator's own algebra."""
+    from dataset_crawler_spark.plans.queries import graph_doc_communities
+
+    p = _plan(graph_doc_communities(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert re.search(PY_STAGES, p) is None
+    assert "Window" not in p
+
+    e = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if a != b],
+        "src long, dst long",
+    )
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    votes = (
+        e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"), "community")
+        .agg(F.count("*").alias("cnt"))
+    )
+    best = votes.groupBy("node").agg(
+        F.min(F.struct((-F.col("cnt")).alias("_nc"), F.col("community").alias("_l")))
+    )
+    rp = _plan(best)
+    assert "Window" not in rp
+    assert "CartesianProduct" not in rp
+    assert re.search(PY_STAGES, rp) is None
+
+
+def test_containment_rides_the_capped_shingle_join(spark):
+    """dedup_containment must keep dedup_ngram_jaccard's scale guards: the
+    hot-shingle cap applied as a broadcast anti-join BEFORE the pair
+    self-join, the pair join keyed on the shingle (never cartesian), and
+    no Python stage anywhere."""
+    from dataset_crawler_spark.plans.queries import dedup_containment
+
+    p = _plan(dedup_containment(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert re.search(PY_STAGES, p) is None
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
