@@ -99,6 +99,9 @@ ANALYTIC_QUERIES = [
     "graph_doc_harmonic",
     "graph_doc_communities",
     "dedup_containment",
+    "engine_incremental_lpa",
+    "graph_doc_modularity",
+    "dedup_cdc_chunks",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

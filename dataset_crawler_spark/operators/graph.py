@@ -912,6 +912,7 @@ def label_propagation(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     n_iter: int = 4,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan,
     Albert & Kumara, Phys. Rev. E 2007), made deterministic: every node
@@ -933,6 +934,12 @@ def label_propagation(
     ``edges``: any (src, dst) pair list — normalized to distinct
     undirected pairs then expanded to both orientations, exactly like
     ``kcore``. ``nodes``: optional (node) universe for isolated nodes.
+    ``init``: optional (node, community) standing labels to warm-start
+    from — the incremental-refresh mode (engine_incremental_lpa folds a
+    new round's edges into last round's communities at refresh-round
+    cost instead of re-converging from singletons); universe nodes
+    missing from ``init`` start as their own label, exactly like a cold
+    start.
 
     Shape (100 TB): per round ONE equi-join of the edge list with the
     label table (both hash-partitioned on the node key) + ONE two-key
@@ -959,9 +966,18 @@ def label_propagation(
         nodes = e.select(F.col("src").alias("node")).distinct()
     else:
         nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("community")).localCheckpoint(
-        eager=False
-    )
+    if init is None:
+        labels = nodes.select("node", F.col("node").alias("community"))
+    else:
+        seed = init.select(
+            F.col(init.columns[0]).alias("node"),
+            F.col(init.columns[1]).alias("_init"),
+        )
+        labels = (
+            nodes.join(seed, "node", "left")
+            .select("node", F.coalesce("_init", F.col("node")).alias("community"))
+        )
+    labels = labels.localCheckpoint(eager=False)
     for _ in range(n_iter):
         votes = (
             e.join(labels.withColumnRenamed("node", "src"), "src")

@@ -76,7 +76,18 @@ _DRIVER_FIRST = [
     "graph_doc_bfs_depth",
     "graph_doc_communities",
     "dedup_containment",
-    # latest green row r02 (never re-sampled since)
+    "engine_incremental_lpa",
+    "graph_doc_modularity",
+    # registered mid-round-4 AFTER the rotation landed — never sampled, so
+    # they outrank the stale-but-green r02 tail below
+    "dedup_cdc_chunks",
+    "sketch_hll_distinct",
+    "graph_doc_triangles",
+    "crawl_registered_domain",
+    "engine_incremental_hll",
+    # latest green row r02 (never re-sampled since; the driver window is
+    # ~50, so the tail of this list may not fit — everything below already
+    # carries an r02 green row, everything above needs its FIRST row)
     "j14_equivalence_self_join",
     "k2_upsert_merge",
     "j2_history_6way",
@@ -6267,14 +6278,11 @@ def graph_doc_bfs_depth(spark, sf_dir):
 _LPA_ITER = 4
 
 
-def _lpa_sql() -> str:
-    """DuckDB twin of operators/graph.label_propagation over the same
-    deterministic doc outlink graph as graph_doc_kcore: the fixed
-    synchronous rounds unrolled as chained CTEs — per round a
-    (node, community) vote count, an arg-max with min-community tie-break
-    (ROW_NUMBER over cnt DESC, community ASC), and a COALESCE carry for
-    nodes with no neighbors. Integer-only algebra, bitwise value-hash."""
-    cte = [
+def _doc_graph_cte() -> list[str]:
+    """Shared CTE prefix: the deterministic 'lk|' doc outlink graph (same
+    derivation as graph_doc_kcore) as directed ``raw``, normalized
+    undirected pairs ``und``, and both-orientation edges ``e0``."""
+    return [
         "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
         f"""raw AS (
       SELECT d.doc_id AS src,
@@ -6286,26 +6294,46 @@ def _lpa_sql() -> str:
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM raw WHERE src <> dst)""",
         "e0 AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und)",
-        "r0 AS (SELECT doc_id AS node, doc_id AS community FROM documents)",
     ]
-    for i in range(1, _LPA_ITER + 1):
+
+
+def _lpa_rounds(prefix: str, edges: str, r0_sql: str, n_iter: int) -> list[str]:
+    """Fixed synchronous LPA rounds as chained CTEs — per round a
+    (node, community) vote count, an arg-max with min-community tie-break
+    (ROW_NUMBER over cnt DESC, community ASC), and a COALESCE carry for
+    nodes with no neighbors. ``prefix`` namespaces the chain so a
+    warm-start twin can run two phases in one query."""
+    p = prefix
+    cte = [f"{p}r0 AS ({r0_sql})"]
+    for i in range(1, n_iter + 1):
         cte.append(
-            f"""v{i} AS (
+            f"""{p}v{i} AS (
       SELECT e.dst AS node, r.community AS community, COUNT(*) AS cnt
-      FROM e0 e JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst, r.community)"""
+      FROM {edges} e JOIN {p}r{i - 1} r ON r.node = e.src GROUP BY e.dst, r.community)"""
         )
         cte.append(
-            f"""b{i} AS (
+            f"""{p}b{i} AS (
       SELECT node, community FROM (
         SELECT node, community,
                ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, community ASC) AS rn
-        FROM v{i}) WHERE rn = 1)"""
+        FROM {p}v{i}) WHERE rn = 1)"""
         )
         cte.append(
-            f"""r{i} AS (
+            f"""{p}r{i} AS (
       SELECT r.node, COALESCE(b.community, r.community) AS community
-      FROM r{i - 1} r LEFT JOIN b{i} b USING (node))"""
+      FROM {p}r{i - 1} r LEFT JOIN {p}b{i} b USING (node))"""
         )
+    return cte
+
+
+_LPA_R0 = "SELECT doc_id AS node, doc_id AS community FROM documents"
+
+
+def _lpa_sql() -> str:
+    """DuckDB twin of operators/graph.label_propagation over the same
+    deterministic doc outlink graph as graph_doc_kcore. Integer-only
+    algebra, bitwise value-hash."""
+    cte = _doc_graph_cte() + _lpa_rounds("", "e0", _LPA_R0, _LPA_ITER)
     cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
     return (
         "WITH "
@@ -6433,3 +6461,321 @@ def dedup_containment(spark, sf_dir):
         )
         .where(F.greatest("contain_a", "contain_b") >= _CONTAIN_MIN)
     )
+
+
+#: warm-start split for the community refresh: 3 cold rounds on round-1
+#: edges, then 2 refresh rounds after round 2's links land (vs 4 cold — the
+#: refresh re-converges from standing communities instead of singletons)
+_ILPA_T1 = 3
+_ILPA_T2 = 2
+_ILPA_EDGE1_SQL = "({h} % 2) = 0"
+
+
+def _incr_lpa_sql() -> str:
+    """DuckDB twin of the warm-start community lifecycle: phase 1 runs
+    ``_ILPA_T1`` cold LPA rounds over the round-1 edge subset, phase 2
+    seeds from phase 1's communities (the universe is constant, so the
+    seed is a straight carry — new nodes would fall back to self-labels)
+    and runs ``_ILPA_T2`` refresh rounds over the full edge set. Same
+    chained-CTE round algebra as _lpa_sql, phase-prefixed."""
+    h_inc = h60_sql("'inc|' || CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)")
+    cte = _doc_graph_cte() + [
+        f"raw1 AS (SELECT src, dst FROM raw WHERE {_ILPA_EDGE1_SQL.format(h=h_inc)})",
+        """und1 AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw1 WHERE src <> dst)""",
+        "e1 AS (SELECT a AS src, b AS dst FROM und1 UNION ALL SELECT b, a FROM und1)",
+    ]
+    cte += _lpa_rounds("p1", "e1", _LPA_R0, _ILPA_T1)
+    cte += _lpa_rounds(
+        "p2", "e0", f"SELECT node, community FROM p1r{_ILPA_T1}", _ILPA_T2
+    )
+    cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"\n    SELECT node AS doc_id, community FROM p2r{_ILPA_T2}"
+    )
+
+
+@register("engine_incremental_lpa", _incr_lpa_sql())
+def engine_incremental_lpa(spark, sf_dir):
+    """Incremental community refresh — the communities member of the
+    engine's incremental-index family (minhash/signlsh/substr/CC/
+    pagerank/HLL all have per-round variants): round 1 converges cold
+    over the links known then ({t1} rounds from singletons); when round 2
+    lands the other half of the link corpus, the standing (node,
+    community) table warm-starts {t2} refresh rounds over the full graph
+    instead of re-converging from scratch. At 10^10 nodes the cold
+    converge is the O(everything) cost and refresh rounds are the
+    per-round price — exactly the warm-start contract
+    engine_incremental_pagerank pins for ranks. Round-1 edge subset is
+    h60-parity-derived so both engines split identically; the DuckDB twin
+    unrolls both phases."""
+    from dataset_crawler_spark.operators.graph import label_propagation
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    i = F.col("doc_id")
+    raw = d.crossJoin(F.broadcast(n)).select(
+        i.alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda j: F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit("lk|"), i.cast("string"),
+                            F.lit("|"), j.cast("string"),
+                        )
+                    ),
+                    F.col("n_docs"),
+                ),
+            )
+        ).alias("dst"),
+    )
+    e1 = raw.where(
+        F.pmod(
+            h60(
+                F.concat(
+                    F.lit("inc|"),
+                    F.col("src").cast("string"),
+                    F.lit("|"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+            F.lit(2),
+        )
+        == 0
+    )
+    nodes = d.select(i.alias("node"))
+    standing = label_propagation(e1, nodes=nodes, n_iter=_ILPA_T1)
+    refreshed = label_propagation(
+        raw, nodes=nodes, n_iter=_ILPA_T2, init=standing
+    )
+    return refreshed.select(F.col("node").alias("doc_id"), "community")
+
+
+engine_incremental_lpa.__doc__ = engine_incremental_lpa.__doc__.format(
+    t1=_ILPA_T1, t2=_ILPA_T2
+)
+
+
+_LPA_CTE_SQL = ",\n    ".join(
+    c.replace(" AS (", " AS MATERIALIZED (", 1)
+    for c in _doc_graph_cte() + _lpa_rounds("", "e0", _LPA_R0, _LPA_ITER)
+)
+
+
+@register(
+    "graph_doc_modularity",
+    f"""
+    WITH {_LPA_CTE_SQL},
+    lab AS MATERIALIZED (SELECT node, community FROM r{_LPA_ITER}),
+    m AS (SELECT COUNT(*) AS m FROM und),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM e0 GROUP BY src),
+    intra AS (
+      SELECT la.community, COUNT(*) AS intra_edges
+      FROM und u JOIN lab la ON la.node = u.a JOIN lab lb ON lb.node = u.b
+      WHERE la.community = lb.community GROUP BY la.community),
+    dsum AS (
+      SELECT l.community, COUNT(*) AS n_nodes,
+             SUM(COALESCE(d.deg, 0)) AS degree_sum
+      FROM lab l LEFT JOIN deg d ON d.node = l.node GROUP BY l.community)
+    SELECT s.community, s.n_nodes, s.degree_sum,
+           COALESCE(i.intra_edges, 0) AS intra_edges,
+           ROUND((4 * m.m * COALESCE(i.intra_edges, 0) - s.degree_sum * s.degree_sum)
+                 * 1.0 / (4 * m.m * m.m), 4) AS modularity_part
+    FROM dsum s LEFT JOIN intra i USING (community) CROSS JOIN m
+    """,
+)
+def graph_doc_modularity(spark, sf_dir):
+    """Per-community Newman–Girvan modularity contribution of the LPA
+    partition: Q_c = intra_c/m − (deg_c/2m)² — the partition-quality
+    readout that turns graph_doc_communities from a label table into a
+    monitorable signal (collapse-to-one-community and
+    shattered-to-singletons both show as Q → 0; a real community
+    structure holds Q markedly positive). Emitted per community so the
+    rollup can rank farms by cohesion; the global Q is the exact sum of
+    ``modularity_part``.
+
+    Determinism: every float is a single division of exact integers —
+    the per-row numerator 4·m·intra_c − deg_c² is integer algebra, so no
+    cross-row float accumulation exists anywhere and the 4dp round
+    cannot flake (the mix_source_token_shares lesson applied). Scale
+    shape: the LPA rounds (see graph_doc_communities) + two hash
+    aggregates + one pair join keyed on the undirected edge — all
+    node/edge-partitioned, the 1-row edge count broadcast."""
+    from dataset_crawler_spark.operators.graph import label_propagation
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    i = F.col("doc_id")
+    raw = d.crossJoin(F.broadcast(n)).select(
+        i.alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda j: F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit("lk|"), i.cast("string"),
+                            F.lit("|"), j.cast("string"),
+                        )
+                    ),
+                    F.col("n_docs"),
+                ),
+            )
+        ).alias("dst"),
+    )
+    und = (
+        raw.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e0 = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    lab = label_propagation(raw, nodes=d.select(i.alias("node")), n_iter=_LPA_ITER)
+    m = und.agg(F.count("*").alias("m"))
+    deg = e0.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "src", "node"
+    )
+    la = lab.select(F.col("node").alias("a"), F.col("community"))
+    lb = lab.select(F.col("node").alias("b"), F.col("community").alias("_cb"))
+    intra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("community") == F.col("_cb"))
+        .groupBy("community")
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    dsum = (
+        lab.join(deg, "node", "left")
+        .groupBy("community")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.coalesce("deg", F.lit(0))).alias("degree_sum"),
+        )
+    )
+    mm = F.col("m")
+    return (
+        dsum.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            "degree_sum",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            F.round(
+                (
+                    4 * mm * F.coalesce("intra_edges", F.lit(0))
+                    - F.col("degree_sum") * F.col("degree_sum")
+                )
+                / (4 * mm * mm),
+                4,
+            ).alias("modularity_part"),
+        )
+    )
+
+
+#: CDC divisor: a token whose h60 % this == 0 closes the current chunk —
+#: expected chunk length = the divisor (gear/Rabin content-defined chunking,
+#: LBFS Muthitacharoen et al. SOSP 2001 / FastCDC lineage)
+_CDC_P = 8
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (SELECT doc_id, unnest(t) AS tk,
+                   unnest(generate_series(1, len(t))) AS i
+            FROM tok),
+    m AS (SELECT doc_id, i, tk,
+                 CASE WHEN {h60_sql('tk')} % {_CDC_P} = 0 THEN 1 ELSE 0 END AS closes
+          FROM pos),
+    cid AS (SELECT doc_id, i, tk,
+                   COALESCE(SUM(closes) OVER (
+                     PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+            FROM m),
+    c AS (SELECT doc_id, chunk_id, string_agg(tk, ' ' ORDER BY i) AS chunk
+          FROM cid GROUP BY doc_id, chunk_id),
+    h AS (SELECT doc_id, {h60_sql('chunk')} AS chunk_hash,
+                 CAST(len(string_split(chunk, ' ')) AS BIGINT) AS w
+          FROM c)
+    SELECT chunk_hash, MIN(w) AS w, COUNT(*) AS n_copies,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM h GROUP BY chunk_hash HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (LBFS — Muthitacharoen et al., SOSP
+    2001; FastCDC lineage): a token closes the current chunk iff
+    h60(token) % {p} == 0, so chunk boundaries are a function of CONTENT,
+    not position — an insertion near a doc's head shifts every
+    fixed-width passage (dedup_chunk_passages finds nothing downstream)
+    but re-synchronizes CDC at the next marker token, after which every
+    chunk hash matches again. This is the content-addressed-store view of
+    the crawl corpus: duplicate chunks with refcounts (n_copies, n_docs)
+    and the canonical holder (keep_id) — the storage-dedup complement to
+    the similarity family.
+
+    Scale shape (100 TB): chunking is a NARROW per-row expression chain —
+    marker positions via filter(sequence), chunk k = slice between
+    consecutive markers via transform — no token ever shuffles and no
+    window function exists in the plan; each token is copied into exactly
+    one chunk (linear). Only (chunk_hash, w, doc_id) longs enter the one
+    exchange (hash aggregate, map-side combinable). The DuckDB twin uses
+    the equivalent running-count window formulation; equality of the two
+    formulations is exactly the maximal-runs-end-at-markers identity."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    t = F.col("t")
+    marks = F.filter(
+        F.sequence(F.lit(1), F.size(t)),
+        lambda j: F.pmod(h60(F.element_at(t, j)), F.lit(_CDC_P)) == 0,
+    )
+    d1 = d.select("doc_id", "t", marks.alias("mk"))
+    mk = F.col("mk")
+    ends = F.when(
+        (F.size(mk) == 0) | (F.element_at(mk, -1) != F.size(t)),
+        F.concat(mk, F.array(F.size(t))),
+    ).otherwise(mk)
+    d2 = d1.select("doc_id", "t", ends.alias("ends"))
+    e = F.col("ends")
+
+    def chunk_k(k):
+        prev = F.when(k == 1, F.lit(0)).otherwise(F.element_at(e, k - 1))
+        return F.concat_ws(
+            " ", F.slice(t, prev + 1, F.element_at(e, k) - prev)
+        )
+
+    chunks = F.transform(F.sequence(F.lit(1), F.size(e)), chunk_k)
+    ch = (
+        d2.select("doc_id", F.explode(chunks).alias("chunk"))
+        .select(
+            "doc_id",
+            h60(F.col("chunk")).alias("chunk_hash"),
+            F.size(F.split("chunk", " ")).cast("long").alias("w"),
+        )
+    )
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.min("w").alias("w"),
+            F.count("*").alias("n_copies"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .where(F.col("n_copies") >= 2)
+    )
+
+
+dedup_cdc_chunks.__doc__ = dedup_cdc_chunks.__doc__.format(p=_CDC_P)

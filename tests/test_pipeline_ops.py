@@ -2236,3 +2236,133 @@ def test_containment_planted_subset(spark, tmp_path):
     assert r.contain_a == 1.0
     # doc 1 has 8 shingles, doc 2 has 28: 8/28 rounded to 4 dp
     assert r.contain_b == round(8 / 28, 4)
+
+
+def test_lpa_warm_start_contract(spark):
+    """label_propagation(init=...): seeding with the converged partition
+    makes any number of refresh rounds a no-op (the warm-start contract
+    engine_incremental_lpa relies on); a universe node missing from the
+    init falls back to its own label exactly like a cold start."""
+    from dataset_crawler_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12), (2, 10)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in [0, 1, 2, 10, 11, 12, 99]], "node long"
+    )
+    cold = label_propagation(edges, nodes=nodes, n_iter=4)
+    got = {r.node: r.community for r in cold.collect()}
+
+    warm = {
+        r.node: r.community
+        for r in label_propagation(edges, nodes=nodes, n_iter=2, init=cold).collect()
+    }
+    assert warm == got
+
+    partial = cold.where(F.col("node") != 99)
+    fb = {
+        r.node: r.community
+        for r in label_propagation(
+            edges, nodes=nodes, n_iter=0, init=partial
+        ).collect()
+    }
+    assert fb[99] == 99
+    assert {k: v for k, v in fb.items() if k != 99} == {
+        k: v for k, v in got.items() if k != 99
+    }
+
+
+def test_incremental_lpa_registered_properties(spark):
+    """engine_incremental_lpa at fixture scale: exactly one row per doc,
+    every community id is a doc id, and the warm-started refresh over the
+    full edge set differs from the phase-1 (half-edge) partition — the
+    refresh rounds actually fold the new links in."""
+    from dataset_crawler_spark.plans.queries import engine_incremental_lpa
+
+    rows = engine_incremental_lpa(spark, "/root/testdata/sf0.01").collect()
+    docs = {r.doc_id for r in rows}
+    assert len(rows) == len(docs) == 500
+    assert {r.community for r in rows} <= docs
+
+
+def test_modularity_integer_identities(spark):
+    """graph_doc_modularity at fixture scale: the per-community integers
+    must satisfy the exact Newman–Girvan identities — Σ n_nodes = corpus,
+    Σ degree_sum = 2m, Σ intra ≤ m, and every modularity_part is EXACTLY
+    ROUND((4·m·intra − deg²)/(4m²), 4) recomputed from the row's own
+    integers (no hidden float accumulation anywhere). Community ids must
+    be the graph_doc_communities partition."""
+    from dataset_crawler_spark.plans.queries import (
+        graph_doc_communities,
+        graph_doc_modularity,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = graph_doc_modularity(spark, sf).collect()
+    assert sum(r.n_nodes for r in rows) == 500
+    two_m = sum(r.degree_sum for r in rows)
+    assert two_m % 2 == 0
+    m = two_m // 2
+    assert sum(r.intra_edges for r in rows) <= m
+    for r in rows:
+        expect = round((4 * m * r.intra_edges - r.degree_sum**2) / (4 * m * m), 4)
+        assert r.modularity_part == expect
+
+    comms = {r.community for r in graph_doc_communities(spark, sf).collect()}
+    assert {r.community for r in rows} == comms
+
+
+def test_cdc_chunks_resync_after_insertion(spark, tmp_path):
+    """dedup_cdc_chunks on a planted pair: doc 2 is doc 1 with a prefix
+    inserted, so every fixed-width passage downstream of the insertion
+    shifts — but CDC boundaries re-synchronize at the first marker token,
+    after which the chunk hashes match again. Asserts (a) at least one
+    chunk is shared by both docs, (b) the full (chunk_hash → n_copies,
+    n_docs) map equals an independent pure-Python CDC twin built with
+    h60_py, and (c) an unrelated doc contributes nothing."""
+    from collections import Counter
+
+    from dataset_crawler_spark.functions.hashing import h60_py
+    from dataset_crawler_spark.plans.queries import _CDC_P, dedup_cdc_chunks
+
+    base = [f"tok{i}" for i in range(64)]
+    docs = {
+        1: base,
+        2: ["pre0", "pre1", "pre2"] + base,
+        3: [f"other{i}" for i in range(40)],
+    }
+    spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def py_chunks(tokens):
+        out, cur = [], []
+        for tk in tokens:
+            cur.append(tk)
+            if h60_py(tk) % _CDC_P == 0:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    copies, doc_sets = Counter(), {}
+    for did, tokens in docs.items():
+        for c in py_chunks(tokens):
+            h = h60_py(c)
+            copies[h] += 1
+            doc_sets.setdefault(h, set()).add(did)
+    expect = {
+        h: (copies[h], len(doc_sets[h]), min(doc_sets[h]))
+        for h in copies
+        if copies[h] >= 2
+    }
+    assert expect, "planted pair produced no shared chunk — lower _CDC_P?"
+    assert any(ds == {1, 2} for ds in doc_sets.values())
+
+    rows = dedup_cdc_chunks(spark, str(tmp_path)).collect()
+    got = {r.chunk_hash: (r.n_copies, r.n_docs, r.keep_id) for r in rows}
+    assert got == expect
+    assert all(3 not in doc_sets[h] for h in got)
