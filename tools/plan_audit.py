@@ -113,6 +113,17 @@ AUDIT = [
     # masked per-round update: one fetched-side contribution agg + one left
     # join per step; no full-graph iteration anywhere
     "engine_online_opic",
+    # round-4 late tail: LPA rounds are equi-join + two hash aggregates
+    # (no Window — a global window would single-partition the vote);
+    # modularity adds two integer aggregates + one edge-keyed pair join;
+    # containment rides the capped shingle self-join the jaccard gate
+    # already pays; CDC chunking is a narrow filter/slice/transform chain
+    # (no token shuffle, no window) into ONE hash aggregate
+    "graph_doc_communities",
+    "engine_incremental_lpa",
+    "graph_doc_modularity",
+    "dedup_containment",
+    "dedup_cdc_chunks",
 ]
 
 INTERESTING = (
