@@ -102,6 +102,12 @@ ANALYTIC_QUERIES = [
     "engine_incremental_lpa",
     "graph_doc_modularity",
     "dedup_cdc_chunks",
+    "tokenizer_bpe_pairs",
+    "sketch_heavy_hitters",
+    "layout_zorder_stats",
+    "text_lm_kn_ppl",
+    "sketch_quantile_hist",
+    "engine_incremental_bm25",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

@@ -50,6 +50,12 @@ _DRIVER_FIRST = [
     # fresh-code driver row in CORRECTNESS_r03 ∪ r04.
     "mix_source_token_shares",
     # new in round 4 — first driver rows
+    "tokenizer_bpe_pairs",
+    "sketch_heavy_hitters",
+    "layout_zorder_stats",
+    "text_lm_kn_ppl",
+    "sketch_quantile_hist",
+    "engine_incremental_bm25",
     "dedup_substring_removal",
     "engine_incremental_substr",
     "text_classifier_quality",
@@ -6779,3 +6785,549 @@ def dedup_cdc_chunks(spark, sf_dir):
 
 
 dedup_cdc_chunks.__doc__ = dedup_cdc_chunks.__doc__.format(p=_CDC_P)
+
+
+# --------------------------------------------------------------------------
+# round-4 tail II: tokenizer mining / heavy hitters / layout / KN smoothing
+# --------------------------------------------------------------------------
+
+#: BPE merge-candidate mining constants: top-N symbol pairs reported.
+_BPE_TOPN = 32
+
+
+@register(
+    "tokenizer_bpe_pairs",
+    f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+           FROM w WHERE len(w) >= 2 GROUP BY w),
+    p AS (SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym,
+                 wc
+          FROM (SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i
+                FROM wc))
+    SELECT left_sym, right_sym,
+           CAST(SUM(wc) AS BIGINT) AS pair_count,
+           CAST(COUNT(*) AS BIGINT) AS n_word_types
+    FROM p
+    GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT {_BPE_TOPN}
+    """,
+)
+def tokenizer_bpe_pairs(spark, sf_dir):
+    """BPE merge-candidate mining — the first iteration of byte-pair-encoding
+    tokenizer training (Sennrich et al. 2016): count adjacent symbol-pair
+    frequencies over the word multiset and surface the top merge candidates.
+    The classic trick that makes this tractable is folding the corpus to its
+    DISTINCT-word table first (pair counts weighted by word frequency), so
+    the expensive per-character explode runs over word TYPES, not tokens.
+
+    Scale shape (100 TB): the corpus-sized stage is one map-side-combined
+    word-count aggregate (tokens shuffle only as (word, partial-count)
+    pairs); the character-pair explode and second aggregate run over the
+    distinct-word table, which is orders of magnitude smaller and bounded by
+    vocabulary, not corpus size. The top-N is TakeOrderedAndProject under a
+    total ORDER BY (count desc, then both symbols) — no global sort. Full
+    BPE training iterates this aggregate after each merge; every iteration
+    has this same shape."""
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> "
+                "struct(substring(w, i, 1) AS left_sym, "
+                "substring(w, i + 1, 1) AS right_sym))"
+            )
+        ).alias("pr"),
+        "wc",
+    ).select("pr.left_sym", "pr.right_sym", "wc")
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(
+            F.sum("wc").cast("long").alias("pair_count"),
+            F.count("*").cast("long").alias("n_word_types"),
+        )
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(_BPE_TOPN)
+    )
+
+
+#: Heavy-hitter constants: report every token with frequency > n/_HH_K
+#: (so at most _HH_K - 1 rows by pigeonhole).
+_HH_K = 100
+
+
+@register(
+    "sketch_heavy_hitters",
+    f"""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(COUNT(*) * 1.0 / (SELECT n_total FROM n), 4) AS frac
+    FROM t
+    GROUP BY tok
+    HAVING COUNT(*) * {_HH_K} > (SELECT n_total FROM n)
+    ORDER BY cnt DESC, tok
+    """,
+)
+def sketch_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters via a Misra-Gries prune + exact-confirm pass —
+    the frequent-items analog of the engine's bloom-probe + anti-join-confirm
+    seen-set (operators/seen.py): per partition, a mergeable Misra-Gries
+    summary (Misra & Gries 1982; mergeability per Agarwal et al. 2012) keeps
+    at most {_HH_K} weighted candidates; any token with global count
+    > n/{_HH_K} must exceed its local share n_p/{_HH_K} in at least one
+    partition (pigeonhole over the partition sum), so the candidate union is
+    a SUPERSET of the true heavy hitters regardless of how rows landed in
+    partitions. An exact recount of candidates-only then filters to the true
+    set — so the OUTPUT is exact and partitioning-independent even though
+    the sketch itself is not; the DuckDB twin is the plain exact GROUP BY.
+
+    Scale shape (100 TB): the corpus-sized stage is one narrow mapInPandas
+    pass (Arrow-batched, per-batch value_counts — no per-row Python); only
+    ≤ {_HH_K} candidate tokens per partition reach the driver-side distinct,
+    and the recount joins the token stream against a BROADCAST candidate
+    list (at most cores × {_HH_K} entries) before a map-side-combined count.
+    Nothing corpus-sized ever shuffles: the alternative exact GROUP BY over
+    all tokens shuffles the full vocabulary; this shuffles ≤ {_HH_K}
+    rows per task."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+
+    k = _HH_K
+
+    def mg_partition(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for tok, c in pdf["tok"].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > k:
+                # mergeable-summary prune: subtract the (k+1)-th largest
+                # count from everything, drop the non-positive tail
+                cut = sorted(counts.values(), reverse=True)[k]
+                counts = {t: c - cut for t, c in counts.items() if c > cut}
+        yield pd.DataFrame({"tok": list(counts.keys())})
+
+    cand = toks.mapInPandas(mg_partition, "tok string").distinct()
+    n_total = toks.groupBy().agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(n_total))
+        .where(F.col("cnt") * k > F.col("n_total"))
+        .select(
+            "tok",
+            "cnt",
+            F.round(F.col("cnt") * 1.0 / F.col("n_total"), 4).alias("frac"),
+        )
+        .orderBy(F.desc("cnt"), "tok")
+    )
+
+
+#: Z-order layout constants: 8 bits per dimension (256 buckets), 64-key
+#: blocks (6 z-bits ⇒ 3 bits per dimension ⇒ ≤ 8 distinct buckets per
+#: dimension inside any block — the locality bound the test pins).
+_Z_BITS = 8
+_Z_BLOCK_SHIFT = 6
+
+_Z_INTERLEAVE_SQL = " + ".join(
+    f"(((ub >> {i}) & 1) * {1 << (2 * i + 1)}) + "
+    f"(((db >> {i}) & 1) * {1 << (2 * i)})"
+    for i in range(_Z_BITS)
+)
+
+
+@register(
+    "layout_zorder_stats",
+    f"""
+    WITH b AS (
+      SELECT user_id % 256 AS ub,
+             date_diff('day', TIMESTAMP '2024-01-01', ts) % 256 AS db
+      FROM events),
+    z AS (SELECT ub, db, {_Z_INTERLEAVE_SQL} AS zkey FROM b)
+    SELECT zkey // {1 << _Z_BLOCK_SHIFT} AS zblock,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT ub) AS BIGINT) AS n_user_buckets,
+           CAST(COUNT(DISTINCT db) AS BIGINT) AS n_day_buckets,
+           MIN(zkey) AS z_min, MAX(zkey) AS z_max
+    FROM z
+    GROUP BY zblock
+    """,
+)
+def layout_zorder_stats(spark, sf_dir):
+    """Z-order (Morton 1966) multi-dimensional layout clustering — the file
+    layout primitive behind Delta/Iceberg OPTIMIZE ZORDER BY: interleave the
+    bits of two clustering dimensions (user bucket x day bucket here) so
+    that sorting by the single zkey co-locates rows that are close in BOTH
+    dimensions, and min/max file statistics prune on either predicate. The
+    registered result is the per-64-key-block layout audit: every block
+    touches at most 2^3 = 8 distinct buckets per dimension (the z-curve
+    locality bound), versus up to 256 for a single-dimension sort — which is
+    exactly why a range scan on EITHER dimension skips most blocks.
+
+    Scale shape (100 TB): the zkey is a zero-shuffle narrow projection
+    (pure bit arithmetic per row); the audit aggregate is map-side-combined
+    on a key space bounded by 2^(2x{_Z_BITS}-{_Z_BLOCK_SHIFT}) = 1024
+    blocks regardless of row count. In the write path the same key feeds
+    ``repartitionByRange(zkey)`` so each output file covers one contiguous
+    z-range and carries tight min/max stats on both source dimensions."""
+    e = _t(spark, sf_dir, "events")
+    ub = F.pmod("user_id", F.lit(256))
+    db = F.pmod(F.datediff(F.to_date("ts"), F.lit("2024-01-01")), F.lit(256))
+    b = e.select(ub.alias("ub"), db.alias("db"))
+    zkey = None
+    for i in range(_Z_BITS):
+        bit_u = F.shiftright(F.col("ub"), i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1))
+        bit_d = F.shiftright(F.col("db"), i).bitwiseAND(F.lit(1)) * (1 << (2 * i))
+        term = bit_u + bit_d
+        zkey = term if zkey is None else zkey + term
+    z = b.select("ub", "db", zkey.alias("zkey"))
+    return (
+        z.groupBy(
+            F.floor(F.col("zkey") / (1 << _Z_BLOCK_SHIFT)).alias("zblock")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            # NOT count_distinct: two multi-column distincts would Expand
+            # the stream 3x and add a second exchange; the per-block bucket
+            # sets are bounded by the z-curve (≤ 8 values each), so a
+            # collect_set is a constant-size accumulator that keeps the
+            # audit at ONE map-side-combined aggregate
+            F.size(F.collect_set("ub")).cast("long").alias("n_user_buckets"),
+            F.size(F.collect_set("db")).cast("long").alias("n_day_buckets"),
+            F.min("zkey").alias("z_min"),
+            F.max("zkey").alias("z_max"),
+        )
+    )
+
+
+#: Interpolated Kneser-Ney bigram constants: hash-bucketed context/word
+#: spaces (bounded model), absolute discount D, and the keep threshold.
+#: 3.43 sits mid-gap in the corpus NLL distribution (nearest document value
+#: is ≥ 2.7e-4 away at BOTH sf0.01 and sf0.1, nine orders above libm's
+#: 1-ulp drift — same boundary-safety argument as crawl_sitemap_lastmod)
+#: and cuts the top ~6% perplexity tail (the CCNet head+middle keep).
+_KN_B = 4096
+_KN_D = 0.75
+_KN_KEEP = 3.43
+
+
+@register(
+    "text_lm_kn_ppl",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bi AS (SELECT doc_id,
+                  {h60_sql('t[i]')} % {_KN_B} AS p,
+                  {h60_sql('t[i+1]')} % {_KN_B} AS c
+           FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM tok)),
+    cpc AS (SELECT p, c, CAST(COUNT(*) AS BIGINT) AS cpc
+            FROM bi GROUP BY p, c),
+    cp AS (SELECT p, CAST(SUM(cpc) AS BIGINT) AS cp,
+                  CAST(COUNT(*) AS BIGINT) AS n1p_ctx
+           FROM cpc GROUP BY p),
+    cw AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n1p_left FROM cpc GROUP BY c),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM cpc)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-SUM(ln(
+             (greatest(cpc - {_KN_D}, 0.0)
+              + {_KN_D} * n1p_ctx * (n1p_left * 1.0 / (SELECT n_types FROM tt)))
+             / cp)) / COUNT(*), 4) AS nll_kn,
+           -SUM(ln(
+             (greatest(cpc - {_KN_D}, 0.0)
+              + {_KN_D} * n1p_ctx * (n1p_left * 1.0 / (SELECT n_types FROM tt)))
+             / cp)) / COUNT(*) <= {_KN_KEEP} AS keep
+    FROM bi JOIN cpc USING (p, c) JOIN cp USING (p) JOIN cw USING (c)
+    GROUP BY doc_id
+    """,
+)
+def text_lm_kn_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity filter (Kneser & Ney 1995;
+    Chen & Goodman 1998 eq. 4.25) — the smoothing KenLM actually uses, so
+    this upgrades text_lm_bigram_ppl's add-one model to the CCNet filter's
+    real statistics: P(c|p) = max(c(p,c)-D, 0)/c(p) + D*N1+(p,.)/c(p) *
+    Pcont(c), with the continuation probability Pcont(c) = N1+(.,c)/|bigram
+    types| — a word's probability mass under an unseen context comes from
+    how many DISTINCT contexts it follows, not its raw frequency (the "San
+    Francisco" correction: "Francisco" is frequent but follows one context).
+    Scoring the training corpus itself keeps every bigram observed, so the
+    discounted term never zeroes the product. Contexts and words hash into
+    {_KN_B} buckets so the model is dimension-bounded (collisions hit both
+    engines identically).
+
+    Scale shape (100 TB): the bigram stream shuffles only (doc_id, p, c)
+    longs — never text. The three model tables are bounded (cp/cw by the
+    {_KN_B}-bucket space — broadcast; cpc by observed hashed bigram types —
+    one shuffle join keyed (p, c)); the type-count scalar folds in as a
+    literal-sized broadcast. Per-doc scoring is one map-side-combined
+    aggregate."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    d = d.where(F.size("t") >= 2)
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> "
+                "struct(t[i-1] AS pw, t[i] AS cw))"
+            )
+        ).alias("pc"),
+    ).select(
+        "doc_id",
+        F.pmod(h60(F.col("pc.pw")), F.lit(_KN_B)).alias("p"),
+        F.pmod(h60(F.col("pc.cw")), F.lit(_KN_B)).alias("c"),
+    )
+    cpc = bi.groupBy("p", "c").agg(F.count("*").cast("long").alias("cpc"))
+    cp = cpc.groupBy("p").agg(
+        F.sum("cpc").cast("long").alias("cp"),
+        F.count("*").cast("long").alias("n1p_ctx"),
+    )
+    cw = cpc.groupBy("c").agg(F.count("*").cast("long").alias("n1p_left"))
+    tt = cpc.groupBy().agg(F.count("*").cast("long").alias("n_types"))
+    scored = (
+        bi.join(cpc, ["p", "c"])
+        .join(F.broadcast(cp), "p")
+        .join(F.broadcast(cw), "c")
+        .crossJoin(F.broadcast(tt))
+    )
+    prob = (
+        F.greatest(F.col("cpc") - _KN_D, F.lit(0.0))
+        + _KN_D * F.col("n1p_ctx") * (F.col("n1p_left") * 1.0 / F.col("n_types"))
+    ) / F.col("cp")
+    nll = -F.sum(F.log(prob)) / F.count("*")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(nll, 4).alias("nll_kn"),
+        (nll <= _KN_KEEP).alias("keep"),
+    )
+
+
+#: Binned-histogram quantile sketch constants: bin count (error ≤ one bin
+#: width of the per-group value range) and the quantile read-offs.
+_QH_B = 4096
+_QH_QS = (0.5, 0.9, 0.99)
+
+_QH_BIN_SQL = (
+    f"CASE WHEN mx > mn THEN LEAST({_QH_B - 1}, "
+    f"CAST(FLOOR(((value - mn) * {_QH_B}.0) / (mx - mn)) AS BIGINT)) "
+    f"ELSE 0 END"
+)
+_QH_PICK_SQL = ",\n           ".join(
+    f"MIN(CASE WHEN cum >= ceil({q} * n) THEN bin END) AS qb{i}"
+    for i, q in enumerate(_QH_QS)
+)
+_QH_EST_SQL = ",\n           ".join(
+    f"ROUND(mn + (qb{i} + 0.5) * (mx - mn) / {_QH_B}.0, 4) AS p{int(q * 100)}"
+    for i, q in enumerate(_QH_QS)
+)
+
+
+@register(
+    "sketch_quantile_hist",
+    f"""
+    WITH r AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type),
+    b AS (SELECT e.event_type, {_QH_BIN_SQL} AS bin
+          FROM events e JOIN r USING (event_type)),
+    c AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM b GROUP BY event_type, bin),
+    cum AS (SELECT event_type, bin,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+            FROM c),
+    q AS (SELECT event_type,
+           {_QH_PICK_SQL}
+          FROM cum JOIN r USING (event_type) GROUP BY event_type)
+    SELECT event_type, n, ROUND(mn, 4) AS vmin, ROUND(mx, 4) AS vmax,
+           {_QH_EST_SQL}
+    FROM q JOIN r USING (event_type)
+    """,
+)
+def sketch_quantile_hist(spark, sf_dir):
+    """Mergeable binned-histogram quantiles — the deterministic scale path
+    beside a9_exact_quantiles' exact sort: pass 1 takes per-group min/max,
+    pass 2 counts {_QH_B} fixed-width bins, and each quantile reads off the
+    first bin whose running count reaches ceil(q*n), estimated at the bin
+    midpoint. Guaranteed error ≤ one bin width of the group's value range
+    (pinned by test against the exact quantiles) — and unlike GK/t-digest
+    summaries the bin-count state is EXACT integers, so merge order,
+    partitioning, and engine cannot change a single output bit.
+
+    Scale shape (100 TB): two map-side-combined aggregates over a key space
+    bounded by groups x {_QH_B}; the cumulative scan runs per group over
+    ≤ {_QH_B} rows (never the data), and the bin width/read-off arithmetic
+    is one fixed IEEE expression evaluated identically in both engines. No
+    global sort anywhere — a9_exact_quantiles' exact path shuffles and
+    sorts the full value stream; this shuffles bounded bin counts."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    r = e.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("*").cast("long").alias("n"),
+    )
+    b = e.join(F.broadcast(r), "event_type").select(
+        "event_type",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(_QH_B - 1),
+                F.floor(((F.col("value") - F.col("mn")) * float(_QH_B)) / (F.col("mx") - F.col("mn"))),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bin"),
+    )
+    c = b.groupBy("event_type", "bin").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = c.select("event_type", "bin", F.sum("cnt").over(w).alias("cum")).join(
+        F.broadcast(r), "event_type"
+    )
+    picks = [
+        F.min(F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bin"))).alias(f"qb{i}")
+        for i, q in enumerate(_QH_QS)
+    ]
+    q = cum.groupBy("event_type").agg(*picks)
+    out = q.join(F.broadcast(r), "event_type")
+    ests = [
+        F.round(
+            F.col("mn") + (F.col(f"qb{i}") + 0.5) * (F.col("mx") - F.col("mn")) / float(_QH_B),
+            4,
+        ).alias(f"p{int(qq * 100)}")
+        for i, qq in enumerate(_QH_QS)
+    ]
+    return out.select(
+        "event_type",
+        "n",
+        F.round("mn", 4).alias("vmin"),
+        F.round("mx", 4).alias("vmax"),
+        *ests,
+    )
+
+
+#: Incremental BM25 index constants — distinct query terms from the batch
+#: search_bm25_topk entry so the two retrieval paths are independent rows.
+_IBM_TERMS = ("query", "scan", "merge", "window")
+_IBM_TOPK = 25
+
+_IBM_TF_SQL = ",\n        ".join(
+    f"len(list_filter(t, x -> x = '{w}')) AS tf{i}"
+    for i, w in enumerate(_IBM_TERMS)
+)
+_IBM_DF_SQL = ",\n        ".join(
+    f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(len(_IBM_TERMS))
+)
+_IBM_SCORE_SQL = " + ".join(
+    f"(((n - df{i} + 0.5) / (df{i} + 0.5))"
+    f" * ((tf{i} * 2.2) / (tf{i} + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))"
+    for i in range(len(_IBM_TERMS))
+)
+
+
+@register(
+    "engine_incremental_bm25",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        {_IBM_TF_SQL}
+           FROM tok),
+    st AS (SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl,
+        {_IBM_DF_SQL}
+           FROM tf)
+    SELECT doc_id, dl,
+           ROUND({_IBM_SCORE_SQL}, 4) AS bm25
+    FROM tf CROSS JOIN st
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_IBM_TOPK}
+    """,
+)
+def engine_incremental_bm25(spark, sf_dir):
+    """Incremental BM25 index maintenance — the retrieval member of the
+    engine's incremental-index family (minhash/signlsh/substr/cc/lpa/
+    pagerank/hll): every corpus statistic BM25 scoring needs (N, Σdl,
+    per-term document frequencies) is an ADDITIVE integer sum, so a crawl
+    round folds its |new|-doc deltas into the standing stats row without
+    touching old documents — index maintenance cost tracks the round, not
+    the corpus. Round 0 aggregates the old 75% of docs; round 1 aggregates
+    ONLY the new 25% and MERGES the two partial stat rows (a real
+    partial-aggregate union, the same algebra a map-side combine runs);
+    scoring then uses the standing stats. The DuckDB twin computes the
+    batch statistics over the full corpus — value-hash equality of the
+    top-k IS the incremental ≡ batch proof, exact because the merged
+    counts are integers (avgdl divides once, after the merge).
+
+    Scale shape (100 TB): each round's index update is one map-side-combined
+    scalar aggregate over the round's NEW docs only; the standing state is a
+    single stats row (broadcast). The scoring pass is the same zero-shuffle
+    narrow projection as search_bm25_topk (no token explode, fixed-order FP
+    sum, TakeOrderedAndProject top-k)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+
+    def _is(w):
+        return lambda x: x == F.lit(w)
+
+    tf_cols = [
+        F.size(F.filter("t", _is(w))).alias(f"tf{i}")
+        for i, w in enumerate(_IBM_TERMS)
+    ]
+    tf = d.select("doc_id", F.size("t").cast("bigint").alias("dl"), *tf_cols)
+
+    is_new = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    partials = []
+    for part in (tf.where(~is_new), tf.where(is_new)):
+        partials.append(
+            part.agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("dl").cast("long").alias("sum_dl"),
+                *[
+                    F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+                    for i in range(len(_IBM_TERMS))
+                ],
+            )
+        )
+    # standing stats = merge of the round partials (additive integer sums);
+    # avgdl derives AFTER the merge so no float ever accumulates
+    standing = (
+        partials[0]
+        .unionByName(partials[1])
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dl").alias("sum_dl"),
+            *[F.sum(f"df{i}").alias(f"df{i}") for i in range(len(_IBM_TERMS))],
+        )
+        .select(
+            "n",
+            (F.col("sum_dl") * 1.0 / F.col("n")).alias("avgdl"),
+            *[F.col(f"df{i}") for i in range(len(_IBM_TERMS))],
+        )
+    )
+    s = tf.crossJoin(F.broadcast(standing))
+    contrib = [
+        ((F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5))
+        * (
+            (F.col(f"tf{i}") * 2.2)
+            / (F.col(f"tf{i}") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl"))))
+        )
+        for i in range(len(_IBM_TERMS))
+    ]
+    score = contrib[0]
+    for c in contrib[1:]:
+        score = score + c
+    return (
+        s.select("doc_id", "dl", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_IBM_TOPK)
+    )

@@ -2366,3 +2366,166 @@ def test_cdc_chunks_resync_after_insertion(spark, tmp_path):
     got = {r.chunk_hash: (r.n_copies, r.n_docs, r.keep_id) for r in rows}
     assert got == expect
     assert all(3 not in doc_sets[h] for h in got)
+
+
+# --------------------------------------------------------------------------
+# round-4 tail II: BPE pair mining / heavy hitters / z-order / KN smoothing
+# --------------------------------------------------------------------------
+
+
+def test_bpe_pairs_hand_values(spark, tmp_path):
+    """tokenizer_bpe_pairs on the classic BPE toy corpus: pair counts are
+    word-frequency-weighted sums over the DISTINCT-word table, and the
+    top-N order is total (count desc, then both symbols)."""
+    from dataset_crawler_spark.plans.queries import tokenizer_bpe_pairs
+
+    sf = _docs_fixture(spark, tmp_path, ["low lower", "low low"])
+    rows = [tuple(r) for r in tokenizer_bpe_pairs(spark, sf).collect()]
+    # words: low x3, lower x1 → (l,o) and (o,w) weigh 4 across 2 word types
+    assert rows == [
+        ("l", "o", 4, 2),
+        ("o", "w", 4, 2),
+        ("e", "r", 1, 1),
+        ("w", "e", 1, 1),
+    ]
+
+
+def test_heavy_hitters_exact_output_and_partition_invariance(spark, tmp_path):
+    """sketch_heavy_hitters output is the EXACT heavy-hitter set however the
+    tokens land in partitions: the corpus has 301 distinct tokens (> the
+    100-candidate Misra-Gries capacity, so the prune path runs) and exactly
+    one token above the n/100 threshold. A 1-file and a 5-file layout of the
+    same corpus must agree row-for-row — the pigeonhole superset guarantee,
+    not luck."""
+    from dataset_crawler_spark.plans.queries import sketch_heavy_hitters
+
+    # 50 "the" + 300 singleton fillers → n = 350, threshold 3.5: only "the"
+    texts = ["the " * 5 + f"f{i}a f{i}b f{i}c" for i in range(100)]
+    got = {}
+    for nfiles, layout in ((1, "one"), (5, "five")):
+        path = tmp_path / layout
+        df = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.repartition(nfiles).write.parquet(f"{path}/documents.parquet")
+        got[layout] = [tuple(r) for r in sketch_heavy_hitters(spark, str(path)).collect()]
+    assert got["one"] == got["five"]
+    assert got["one"] == [("the", 500, round(500 / 800, 4))]
+
+
+def test_zorder_block_locality_bound(spark):
+    """layout_zorder_stats on the real events table: every 64-key z-block
+    stays inside its key range and touches at most 2^3 = 8 distinct buckets
+    per dimension — the Morton-curve locality bound that makes min/max
+    pruning work on BOTH dimensions."""
+    from dataset_crawler_spark.plans.queries import layout_zorder_stats
+
+    rows = layout_zorder_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    total = 0
+    for r in rows:
+        total += r.n_events
+        assert 1 <= r.n_user_buckets <= 8 and 1 <= r.n_day_buckets <= 8
+        assert r.zblock * 64 <= r.z_min <= r.z_max < (r.zblock + 1) * 64
+    n_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert total == n_events
+
+
+def test_kn_ppl_hand_values(spark, tmp_path):
+    """text_lm_kn_ppl on a corpus with closed-form interpolated-KN values:
+    with bigrams (a,b)x2 and (a,c)x1, c(a)=3, N1+(a,.)=2, Pcont(b)=
+    Pcont(c)=1/2, D=0.75: P(b|a)=(1.25+0.75)/3=2/3 and P(c|a)=
+    (0.25+0.75)/3=1/3 — the discounted mass moves to the continuation
+    term. Single-token docs can't emit a bigram and are excluded."""
+    import math
+
+    from dataset_crawler_spark.plans.queries import text_lm_kn_ppl
+
+    sf = _docs_fixture(spark, tmp_path, ["a b", "a b", "a c", "solo"])
+    rows = {r.doc_id: r for r in text_lm_kn_ppl(spark, sf).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].nll_kn == rows[1].nll_kn == round(-math.log(2 / 3), 4)
+    assert rows[2].nll_kn == round(-math.log(1 / 3), 4)
+    assert rows[0].n_bigrams == 1 and rows[2].keep is True
+
+
+def test_quantile_hist_error_bound_vs_exact(spark):
+    """sketch_quantile_hist: every estimated quantile lies within ONE bin
+    width of the true (lower interpolation) quantile — the histogram
+    guarantee, checked against exact sorted quantiles on the real events
+    table."""
+    import math
+
+    from dataset_crawler_spark.plans.queries import _QH_B, _QH_QS, sketch_quantile_hist
+
+    got = {r.event_type: r for r in sketch_quantile_hist(spark, "/root/testdata/sf0.001").collect()}
+    assert got
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM '/root/testdata/sf0.001/events.parquet'"
+    )
+    for et, r in got.items():
+        width = (r.vmax - r.vmin) / _QH_B
+        for q in _QH_QS:
+            exact = con.execute(
+                "SELECT quantile_disc(value, ?) FROM events WHERE event_type = ?",
+                [q, et],
+            ).fetchone()[0]
+            est = getattr(r, f"p{int(q * 100)}")
+            assert abs(est - exact) <= width + 1e-9, (et, q, est, exact, width)
+
+
+def test_incremental_bm25_standing_stats_equal_batch(spark):
+    """engine_incremental_bm25: the merged (old-partial + new-partial)
+    standing stats row and the resulting top-k are EXACTLY the batch
+    computation over the full corpus — additive integer index maintenance
+    can't drift."""
+    from pyspark.sql import functions as F
+
+    from dataset_crawler_spark.plans.queries import (
+        _IBM_TERMS,
+        _IBM_TOPK,
+        engine_incremental_bm25,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inc = [tuple(r) for r in engine_incremental_bm25(spark, sf).collect()]
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    tf = d.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter("t", (lambda w: lambda x: x == F.lit(w))(w))).alias(f"tf{i}")
+            for i, w in enumerate(_IBM_TERMS)
+        ],
+    )
+    st = tf.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_IBM_TERMS))
+        ],
+    )
+    s = tf.crossJoin(F.broadcast(st))
+    score = None
+    for i in range(len(_IBM_TERMS)):
+        c = ((F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)) * (
+            (F.col(f"tf{i}") * 2.2)
+            / (F.col(f"tf{i}") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl"))))
+        )
+        score = c if score is None else score + c
+    batch = [
+        tuple(r)
+        for r in s.select("doc_id", "dl", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_IBM_TOPK)
+        .collect()
+    ]
+    assert inc == batch

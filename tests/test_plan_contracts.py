@@ -454,3 +454,90 @@ def test_containment_rides_the_capped_shingle_join(spark):
     assert "CartesianProduct" not in p
     assert re.search(PY_STAGES, p) is None
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_bpe_pairs_topk_no_global_sort(spark):
+    """tokenizer_bpe_pairs: the corpus-sized stage is the word-count
+    aggregate; the pair explode runs over the DISTINCT-word table and the
+    top-N is a TakeOrderedAndProject heap merge, never a global Sort.
+    Python stages: none."""
+    import re
+
+    from dataset_crawler_spark.plans.queries import tokenizer_bpe_pairs
+
+    plan = _plan(tokenizer_bpe_pairs(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(PY_STAGES, plan) is None
+
+
+def test_heavy_hitters_recount_joins_broadcast_candidates(spark):
+    """sketch_heavy_hitters: the Misra-Gries prune is the ONLY Python stage
+    (Arrow-batched MapInPandas); the exact recount joins the token stream
+    against BROADCAST candidates — the full vocabulary never shuffles."""
+    import re
+
+    from dataset_crawler_spark.plans.queries import sketch_heavy_hitters
+
+    plan = _plan(sketch_heavy_hitters(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall("MapInPandas", plan)) == 1
+
+
+def test_zorder_stats_single_bounded_aggregate(spark):
+    """layout_zorder_stats: zkey is a narrow bit-arithmetic projection; the
+    audit is one hash aggregate over a ≤1024-key block space — exactly one
+    exchange (partial → final), no join, no Python."""
+    import re
+
+    from dataset_crawler_spark.plans.queries import layout_zorder_stats
+
+    plan = _plan(layout_zorder_stats(spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert re.search(PY_STAGES, plan) is None
+
+
+def test_kn_ppl_model_sides_broadcast(spark):
+    """text_lm_kn_ppl: the context/word model tables are bucket-bounded and
+    must BROADCAST onto the bigram stream (≥ 2 broadcast joins + the scalar
+    type count); only the (p, c)-keyed bigram-count join may shuffle, and
+    document text appears in no exchange. Python stages: none."""
+    import re
+
+    from dataset_crawler_spark.plans.queries import text_lm_kn_ppl
+
+    plan = _plan(text_lm_kn_ppl(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert re.search(PY_STAGES, plan) is None
+
+
+def test_quantile_hist_no_global_sort_no_python(spark):
+    """sketch_quantile_hist: bin counting is bounded hash aggregation and
+    the only sorts are per-group scans over the ≤4096-row bin table — the
+    full value stream is never globally sorted; model/range sides ride
+    broadcast joins."""
+    import re
+
+    from dataset_crawler_spark.plans.queries import sketch_quantile_hist
+
+    plan = _plan(sketch_quantile_hist(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert re.search(PY_STAGES, plan) is None
+
+
+def test_incremental_bm25_scoring_is_narrow_broadcast(spark):
+    """engine_incremental_bm25: index maintenance collapses to scalar
+    aggregates; scoring is the zero-shuffle narrow projection with the
+    standing stats broadcast and a TakeOrdered top-k — no token explode,
+    no SMJ, no Python."""
+    import re
+
+    from dataset_crawler_spark.plans.queries import engine_incremental_bm25
+
+    plan = _plan(engine_incremental_bm25(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate" not in plan  # no explode of the token stream
+    assert re.search(PY_STAGES, plan) is None
