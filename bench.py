@@ -108,6 +108,7 @@ ANALYTIC_QUERIES = [
     "text_lm_kn_ppl",
     "sketch_quantile_hist",
     "engine_incremental_bm25",
+    "tokenizer_bpe_vocab",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

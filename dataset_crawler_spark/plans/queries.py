@@ -56,6 +56,7 @@ _DRIVER_FIRST = [
     "text_lm_kn_ppl",
     "sketch_quantile_hist",
     "engine_incremental_bm25",
+    "tokenizer_bpe_vocab",
     "dedup_substring_removal",
     "engine_incremental_substr",
     "text_classifier_quality",
@@ -7331,3 +7332,126 @@ def engine_incremental_bm25(spark, sf_dir):
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_IBM_TOPK)
     )
+
+
+#: Iterative BPE vocabulary constants: number of sequential merges, and the
+#: symbol-string encoding. A word is '|' + '||'.join(symbols) + '|' — the
+#: DOUBLE delimiter makes left-to-right replace() exactly greedy BPE: the
+#: pattern '|a||b|' can never match across a symbol boundary, and adjacent
+#: matches never share a delimiter char (word 'abab' = '|a||b||a||b|'
+#: rewrites to '|ab||ab|' in one pass).
+_BPEV_MERGES = 6
+
+
+def _bpev_twin_sql() -> str:
+    """Unrolled {N}-merge BPE training as a MATERIALIZED CTE chain: each
+    step counts adjacent symbol pairs over the distinct-word table, picks
+    the argmax pair under a total order, and rewrites every word by literal
+    (non-overlapping, left-to-right) replace — the same greedy semantics in
+    both engines."""
+    steps = []
+    pair_src = (
+        "(SELECT wc, sy, unnest(generate_series(1, len(sy) - 1)) AS i\n"
+        "         FROM (SELECT wc, list_filter(string_split(s, '|'), x -> x <> '') AS sy\n"
+        "               FROM w{t}))"
+    )
+    for t in range(_BPEV_MERGES):
+        steps.append(
+            f"""
+    p{t} AS MATERIALIZED (
+      SELECT sy[i] AS left_sym, sy[i + 1] AS right_sym,
+             CAST(SUM(wc) AS BIGINT) AS pair_count
+      FROM {pair_src.format(t=t)}
+      GROUP BY left_sym, right_sym),
+    b{t} AS MATERIALIZED (
+      SELECT left_sym, right_sym, pair_count FROM p{t}
+      ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+    w{t + 1} AS MATERIALIZED (
+      SELECT replace(s, '|' || left_sym || '||' || right_sym || '|',
+                     '|' || left_sym || right_sym || '|') AS s, wc
+      FROM w{t}, b{t})"""
+        )
+    outs = " UNION ALL ".join(
+        f"SELECT {t} AS step, left_sym, right_sym, pair_count FROM b{t}"
+        for t in range(_BPEV_MERGES)
+    )
+    return f"""
+    WITH w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+               FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+               WHERE len(w) >= 2 AND regexp_matches(w, '^[a-z]+$')
+               GROUP BY w),
+    w0 AS MATERIALIZED (
+      SELECT substr(s, 1, len(s) - 1) AS s, wc
+      FROM (SELECT '|' || regexp_replace(w, '(.)', '\\1||', 'g') AS s, wc
+            FROM w)),{",".join(steps)}
+    SELECT * FROM ({outs})
+    """
+
+
+@register("tokenizer_bpe_vocab", _bpev_twin_sql())
+def tokenizer_bpe_vocab(spark, sf_dir):
+    """Iterative BPE vocabulary training (Sennrich et al. 2016 §3.2, the
+    full loop tokenizer_bpe_pairs' single census previews): {n} sequential
+    merges, each one (a) counting adjacent symbol-pair frequencies over the
+    distinct-word table, (b) taking the argmax pair under a total order
+    (count desc, then both symbols), and (c) rewriting every word by merging
+    that pair greedily left-to-right. The registered result is the ordered
+    merge list — the actual artifact a BPE tokenizer ships. Words are
+    encoded as double-delimited symbol strings ('abab' = '|a||b||a||b|') so
+    a literal non-overlapping replace IS greedy BPE in both engines: the
+    pattern '|a||b|' cannot match across a symbol boundary and adjacent
+    matches never share a delimiter.
+
+    Scale shape (100 TB): the corpus-sized stage runs ONCE (the word-count
+    aggregate — tokens shuffle only as (word, partial count) pairs); every
+    merge iteration then touches only the distinct-word table, bounded by
+    vocabulary not corpus, with one map-side-combined pair aggregate and a
+    narrow replace projection per step. The per-step argmax is a driver-side
+    scalar read (LIMIT 1), the same convergence-read shape as the pagerank/
+    CC fixpoints — the merge decision is inherently sequential, the work per
+    decision is fully distributed."""
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where((F.length("w") >= 2) & F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    sym = F.concat(F.lit("|"), F.regexp_replace("w", "(.)", "$1||"))
+    cur = wc.select(sym.alias("s0"), "wc").select(
+        F.expr("substring(s0, 1, length(s0) - 1)").alias("s"), "wc"
+    )
+    cur = cur.localCheckpoint()  # corpus-sized agg runs once; iterate on the small table
+    pair_expr = F.expr(
+        "transform(sequence(1, size(sy) - 1), i -> "
+        "struct(sy[i-1] AS left_sym, sy[i] AS right_sym))"
+    )
+    merges = []
+    for step in range(_BPEV_MERGES):
+        pairs = (
+            cur.select(
+                F.expr("filter(split(s, '\\\\|'), x -> x <> '')").alias("sy"), "wc"
+            )
+            # a fully-merged single-symbol word has no pairs; Spark's
+            # sequence(1, 0) is DESCENDING [1, 0] (not empty like DuckDB's
+            # generate_series), so filter before the transform
+            .where(F.size("sy") >= 2)
+            .select(F.explode(pair_expr).alias("pr"), "wc")
+            .groupBy("pr.left_sym", "pr.right_sym")
+            .agg(F.sum("wc").cast("long").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.desc("pair_count"), "left_sym", "right_sym"
+        ).limit(1).collect()[0]
+        merges.append((step, best.left_sym, best.right_sym, best.pair_count))
+        pat = f"|{best.left_sym}||{best.right_sym}|"
+        rep = f"|{best.left_sym}{best.right_sym}|"
+        cur = cur.select(
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "wc"
+        )
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+tokenizer_bpe_vocab.__doc__ = tokenizer_bpe_vocab.__doc__.format(n=_BPEV_MERGES)

@@ -2529,3 +2529,45 @@ def test_incremental_bm25_standing_stats_equal_batch(spark):
         .collect()
     ]
     assert inc == batch
+
+
+def test_bpe_vocab_matches_python_twin(spark, tmp_path):
+    """tokenizer_bpe_vocab against a literal-minded pure-Python greedy BPE
+    (Sennrich alg. 1) on a hand corpus with merge-cascade structure: early
+    merges must feed later ones ('l o'→'lo', then 'lo w'→'low'), and ties
+    resolve by the total (count desc, left, right) order."""
+    from dataset_crawler_spark.plans.queries import _BPEV_MERGES, tokenizer_bpe_vocab
+
+    texts = ["low low low lower lowest", "newer newer wider wider wider new3"]
+    sf = _docs_fixture(spark, tmp_path, texts)
+
+    # python twin
+    from collections import Counter
+
+    words = Counter(
+        w for t in texts for w in t.split() if len(w) >= 2 and w.isalpha() and w.islower()
+    )
+    vocab = {tuple(w): c for w, c in words.items()}
+    expect = []
+    for step in range(_BPEV_MERGES):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((step, best[0], best[1], pairs[best]))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+
+    got = [tuple(r) for r in tokenizer_bpe_vocab(spark, sf).collect()]
+    assert got == expect
