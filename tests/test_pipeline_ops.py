@@ -2571,3 +2571,17 @@ def test_bpe_vocab_matches_python_twin(spark, tmp_path):
 
     got = [tuple(r) for r in tokenizer_bpe_vocab(spark, sf).collect()]
     assert got == expect
+
+
+def test_bpe_vocab_stops_when_vocabulary_exhausts(spark, tmp_path):
+    """tokenizer_bpe_vocab on a corpus whose every word fully merges before
+    the merge budget runs out: the loop must STOP (not crash on an empty
+    argmax), emitting exactly the merges that existed — the same shorter
+    row set the unrolled twin produces from its empty-LIMIT-1 cross join."""
+    from dataset_crawler_spark.plans.queries import tokenizer_bpe_vocab
+
+    sf = _docs_fixture(spark, tmp_path, ["ab ab ab", "ab cd"])
+    got = [tuple(r) for r in tokenizer_bpe_vocab(spark, sf).collect()]
+    # step 0 merges (a,b) weight 4; step 1 merges (c,d) weight 1; then
+    # every word is one symbol — steps 2..5 must not exist
+    assert got == [(0, "a", "b", 4), (1, "c", "d", 1)]

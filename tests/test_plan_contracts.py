@@ -510,6 +510,10 @@ def test_kn_ppl_model_sides_broadcast(spark):
     plan = _plan(text_lm_kn_ppl(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2
     assert re.search(PY_STAGES, plan) is None
+    # the bounded (p, c) count table is materialized once; the final plan
+    # must scan the corpus exactly ONCE (the scoring stream) — a regression
+    # here means a model-table consumer is re-running the corpus explode
+    assert plan.count("FileScan parquet") == 1
 
 
 def test_quantile_hist_no_global_sort_no_python(spark):

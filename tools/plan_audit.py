@@ -124,6 +124,23 @@ AUDIT = [
     "graph_doc_modularity",
     "dedup_containment",
     "dedup_cdc_chunks",
+    # round-4 tail II: BPE pair census explodes char pairs over the
+    # DISTINCT-word table only (TakeOrdered top-N, no global sort); heavy
+    # hitters' sole Python stage is the Arrow MG prune, recount joins
+    # BROADCAST candidates; z-order audit is one bounded hash aggregate
+    # (collect_set, no Expand); KN scoring broadcasts both bucket-bounded
+    # model sides; histogram quantiles are two bounded aggregates + a
+    # ≤4096-row per-group window; incremental BM25 scoring is the same
+    # zero-shuffle narrow projection as search_bm25_topk.
+    # (tokenizer_bpe_vocab is audited implicitly: its per-iteration pair
+    # census IS tokenizer_bpe_pairs' plan over the rewritten word table,
+    # and its returned frame is a LocalTableScan of the merge list.)
+    "tokenizer_bpe_pairs",
+    "sketch_heavy_hitters",
+    "layout_zorder_stats",
+    "text_lm_kn_ppl",
+    "sketch_quantile_hist",
+    "engine_incremental_bm25",
 ]
 
 INTERESTING = (
