@@ -109,6 +109,8 @@ ANALYTIC_QUERIES = [
     "sketch_quantile_hist",
     "engine_incremental_bm25",
     "tokenizer_bpe_vocab",
+    "crawl_focused_priority",
+    "search_posting_lists",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

@@ -57,6 +57,8 @@ _DRIVER_FIRST = [
     "sketch_quantile_hist",
     "engine_incremental_bm25",
     "tokenizer_bpe_vocab",
+    "crawl_focused_priority",
+    "search_posting_lists",
     "dedup_substring_removal",
     "engine_incremental_substr",
     "text_classifier_quality",
@@ -7478,3 +7480,190 @@ def tokenizer_bpe_vocab(spark, sf_dir):
 
 
 tokenizer_bpe_vocab.__doc__ = tokenizer_bpe_vocab.__doc__.format(n=_BPEV_MERGES)
+
+
+#: Focused-crawl constants: the topic lexicon, and the integer
+#: inherited-mass floor for the fetch gate (mass is an exact integer sum,
+#: so the gate can never float-flake).
+_FOC_TERMS = ("vector", "stream", "query")
+_FOC_MIN_MASS = 4
+
+_FOC_TERMS_SQL = ", ".join(f"'{t}'" for t in _FOC_TERMS)
+
+
+@register(
+    "crawl_focused_priority",
+    f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    rel AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ({_FOC_TERMS_SQL}))) AS BIGINT)
+               AS topic_hits
+      FROM documents),
+    raw AS (
+      SELECT d.doc_id AS src,
+             {h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")}
+               % n.n_docs AS dst
+      FROM documents d CROSS JOIN n
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    m AS (
+      SELECT dst,
+             CAST(SUM(topic_hits) AS BIGINT) AS inherited_mass,
+             CAST(COUNT(*) AS BIGINT) AS n_parents,
+             CAST(SUM(CASE WHEN topic_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_relevant_parents
+      FROM e JOIN rel ON e.src = rel.doc_id
+      GROUP BY dst)
+    SELECT 'https://host' || lpad(CAST(dst % 7 AS VARCHAR), 2, '0')
+             || '.example.org/d/' || CAST(dst AS VARCHAR) AS url,
+           'host' || lpad(CAST(dst % 7 AS VARCHAR), 2, '0') || '.example.org'
+             AS host,
+           inherited_mass, n_parents, n_relevant_parents,
+           ROUND(1.0 - 1.0 / (1.0 + inherited_mass), 4) AS priority,
+           inherited_mass >= {_FOC_MIN_MASS} AS fetch
+    FROM m
+    """,
+)
+def crawl_focused_priority(spark, sf_dir):
+    """Focused-crawl frontier prioritization (Chakrabarti, van den Berg &
+    Dom 1999): a target URL inherits relevance from the pages that link to
+    it — children of on-topic parents are fetched first, off-topic regions
+    of the web are starved. Parent relevance here is the topic-lexicon hit
+    count (the deterministic stand-in for text_classifier_quality's NB
+    score); a target's inherited mass is the SUM of its distinct parents'
+    hit counts — an exact integer, so the priority map and the fetch gate
+    are bitwise-deterministic in both engines (one float division at the
+    very end). Same deterministic doc-link graph as the graph_doc_* family.
+
+    Scale shape (10^10 URLs): relevance is a narrow per-doc projection
+    (no token explode — higher-order array filter); the edge⋈relevance
+    join is equi-keyed on the parent id and the inheritance aggregate is
+    map-side-combined on the target id. Nothing corpus-sized is ever
+    collected or broadcast; composition into the engine's round is the
+    same budget-joins shape as crawl_centrality_budget."""
+    d = _t(spark, sf_dir, "documents")
+    terms = list(_FOC_TERMS)
+
+    def _hit(x):
+        c = x == F.lit(terms[0])
+        for t in terms[1:]:
+            c = c | (x == F.lit(t))
+        return c
+
+    rel = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), _hit)).cast("long").alias("topic_hits"),
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    i = F.col("doc_id")
+    raw = d.select("doc_id").crossJoin(F.broadcast(n)).select(
+        i.alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda j: F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit("lk|"), i.cast("string"),
+                            F.lit("|"), j.cast("string"),
+                        )
+                    ),
+                    F.col("n_docs"),
+                ),
+            )
+        ).alias("dst"),
+    )
+    e = raw.where(F.col("src") != F.col("dst")).distinct()
+    m = (
+        e.join(rel.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy("dst")
+        .agg(
+            F.sum("topic_hits").cast("long").alias("inherited_mass"),
+            F.count("*").cast("long").alias("n_parents"),
+            F.sum((F.col("topic_hits") > 0).cast("long")).alias("n_relevant_parents"),
+        )
+    )
+    t = F.col("dst")
+    url = F.concat(
+        F.lit("https://host"), F.lpad(F.pmod(t, F.lit(7)).cast("string"), 2, "0"),
+        F.lit(".example.org/d/"), t.cast("string"),
+    )
+    host = F.concat(
+        F.lit("host"), F.lpad(F.pmod(t, F.lit(7)).cast("string"), 2, "0"),
+        F.lit(".example.org"),
+    )
+    return m.select(
+        url.alias("url"),
+        host.alias("host"),
+        "inherited_mass",
+        "n_parents",
+        "n_relevant_parents",
+        F.round(1.0 - 1.0 / (1.0 + F.col("inherited_mass")), 4).alias("priority"),
+        (F.col("inherited_mass") >= _FOC_MIN_MASS).alias("fetch"),
+    )
+
+
+#: Inverted-index build constants: postings per term kept in the emitted
+#: shard row (the head of each sorted posting list).
+_PL_CAP = 8
+
+
+@register(
+    "search_posting_lists",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT tok AS term, doc_id
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''),
+    rnk AS (SELECT term, doc_id,
+                   row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+            FROM pairs)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           string_agg(CASE WHEN rn <= {_PL_CAP}
+                           THEN CAST(doc_id AS VARCHAR) END, ','
+                      ORDER BY doc_id) AS postings_head,
+           COUNT(*) > {_PL_CAP} AS truncated
+    FROM rnk
+    GROUP BY term
+    """,
+)
+def search_posting_lists(spark, sf_dir):
+    """Inverted-index construction — the artifact side of the search family
+    (search_bm25_topk scores with corpus statistics; this materializes the
+    term → sorted-postings mapping a retrieval shard serves). Every term
+    row carries its document frequency and the HEAD of its doc_id-sorted
+    posting list ({_PL_CAP} entries, joined as a csv string so the
+    value-hash compare is order-exact), with a truncation flag — the
+    standard impact-ordered-shard layout decision (cap what a row carries,
+    keep the full list in the shard body).
+
+    Scale shape (100 TB): the (term, doc_id) pair stream shuffles once into
+    the per-term aggregate; the head-of-list cap runs as a bounded
+    row_number window INSIDE each term partition (never a global sort), so
+    a hot term costs one partition's sort of its own postings, not a
+    collect_set of a million doc ids in one aggregation buffer. Output is
+    vocabulary-sized."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    rnk = pairs.select("term", "doc_id", F.row_number().over(w).alias("rn"))
+    return rnk.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") <= _PL_CAP, F.col("doc_id"))
+                )
+            ).cast("array<string>"),
+        ).alias("postings_head"),
+        (F.count("*") > _PL_CAP).alias("truncated"),
+    )

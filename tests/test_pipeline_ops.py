@@ -2585,3 +2585,61 @@ def test_bpe_vocab_stops_when_vocabulary_exhausts(spark, tmp_path):
     # step 0 merges (a,b) weight 4; step 1 merges (c,d) weight 1; then
     # every word is one symbol — steps 2..5 must not exist
     assert got == [(0, "a", "b", 4), (1, "c", "d", 1)]
+
+
+def test_focused_priority_matches_python_inheritance(spark):
+    """crawl_focused_priority against an independent pure-Python rebuild of
+    the link graph (h60_py) and relevance inheritance on the real sf0.001
+    corpus: inherited mass is the exact integer sum of distinct parents'
+    topic-hit counts, priority is its closed-form map, and the fetch gate
+    is the integer floor."""
+    from dataset_crawler_spark.functions.hashing import h60_py
+    from dataset_crawler_spark.plans.queries import (
+        _FOC_MIN_MASS,
+        _FOC_TERMS,
+        crawl_focused_priority,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text").collect()
+    n = len(docs)
+    hits = {
+        r.doc_id: sum(1 for w in r.text.split(" ") if w in _FOC_TERMS) for r in docs
+    }
+    edges = set()
+    for r in docs:
+        for j in range(3):
+            dst = h60_py(f"lk|{r.doc_id}|{j}") % n
+            if dst != r.doc_id:
+                edges.add((r.doc_id, dst))
+    mass, parents, rel_parents = {}, {}, {}
+    for src, dst in edges:
+        mass[dst] = mass.get(dst, 0) + hits[src]
+        parents[dst] = parents.get(dst, 0) + 1
+        rel_parents[dst] = rel_parents.get(dst, 0) + (1 if hits[src] > 0 else 0)
+
+    rows = crawl_focused_priority(spark, sf).collect()
+    assert len(rows) == len(mass)
+    for r in rows:
+        dst = int(r.url.rsplit("/", 1)[1])
+        assert r.inherited_mass == mass[dst]
+        assert r.n_parents == parents[dst]
+        assert r.n_relevant_parents == rel_parents[dst]
+        assert r.priority == round(1.0 - 1.0 / (1.0 + mass[dst]), 4)
+        assert r.fetch is (mass[dst] >= _FOC_MIN_MASS)
+
+
+def test_posting_lists_hand_corpus_and_truncation(spark, tmp_path):
+    """search_posting_lists on a hand corpus: df counts distinct docs (not
+    occurrences), posting heads are doc_id-sorted, and a term past the cap
+    truncates to the first 8 ids with the flag set."""
+    from dataset_crawler_spark.plans.queries import search_posting_lists
+
+    texts = [f"z common{i % 2}" for i in range(10)] + ["solo z"]
+    sf = _docs_fixture(spark, tmp_path, texts)
+    got = {r.term: r for r in search_posting_lists(spark, sf).collect()}
+    assert got["z"].df == 11 and got["z"].truncated is True
+    assert got["z"].postings_head == ",".join(str(i) for i in range(8))
+    assert got["common0"].df == 5 and got["common0"].truncated is False
+    assert got["common0"].postings_head == "0,2,4,6,8"
+    assert got["solo"].df == 1 and got["solo"].postings_head == "10"

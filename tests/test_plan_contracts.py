@@ -545,3 +545,31 @@ def test_incremental_bm25_scoring_is_narrow_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "Generate" not in plan  # no explode of the token stream
     assert re.search(PY_STAGES, plan) is None
+
+
+def test_focused_priority_no_collect_no_python(spark):
+    """crawl_focused_priority: relevance is a higher-order array filter (no
+    token explode/Generate beyond the 3-link expansion), the inheritance
+    join is equi-keyed, and nothing runs in Python."""
+    import re
+
+    from dataset_crawler_spark.plans.queries import crawl_focused_priority
+
+    plan = _plan(crawl_focused_priority(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert re.search(PY_STAGES, plan) is None
+
+
+def test_posting_lists_window_inside_term_partition(spark):
+    """search_posting_lists: the posting-head cap is a row_number window
+    partitioned BY TERM (one Sort per term partition after the pair
+    shuffle) — never a global single-partition sort; no Python stages."""
+    import re
+
+    from dataset_crawler_spark.plans.queries import search_posting_lists
+
+    plan = _plan(search_posting_lists(spark, SF_DIR))
+    assert "Window" in plan
+    # a window without partition keys funnels everything into ONE partition
+    assert "SinglePartition" not in plan
+    assert re.search(PY_STAGES, plan) is None
