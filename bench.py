@@ -111,6 +111,7 @@ ANALYTIC_QUERIES = [
     "tokenizer_bpe_vocab",
     "crawl_focused_priority",
     "search_posting_lists",
+    "dedup_simhash_hamming",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

@@ -59,6 +59,7 @@ _DRIVER_FIRST = [
     "tokenizer_bpe_vocab",
     "crawl_focused_priority",
     "search_posting_lists",
+    "dedup_simhash_hamming",
     "dedup_substring_removal",
     "engine_incremental_substr",
     "text_classifier_quality",
@@ -7667,3 +7668,126 @@ def search_posting_lists(spark, sf_dir):
         ).alias("postings_head"),
         (F.count("*") > _PL_CAP).alias("truncated"),
     )
+
+
+#: Manku block-permutation Hamming search constants: 60-bit simhash split
+#: into 4 contiguous 15-bit blocks; pigeonhole guarantees every pair at
+#: Hamming distance ≤ 3 agrees exactly on ≥ 1 block, so the candidate
+#: generator is 4 exact-match equi-joins — never an all-pairs scan. 15-bit
+#: blocks keep random candidates at ~n²/2^15 per block table.
+_SHH_BITS = 60
+_SHH_BLOCKS = 4
+_SHH_BLOCK_BITS = 15
+_SHH_HMAX = 3
+
+_SHH_BITS_SQL = (
+    "(SELECT unnest(generate_series(0, " + str(_SHH_BITS - 1) + ")) AS b)"
+)
+
+
+@register(
+    "dedup_simhash_hamming",
+    f"""
+    WITH th AS (
+      SELECT doc_id, {h60_sql('tok')} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)),
+    sc AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN {_SHH_BITS_SQL} bits
+      GROUP BY doc_id, b),
+    sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+                  AS BIGINT) AS sh
+      FROM sc GROUP BY doc_id),
+    blk AS (
+      SELECT doc_id, sh, k.k AS block_id,
+             (sh >> (k.k * {_SHH_BLOCK_BITS})) & {(1 << _SHH_BLOCK_BITS) - 1}
+               AS block_val
+      FROM sim CROSS JOIN
+           (SELECT unnest(generate_series(0, {_SHH_BLOCKS - 1})) AS k) k),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sh AS sh_a, b.sh AS sh_b
+      FROM blk a JOIN blk b
+        ON a.block_id = b.block_id AND a.block_val = b.block_val
+      WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {_SHH_HMAX}
+    """,
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup detection at Hamming distance ≤ {hmax} via block
+    permutation (Manku, Jain & Das Sarma, WWW 2007 — the Google web-crawl
+    dedup design): a {bits}-bit weighted-bit-majority simhash per document,
+    split into {nb} contiguous {bb}-bit blocks; any two fingerprints within
+    Hamming {hmax} must agree EXACTLY on at least one block (pigeonhole:
+    {hmax} flipped bits can dirty at most {hmax} of {nb} blocks), so
+    candidates come from {nb} exact-match equi-joins on (block_id, value)
+    and only candidates pay the bit_count(xor) verification. This finds
+    near-identical documents whose shingle sets MinHash already clusters,
+    but with a 64-bit-per-doc index instead of a shingle table.
+
+    Scale shape (10^10 docs): the fingerprint is one explode + one 60-way
+    conditional-SUM aggregate per doc (dedup_simhash16's measured codegen
+    shape, not an interpreted array fold); the block table is {nb} rows per
+    doc of three longs; candidate generation is a hash equi-join per block
+    with per-key volume bounded by the {bb}-bit value space (~n²/2^{bb}
+    random pairs per block); verification is one integer xor+popcount per
+    candidate. No all-pairs stage exists anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    th = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", h60(F.col("w")).alias("h"))
+    scores = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(_SHH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(_SHH_BITS):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    fp = scores.select("doc_id", sim.cast("long").alias("sh"))
+    mask = (1 << _SHH_BLOCK_BITS) - 1
+    blk = fp.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_SHH_BLOCKS - 1}), k -> "
+                f"struct(k AS block_id, "
+                f"shiftright(sh, k * {_SHH_BLOCK_BITS}) & {mask} AS block_val))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", "bk.block_id", "bk.block_val")
+    a = blk.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        "block_id", "block_val",
+    )
+    b2 = blk.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        "block_id", "block_val",
+    )
+    cand = (
+        a.join(b2, ["block_id", "block_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.where(ham <= _SHH_HMAX).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    )
+
+
+dedup_simhash_hamming.__doc__ = dedup_simhash_hamming.__doc__.format(
+    hmax=_SHH_HMAX, bits=_SHH_BITS, nb=_SHH_BLOCKS, bb=_SHH_BLOCK_BITS
+)

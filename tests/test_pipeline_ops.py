@@ -2643,3 +2643,21 @@ def test_posting_lists_hand_corpus_and_truncation(spark, tmp_path):
     assert got["common0"].df == 5 and got["common0"].truncated is False
     assert got["common0"].postings_head == "0,2,4,6,8"
     assert got["solo"].df == 1 and got["solo"].postings_head == "10"
+
+
+def test_simhash_hamming_planted_pairs(spark, tmp_path):
+    """dedup_simhash_hamming: exact copies collide at hamming 0 through the
+    block join; an unrelated doc (disjoint vocabulary) pairs with nobody;
+    a copy with one token swapped stays within the hamming radius of its
+    source (weighted bit majority flips only margin-1 bits)."""
+    from dataset_crawler_spark.plans.queries import dedup_simhash_hamming
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta theta",   # exact copy of 0
+        "iota kappa lmbda mu nu xi omicron pi rho sigma",  # disjoint
+    ]
+    sf = _docs_fixture(spark, tmp_path, texts)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in dedup_simhash_hamming(spark, sf).collect()}
+    assert got[(0, 1)] == 0
+    assert not any(2 in p for p in got)

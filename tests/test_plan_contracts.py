@@ -573,3 +573,17 @@ def test_posting_lists_window_inside_term_partition(spark):
     # a window without partition keys funnels everything into ONE partition
     assert "SinglePartition" not in plan
     assert re.search(PY_STAGES, plan) is None
+
+
+def test_simhash_hamming_block_join_no_cartesian(spark):
+    """dedup_simhash_hamming: candidates come from the (block_id, value)
+    equi-join — no cartesian/nested-loop pair stage may exist, and the
+    whole pipeline stays JVM-side."""
+    import re
+
+    from dataset_crawler_spark.plans.queries import dedup_simhash_hamming
+
+    plan = _plan(dedup_simhash_hamming(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(PY_STAGES, plan) is None
