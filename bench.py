@@ -112,6 +112,8 @@ ANALYTIC_QUERIES = [
     "crawl_focused_priority",
     "search_posting_lists",
     "dedup_simhash_hamming",
+    "graph_doc_bowtie",
+    "engine_incremental_quantile",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

@@ -60,6 +60,8 @@ _DRIVER_FIRST = [
     "crawl_focused_priority",
     "search_posting_lists",
     "dedup_simhash_hamming",
+    "graph_doc_bowtie",
+    "engine_incremental_quantile",
     "dedup_substring_removal",
     "engine_incremental_substr",
     "text_classifier_quality",
@@ -7791,3 +7793,273 @@ def dedup_simhash_hamming(spark, sf_dir):
 dedup_simhash_hamming.__doc__ = dedup_simhash_hamming.__doc__.format(
     hmax=_SHH_HMAX, bits=_SHH_BITS, nb=_SHH_BLOCKS, bb=_SHH_BLOCK_BITS
 )
+
+
+#: Bowtie decomposition constants: reachability radius (same bounded-round
+#: convention as graph_doc_bfs_depth — the twin unrolls identical rounds,
+#: so the value match is exact at any cap) and the deterministic pivot.
+_BOW_ITER = 8
+_BOW_PIVOT = 0
+
+
+def _bowtie_sql() -> str:
+    """DuckDB twin of the FW-BW bowtie decomposition over the 'lk|' doc
+    outlink graph: two unrolled frontier-delta BFS chains (forward along
+    src→dst, backward along dst→src) from the pivot, then the four-way
+    region classification."""
+    h_lk = h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")
+    cte = [
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
+        f"""raw AS (
+      SELECT d.doc_id AS src, {h_lk} % n.n_docs AS dst
+      FROM documents d CROSS JOIN n
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj)""",
+        "e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        f"fs0 AS (SELECT CAST({_BOW_PIVOT} AS BIGINT) AS node)",
+        f"bs0 AS (SELECT CAST({_BOW_PIVOT} AS BIGINT) AS node)",
+        "ff0 AS (SELECT node FROM fs0)",
+        "bf0 AS (SELECT node FROM bs0)",
+    ]
+    for r in range(1, _BOW_ITER + 1):
+        cte.append(
+            f"""ff{r} AS (
+      SELECT DISTINCT e.dst AS node FROM ff{r - 1} f JOIN e ON e.src = f.node
+      WHERE e.dst NOT IN (SELECT node FROM fs{r - 1}))"""
+        )
+        cte.append(
+            f"fs{r} AS (SELECT node FROM fs{r - 1} UNION ALL SELECT node FROM ff{r})"
+        )
+        cte.append(
+            f"""bf{r} AS (
+      SELECT DISTINCT e.src AS node FROM bf{r - 1} f JOIN e ON e.dst = f.node
+      WHERE e.src NOT IN (SELECT node FROM bs{r - 1}))"""
+        )
+        cte.append(
+            f"bs{r} AS (SELECT node FROM bs{r - 1} UNION ALL SELECT node FROM bf{r})"
+        )
+    cte.append(
+        f"""cls AS (
+      SELECT d.doc_id,
+             CASE
+               WHEN d.doc_id IN (SELECT node FROM fs{_BOW_ITER})
+                AND d.doc_id IN (SELECT node FROM bs{_BOW_ITER}) THEN 'SCC'
+               WHEN d.doc_id IN (SELECT node FROM bs{_BOW_ITER}) THEN 'IN'
+               WHEN d.doc_id IN (SELECT node FROM fs{_BOW_ITER}) THEN 'OUT'
+               ELSE 'DISC'
+             END AS region
+      FROM documents d)"""
+    )
+    cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + """
+    SELECT c.doc_id, c.region, CAST(s.region_size AS BIGINT) AS region_size
+    FROM cls c JOIN (SELECT region, COUNT(*) AS region_size
+                     FROM cls GROUP BY region) s USING (region)"""
+    )
+
+
+@register("graph_doc_bowtie", _bowtie_sql())
+def graph_doc_bowtie(spark, sf_dir):
+    """Web bowtie decomposition (Broder et al., WWW 2000 — 'Graph structure
+    in the web'): classify every page by reachability relative to a pivot's
+    strongly connected core — SCC (reaches AND is reached by the pivot),
+    IN (upstream: reaches the pivot but not back), OUT (downstream), DISC
+    (disconnected tendrils). The macro-structure read a crawl planner uses:
+    seeds in IN flow into the core, OUT is reachable but contributes no
+    return paths, DISC needs its own seeds. One forward and one backward
+    frontier-delta BFS from a deterministic pivot, each bounded at
+    {it} rounds (the twin unrolls the identical rounds, so the value match
+    is exact at any radius); the pivot's SCC is exactly fwd ∩ bwd — the
+    classic FW-BW-trim first step (Fleischer/Hendrickson/Pinar 2000).
+
+    Scale shape (100 TB): both BFS directions are frontier-delta rounds —
+    each joins only last round's newly settled set against the edge table
+    (backward uses the same table keyed on dst, no reversed copy
+    materialized), so every node expands once per direction; the
+    classification is two semi-join flags and the region sizes are one
+    4-row aggregate broadcast back."""
+    from dataset_crawler_spark.operators.graph import bfs_depths
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    i = F.col("doc_id")
+    raw = d.crossJoin(F.broadcast(n)).select(
+        i.alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda j: F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit("lk|"), i.cast("string"),
+                            F.lit("|"), j.cast("string"),
+                        )
+                    ),
+                    F.col("n_docs"),
+                ),
+            )
+        ).alias("dst"),
+    )
+    e = raw.where(F.col("src") != F.col("dst")).distinct()
+    pivot = spark.createDataFrame([(_BOW_PIVOT,)], "node long")
+    fwd = bfs_depths(e, pivot, n_iter=_BOW_ITER).select("node")
+    bwd = bfs_depths(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        pivot,
+        n_iter=_BOW_ITER,
+    ).select("node")
+    cls = (
+        d.join(fwd.withColumnRenamed("node", "doc_id").withColumn("f", F.lit(1)),
+               "doc_id", "left")
+        .join(bwd.withColumnRenamed("node", "doc_id").withColumn("b", F.lit(1)),
+              "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("f").isNotNull() & F.col("b").isNotNull(), F.lit("SCC"))
+            .when(F.col("b").isNotNull(), F.lit("IN"))
+            .when(F.col("f").isNotNull(), F.lit("OUT"))
+            .otherwise(F.lit("DISC"))
+            .alias("region"),
+        )
+    )
+    sizes = cls.groupBy("region").agg(F.count("*").cast("long").alias("region_size"))
+    return cls.join(F.broadcast(sizes), "region").select(
+        "doc_id", "region", "region_size"
+    )
+
+
+graph_doc_bowtie.__doc__ = graph_doc_bowtie.__doc__.format(it=_BOW_ITER)
+
+
+#: Incremental histogram-quantile constants: bin edges FREEZE at the round-0
+#: bootstrap range (the standard fixed-bucket practice — later rounds clamp
+#: into the edge bins), counts merge additively.
+_IQH_PICK_SQL = ",\n           ".join(
+    f"MIN(CASE WHEN cum >= ceil({q} * n) THEN bin END) AS qb{i}"
+    for i, q in enumerate(_QH_QS)
+)
+_IQH_EST_SQL = ",\n           ".join(
+    f"ROUND(mn + (qb{i} + 0.5) * (mx - mn) / {_QH_B}.0, 4) AS p{int(q * 100)}"
+    for i, q in enumerate(_QH_QS)
+)
+
+
+@register(
+    "engine_incremental_quantile",
+    f"""
+    WITH r AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+               FROM events WHERE event_id % 4 <> 0 GROUP BY event_type),
+    b AS (SELECT e.event_type,
+                 CASE WHEN mx > mn THEN
+                        LEAST({_QH_B - 1}, GREATEST(0,
+                          CAST(FLOOR(((value - mn) * {_QH_B}.0) / (mx - mn))
+                               AS BIGINT)))
+                      ELSE 0 END AS bin
+          FROM events e JOIN r USING (event_type)),
+    c AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM b GROUP BY event_type, bin),
+    t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM c
+          GROUP BY event_type),
+    cum AS (SELECT event_type, bin,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+            FROM c),
+    q AS (SELECT event_type,
+           {_IQH_PICK_SQL}
+          FROM cum JOIN t USING (event_type) GROUP BY event_type)
+    SELECT event_type, n, ROUND(mn, 4) AS vmin, ROUND(mx, 4) AS vmax,
+           {_IQH_EST_SQL}
+    FROM q JOIN r USING (event_type) JOIN t USING (event_type)
+    """,
+)
+def engine_incremental_quantile(spark, sf_dir):
+    """Incremental histogram-quantile state — the quantile member of the
+    engine's incremental-index family (minhash/signlsh/substr/cc/lpa/
+    pagerank/hll/bm25): bin edges freeze at the round-0 bootstrap range
+    (fixed buckets, the standard production histogram contract; later
+    values clamp into the edge bins), and the per-(group, bin) counts are
+    ADDITIVE integers — a crawl round folds its |new|-event bin counts
+    into the standing table without touching old events. Round 0
+    aggregates the old 75%; round 1 aggregates ONLY the new 25% and merges
+    the two count tables (a real partial-aggregate union); the read-off is
+    sketch_quantile_hist's cumulative-bin interpolation over the merged
+    state. The DuckDB twin computes the batch histogram against the same
+    frozen edges — value-hash equality IS the incremental ≡ batch proof,
+    exact because counts are integers and the bin rule is one fixed IEEE
+    expression.
+
+    Scale shape (100 TB): each round's update is one map-side-combined
+    bounded aggregate (groups x {_QH_B} keys) over the round's NEW rows;
+    the standing state is dimension-sized; the read-off scans ≤ {_QH_B}
+    rows per group."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    is_new = F.pmod(F.col("event_id"), F.lit(4)) == 0
+    r = (
+        e.where(~is_new)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    )
+    binned = e.join(F.broadcast(r), "event_type").select(
+        "event_type",
+        is_new.alias("new"),
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(_QH_B - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        ((F.col("value") - F.col("mn")) * float(_QH_B))
+                        / (F.col("mx") - F.col("mn"))
+                    ),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bin"),
+    )
+    # standing state = round-0 counts merged with the round-1 delta — a real
+    # partial-aggregate union, same algebra a map-side combine runs
+    parts = [
+        binned.where(~F.col("new")).groupBy("event_type", "bin").agg(
+            F.count("*").cast("long").alias("cnt")
+        ),
+        binned.where(F.col("new")).groupBy("event_type", "bin").agg(
+            F.count("*").cast("long").alias("cnt")
+        ),
+    ]
+    c = (
+        parts[0].unionByName(parts[1])
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    t = c.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = c.select("event_type", "bin", F.sum("cnt").over(w).alias("cum")).join(
+        F.broadcast(t), "event_type"
+    )
+    picks = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bin"))
+        ).alias(f"qb{i}")
+        for i, q in enumerate(_QH_QS)
+    ]
+    q = cum.groupBy("event_type").agg(*picks)
+    out = q.join(F.broadcast(r), "event_type").join(F.broadcast(t), "event_type")
+    ests = [
+        F.round(
+            F.col("mn")
+            + (F.col(f"qb{i}") + 0.5) * (F.col("mx") - F.col("mn")) / float(_QH_B),
+            4,
+        ).alias(f"p{int(qq * 100)}")
+        for i, qq in enumerate(_QH_QS)
+    ]
+    return out.select(
+        "event_type",
+        "n",
+        F.round("mn", 4).alias("vmin"),
+        F.round("mx", 4).alias("vmax"),
+        *ests,
+    )

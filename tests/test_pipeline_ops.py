@@ -2661,3 +2661,74 @@ def test_simhash_hamming_planted_pairs(spark, tmp_path):
     got = {(r.doc_a, r.doc_b): r.hamming for r in dedup_simhash_hamming(spark, sf).collect()}
     assert got[(0, 1)] == 0
     assert not any(2 in p for p in got)
+
+
+def test_bowtie_matches_python_fwbw(spark, tmp_path):
+    """graph_doc_bowtie against a pure-Python FW-BW rebuild (h60_py edges,
+    8 bounded rounds each direction, same pivot): region labels and sizes
+    must match node-for-node, and SCC must equal fwd ∩ bwd exactly."""
+    from dataset_crawler_spark.functions.hashing import h60_py
+    from dataset_crawler_spark.plans.queries import (
+        _BOW_ITER,
+        _BOW_PIVOT,
+        graph_doc_bowtie,
+    )
+
+    n = 23
+    sf = _docs_fixture(spark, tmp_path, [f"doc {i} text" for i in range(n)])
+    fwd_e, bwd_e = {}, {}
+    for i in range(n):
+        for j in range(3):
+            t = h60_py(f"lk|{i}|{j}") % n
+            if t != i:
+                fwd_e.setdefault(i, set()).add(t)
+                bwd_e.setdefault(t, set()).add(i)
+
+    def bfs(adj):
+        seen, frontier = {_BOW_PIVOT}, {_BOW_PIVOT}
+        for _ in range(_BOW_ITER):
+            frontier = {t for s in frontier for t in adj.get(s, ())} - seen
+            seen |= frontier
+        return seen
+
+    f, b = bfs(fwd_e), bfs(bwd_e)
+    expect = {
+        i: ("SCC" if i in f and i in b else "IN" if i in b else
+            "OUT" if i in f else "DISC")
+        for i in range(n)
+    }
+    sizes = {}
+    for r in expect.values():
+        sizes[r] = sizes.get(r, 0) + 1
+
+    rows = {r.doc_id: r for r in graph_doc_bowtie(spark, sf).collect()}
+    assert len(rows) == n
+    for i in range(n):
+        assert rows[i].region == expect[i], i
+        assert rows[i].region_size == sizes[expect[i]]
+
+
+def test_incremental_quantile_state_equals_batch_histogram(spark):
+    """engine_incremental_quantile: the merged (old + new-delta) bin counts
+    read off the SAME quantiles as a batch histogram computed against the
+    frozen round-0 edges — additive integer state cannot drift. Also pins
+    the clamp: new values outside the bootstrap range land in the edge
+    bins, so every estimate stays inside [vmin, vmax]."""
+    from dataset_crawler_spark.plans.queries import (
+        _QH_QS,
+        engine_incremental_quantile,
+        sketch_quantile_hist,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inc = {r.event_type: r for r in engine_incremental_quantile(spark, sf).collect()}
+    assert inc
+    batch = {r.event_type: r for r in sketch_quantile_hist(spark, sf).collect()}
+    for et, r in inc.items():
+        assert r.vmin <= r.p50 <= r.p90 <= r.p99 <= r.vmax
+        # the full-range batch sketch and the frozen-edge incremental state
+        # agree on n (same rows) and closely on the interior quantiles
+        # (edges differ only by the new 25%'s range extension)
+        assert r.n == batch[et].n
+        width = (batch[et].vmax - batch[et].vmin) / 4096
+        assert abs(r.p50 - batch[et].p50) <= 2 * width + 1e-9

@@ -587,3 +587,32 @@ def test_simhash_hamming_block_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(PY_STAGES, plan) is None
+
+
+def test_bowtie_bfs_rounds_no_python_no_cartesian(spark):
+    """graph_doc_bowtie: both reachability directions are frontier-delta
+    equi-join rounds and the classification is left-join flags — no
+    cartesian stage, no Python, and the region-size side rides broadcast."""
+    import re
+
+    from dataset_crawler_spark.plans.queries import graph_doc_bowtie
+
+    plan = _plan(graph_doc_bowtie(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(PY_STAGES, plan) is None
+
+
+def test_incremental_quantile_bounded_aggregates(spark):
+    """engine_incremental_quantile: the per-round updates are bounded hash
+    aggregates merged by union (no Expand, no global sort); range/total
+    sides broadcast; no Python."""
+    import re
+
+    from dataset_crawler_spark.plans.queries import engine_incremental_quantile
+
+    plan = _plan(engine_incremental_quantile(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Expand" not in plan
+    assert re.search(PY_STAGES, plan) is None
