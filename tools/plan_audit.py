@@ -141,6 +141,16 @@ AUDIT = [
     "text_lm_kn_ppl",
     "sketch_quantile_hist",
     "engine_incremental_bm25",
+    # round-4 tail III: focused priority inherits integer mass over one
+    # equi-join; posting lists cap inside term partitions (no global sort);
+    # simhash hamming candidates come from the 4 block equi-joins (never
+    # cartesian); bowtie is two frontier-delta BFS chains + semi-join
+    # flags; incremental quantile merges bounded integer bin counts.
+    "crawl_focused_priority",
+    "search_posting_lists",
+    "dedup_simhash_hamming",
+    "graph_doc_bowtie",
+    "engine_incremental_quantile",
 ]
 
 INTERESTING = (
