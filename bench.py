@@ -114,6 +114,7 @@ ANALYTIC_QUERIES = [
     "dedup_simhash_hamming",
     "graph_doc_bowtie",
     "engine_incremental_quantile",
+    "crawl_seed_maxcover",
 ]
 
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")

@@ -62,6 +62,7 @@ _DRIVER_FIRST = [
     "dedup_simhash_hamming",
     "graph_doc_bowtie",
     "engine_incremental_quantile",
+    "crawl_seed_maxcover",
     "dedup_substring_removal",
     "engine_incremental_substr",
     "text_classifier_quality",
@@ -8062,4 +8063,118 @@ def engine_incremental_quantile(spark, sf_dir):
         F.round("mn", 4).alias("vmin"),
         F.round("mx", 4).alias("vmax"),
         *ests,
+    )
+
+
+#: Greedy max-coverage seed selection constants: number of seeds picked.
+_MC_SEEDS = 4
+
+
+def _maxcover_sql() -> str:
+    """DuckDB twin of greedy 1-hop max-coverage seed selection over the
+    'lk|' doc graph: k unrolled steps, each computing every candidate's
+    marginal gain (its uncovered closed out-neighborhood) and taking the
+    argmax under a total order, then folding the winner's neighborhood
+    into the covered set."""
+    h_lk = h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")
+    cte = [
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
+        f"""raw AS (
+      SELECT d.doc_id AS src, {h_lk} % n.n_docs AS dst
+      FROM documents d CROSS JOIN n
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj)""",
+        """nb AS (
+      SELECT DISTINCT src, dst FROM raw
+      UNION SELECT doc_id, doc_id FROM documents)""",
+        "cov0 AS (SELECT CAST(NULL AS BIGINT) AS node WHERE FALSE)",
+    ]
+    for r in range(_MC_SEEDS):
+        cte.append(
+            f"""g{r} AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM nb WHERE dst NOT IN (SELECT node FROM cov{r})
+      GROUP BY src)"""
+        )
+        cte.append(
+            f"""p{r} AS (
+      SELECT src AS seed, gain FROM g{r}
+      ORDER BY gain DESC, src LIMIT 1)"""
+        )
+        cte.append(
+            f"""cov{r + 1} AS (
+      SELECT node FROM cov{r}
+      UNION SELECT nb.dst FROM nb JOIN p{r} ON nb.src = p{r}.seed)"""
+        )
+    cte = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in cte]
+    outs = " UNION ALL ".join(
+        f"SELECT {r} AS pick, seed, gain FROM p{r}" for r in range(_MC_SEEDS)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"""
+    SELECT pick, seed, gain,
+           CAST((SELECT COUNT(*) FROM cov{_MC_SEEDS}) AS BIGINT) AS covered_total
+    FROM ({outs})"""
+    )
+
+
+@register("crawl_seed_maxcover", _maxcover_sql())
+def crawl_seed_maxcover(spark, sf_dir):
+    """Greedy max-coverage seed selection — the crawl-bootstrapping
+    primitive (budgeted maximum coverage; greedy is the optimal poly-time
+    (1 - 1/e) approximation, Nemhauser/Wolsey/Fisher 1978; applied to
+    frontier discoverability by Dasgupta et al. WSDM 2007): pick {k} seeds
+    one at a time, each maximizing the count of NOT-yet-covered pages in
+    its closed 1-hop out-neighborhood. The registered result is the pick
+    order with each seed's marginal gain and the final covered-set size —
+    the evidence a crawl planner uses to size a seed list.
+
+    Scale shape (10^10 URLs): each greedy step is one LeftAnti join of the
+    neighbor table against the covered set followed by a map-side-combined
+    per-candidate count and a TakeOrdered argmax (driver reads ONE row per
+    step — the same scalar convergence-read shape as the BPE merge loop and
+    the pagerank fixpoint); the covered set grows by one neighborhood per
+    step via a distinct union. Nothing corpus-sized is collected."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    i = F.col("doc_id")
+    raw = d.crossJoin(F.broadcast(n)).select(
+        i.alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda j: F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit("lk|"), i.cast("string"),
+                            F.lit("|"), j.cast("string"),
+                        )
+                    ),
+                    F.col("n_docs"),
+                ),
+            )
+        ).alias("dst"),
+    )
+    nb = raw.unionByName(
+        d.select(i.alias("src"), i.alias("dst"))
+    ).distinct().localCheckpoint()
+    covered = None  # DataFrame of covered nodes
+    picks = []
+    for r in range(_MC_SEEDS):
+        uncov = nb if covered is None else nb.join(
+            covered.withColumnRenamed("node", "dst"), "dst", "left_anti"
+        )
+        gain = uncov.groupBy("src").agg(F.count("*").cast("long").alias("gain"))
+        best = gain.orderBy(F.desc("gain"), "src").limit(1).collect()[0]
+        picks.append((r, best.src, best.gain))
+        won = nb.where(F.col("src") == best.src).select(F.col("dst").alias("node"))
+        covered = (
+            won if covered is None
+            else covered.unionByName(won).distinct()
+        ).localCheckpoint()
+    covered_total = covered.count()
+    return spark.createDataFrame(
+        [(p, s, g, covered_total) for p, s, g in picks],
+        "pick int, seed long, gain long, covered_total long",
     )

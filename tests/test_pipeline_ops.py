@@ -2732,3 +2732,32 @@ def test_incremental_quantile_state_equals_batch_histogram(spark):
         assert r.n == batch[et].n
         width = (batch[et].vmax - batch[et].vmin) / 4096
         assert abs(r.p50 - batch[et].p50) <= 2 * width + 1e-9
+
+
+def test_maxcover_greedy_invariants(spark):
+    """crawl_seed_maxcover on the real sf0.001 graph: marginal gains are
+    non-increasing (greedy), seeds are distinct, covered_total is bounded
+    by the gain sum (overlaps only shrink it) and equals it when every
+    pick's neighborhood was disjoint; a pure-Python greedy rebuild must
+    agree pick-for-pick."""
+    from dataset_crawler_spark.functions.hashing import h60_py
+    from dataset_crawler_spark.plans.queries import _MC_SEEDS, crawl_seed_maxcover
+
+    sf = "/root/testdata/sf0.001"
+    docs = [r.doc_id for r in spark.read.parquet(f"{sf}/documents.parquet").select("doc_id").collect()]
+    n = len(docs)
+    nbh = {i: {i} for i in docs}
+    for i in docs:
+        for j in range(3):
+            nbh[i].add(h60_py(f"lk|{i}|{j}") % n)
+    covered, expect = set(), []
+    for r in range(_MC_SEEDS):
+        best = min(((len(nbh[v] - covered), v) for v in docs),
+                   key=lambda t: (-t[0], t[1]))
+        expect.append((r, best[1], best[0]))
+        covered |= nbh[best[1]]
+
+    rows = sorted(crawl_seed_maxcover(spark, sf).collect(), key=lambda r: r.pick)
+    assert [(r.pick, r.seed, r.gain) for r in rows] == expect
+    assert all(a.gain >= b.gain for a, b in zip(rows, rows[1:]))
+    assert rows[0].covered_total == len(covered)
