@@ -6815,14 +6815,17 @@ _BPE_TOPN = 32
     WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
     wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
            FROM w WHERE len(w) >= 2 GROUP BY w),
-    p AS (SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym,
-                 wc
+    p AS (SELECT w, wc,
+                 substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym
           FROM (SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i
-                FROM wc))
+                FROM wc)),
+    pw AS (SELECT left_sym, right_sym, wc,
+                  CAST(COUNT(*) AS BIGINT) AS k
+           FROM p GROUP BY left_sym, right_sym, w, wc)
     SELECT left_sym, right_sym,
-           CAST(SUM(wc) AS BIGINT) AS pair_count,
+           CAST(SUM(wc * k) AS BIGINT) AS pair_count,
            CAST(COUNT(*) AS BIGINT) AS n_word_types
-    FROM p
+    FROM pw
     GROUP BY left_sym, right_sym
     ORDER BY pair_count DESC, left_sym, right_sym
     LIMIT {_BPE_TOPN}
@@ -6852,6 +6855,7 @@ def tokenizer_bpe_pairs(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("wc"))
     )
     pairs = wc.select(
+        "w",
         F.explode(
             F.expr(
                 "transform(sequence(1, length(w) - 1), i -> "
@@ -6860,11 +6864,18 @@ def tokenizer_bpe_pairs(spark, sf_dir):
             )
         ).alias("pr"),
         "wc",
-    ).select("pr.left_sym", "pr.right_sym", "wc")
+    ).select("w", "pr.left_sym", "pr.right_sym", "wc")
+    # two-level aggregate so n_word_types counts DISTINCT word types even
+    # when a pair repeats inside one word ('aaa' emits (a,a) twice): first
+    # collapse per (pair, word) with the in-word multiplicity k, then count
+    # word rows — no Expand-based count_distinct needed
+    pw = pairs.groupBy("left_sym", "right_sym", "w", "wc").agg(
+        F.count("*").cast("long").alias("k")
+    )
     return (
-        pairs.groupBy("left_sym", "right_sym")
+        pw.groupBy("left_sym", "right_sym")
         .agg(
-            F.sum("wc").cast("long").alias("pair_count"),
+            F.sum(F.col("wc") * F.col("k")).cast("long").alias("pair_count"),
             F.count("*").cast("long").alias("n_word_types"),
         )
         .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
@@ -6903,14 +6914,16 @@ def sketch_heavy_hitters(spark, sf_dir):
     set — so the OUTPUT is exact and partitioning-independent even though
     the sketch itself is not; the DuckDB twin is the plain exact GROUP BY.
 
-    Scale shape (100 TB): the corpus-sized stage is one narrow mapInPandas
-    pass (Arrow-batched, per-batch value_counts — no per-row Python); only
-    ≤ {_HH_K} candidate tokens per partition reach the driver-side distinct,
-    and the recount joins the token stream against a BROADCAST candidate
-    list (at most cores × {_HH_K} entries) before a map-side-combined count.
-    Nothing corpus-sized ever shuffles: the alternative exact GROUP BY over
-    all tokens shuffles the full vocabulary; this shuffles ≤ {_HH_K}
-    rows per task."""
+    Scale shape (100 TB): exactly TWO corpus passes — the narrow
+    mapInPandas MG pass (Arrow-batched, per-batch value_counts, no per-row
+    Python; each partition also emits its exact token total on a sentinel
+    row, so the global n needs no separate count scan) and the exact
+    recount. Only ≤ {_HH_K}+1 rows per partition leave the first pass
+    (materialized once), and the recount joins the token stream against a
+    BROADCAST candidate list (at most cores × {_HH_K} entries) before a
+    map-side-combined count. Nothing corpus-sized ever shuffles: the
+    alternative exact GROUP BY over all tokens shuffles the full
+    vocabulary; this shuffles ≤ {_HH_K} rows per task."""
     import pandas as pd
 
     d = _t(spark, sf_dir, "documents")
@@ -6921,9 +6934,12 @@ def sketch_heavy_hitters(spark, sf_dir):
     def mg_partition(batches):
         # vectorized merge: per-batch value_counts (C-speed) folded into a
         # running Series with add(fill_value=0) — a per-token Python dict
-        # loop here measured 5x slower at 40M tokens
-        counts = None
+        # loop here measured 5x slower at 40M tokens. The partition's exact
+        # token total rides along on a sentinel row (tok = NULL) so the
+        # global n comes from THIS pass instead of a second corpus scan.
+        counts, total = None, 0
         for pdf in batches:
+            total += len(pdf)
             vc = pdf["tok"].value_counts()
             counts = vc if counts is None else counts.add(vc, fill_value=0)
             if len(counts) > k:
@@ -6932,10 +6948,20 @@ def sketch_heavy_hitters(spark, sf_dir):
                 cut = counts.nlargest(k + 1).iloc[-1]
                 counts = counts[counts > cut] - cut
         toks = [] if counts is None else list(counts.index)
-        yield pd.DataFrame({"tok": pd.Series(toks, dtype="object")})
+        yield pd.DataFrame(
+            {
+                "tok": pd.Series(toks + [None], dtype="object"),
+                "part_total": pd.Series([0] * len(toks) + [total], dtype="int64"),
+            }
+        )
 
-    cand = toks.mapInPandas(mg_partition, "tok string").distinct()
-    n_total = toks.groupBy().agg(F.count("*").cast("long").alias("n_total"))
+    # ≤ (k + 1) rows per partition — materialize once so the candidate list
+    # and the total don't each re-run the corpus MG pass
+    mg = toks.mapInPandas(
+        mg_partition, "tok string, part_total long"
+    ).localCheckpoint()
+    cand = mg.where(F.col("tok").isNotNull()).select("tok").distinct()
+    n_total = mg.groupBy().agg(F.sum("part_total").cast("long").alias("n_total"))
     return (
         toks.join(F.broadcast(cand), "tok")
         .groupBy("tok")
@@ -6968,8 +6994,9 @@ _Z_INTERLEAVE_SQL = " + ".join(
     "layout_zorder_stats",
     f"""
     WITH b AS (
-      SELECT user_id % 256 AS ub,
-             date_diff('day', TIMESTAMP '2024-01-01', ts) % 256 AS db
+      SELECT ((user_id % 256) + 256) % 256 AS ub,
+             ((date_diff('day', TIMESTAMP '2024-01-01', ts) % 256) + 256) % 256
+               AS db
       FROM events),
     z AS (SELECT ub, db, {_Z_INTERLEAVE_SQL} AS zkey FROM b)
     SELECT zkey // {1 << _Z_BLOCK_SHIFT} AS zblock,
@@ -7486,6 +7513,45 @@ def tokenizer_bpe_vocab(spark, sf_dir):
 tokenizer_bpe_vocab.__doc__ = tokenizer_bpe_vocab.__doc__.format(n=_BPEV_MERGES)
 
 
+def _lk_raw(d: DataFrame) -> DataFrame:
+    """Directed 'lk|' doc outlink edges (src, dst), 3 per doc, self-loops
+    included — the ONE Spark-side derivation of the deterministic doc link
+    graph shared by crawl_focused_priority / graph_doc_bowtie /
+    crawl_seed_maxcover (the SQL twins share `_LK_RAW_CTES`). Callers apply
+    their own self-loop / distinct policy."""
+    n = d.agg(F.count("*").alias("n_docs"))
+    i = F.col("doc_id")
+    return d.select("doc_id").crossJoin(F.broadcast(n)).select(
+        i.alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda j: F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit("lk|"), i.cast("string"),
+                            F.lit("|"), j.cast("string"),
+                        )
+                    ),
+                    F.col("n_docs"),
+                ),
+            )
+        ).alias("dst"),
+    )
+
+
+#: shared twin CTEs for the same graph (n_docs scalar + directed raw edges)
+_LK_RAW_CTES = [
+    "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
+    f"""raw AS (
+      SELECT d.doc_id AS src,
+             {h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")}
+               % n.n_docs AS dst
+      FROM documents d CROSS JOIN n
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj)""",
+]
+
+
 #: Focused-crawl constants: the topic lexicon, and the integer
 #: inherited-mass floor for the fetch gate (mass is an exact integer sum,
 #: so the gate can never float-flake).
@@ -7498,19 +7564,14 @@ _FOC_TERMS_SQL = ", ".join(f"'{t}'" for t in _FOC_TERMS)
 @register(
     "crawl_focused_priority",
     f"""
-    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    WITH {_LK_RAW_CTES[0]},
     rel AS (
       SELECT doc_id,
              CAST(len(list_filter(string_split(text, ' '),
                                   x -> x IN ({_FOC_TERMS_SQL}))) AS BIGINT)
                AS topic_hits
       FROM documents),
-    raw AS (
-      SELECT d.doc_id AS src,
-             {h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")}
-               % n.n_docs AS dst
-      FROM documents d CROSS JOIN n
-      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj),
+    {_LK_RAW_CTES[1]},
     e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
     m AS (
       SELECT dst,
@@ -7560,25 +7621,7 @@ def crawl_focused_priority(spark, sf_dir):
         "doc_id",
         F.size(F.filter(F.split("text", " "), _hit)).cast("long").alias("topic_hits"),
     )
-    n = d.agg(F.count("*").alias("n_docs"))
-    i = F.col("doc_id")
-    raw = d.select("doc_id").crossJoin(F.broadcast(n)).select(
-        i.alias("src"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(2)),
-                lambda j: F.pmod(
-                    h60(
-                        F.concat(
-                            F.lit("lk|"), i.cast("string"),
-                            F.lit("|"), j.cast("string"),
-                        )
-                    ),
-                    F.col("n_docs"),
-                ),
-            )
-        ).alias("dst"),
-    )
+    raw = _lk_raw(d)
     e = raw.where(F.col("src") != F.col("dst")).distinct()
     m = (
         e.join(rel.withColumnRenamed("doc_id", "src"), "src")
@@ -7808,13 +7851,8 @@ def _bowtie_sql() -> str:
     outlink graph: two unrolled frontier-delta BFS chains (forward along
     src→dst, backward along dst→src) from the pivot, then the four-way
     region classification."""
-    h_lk = h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")
     cte = [
-        "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
-        f"""raw AS (
-      SELECT d.doc_id AS src, {h_lk} % n.n_docs AS dst
-      FROM documents d CROSS JOIN n
-      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj)""",
+        *_LK_RAW_CTES,
         "e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
         f"fs0 AS (SELECT CAST({_BOW_PIVOT} AS BIGINT) AS node)",
         f"bs0 AS (SELECT CAST({_BOW_PIVOT} AS BIGINT) AS node)",
@@ -7884,25 +7922,7 @@ def graph_doc_bowtie(spark, sf_dir):
     from dataset_crawler_spark.operators.graph import bfs_depths
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    n = d.agg(F.count("*").alias("n_docs"))
-    i = F.col("doc_id")
-    raw = d.crossJoin(F.broadcast(n)).select(
-        i.alias("src"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(2)),
-                lambda j: F.pmod(
-                    h60(
-                        F.concat(
-                            F.lit("lk|"), i.cast("string"),
-                            F.lit("|"), j.cast("string"),
-                        )
-                    ),
-                    F.col("n_docs"),
-                ),
-            )
-        ).alias("dst"),
-    )
+    raw = _lk_raw(d)
     e = raw.where(F.col("src") != F.col("dst")).distinct()
     pivot = spark.createDataFrame([(_BOW_PIVOT,)], "node long")
     fwd = bfs_depths(e, pivot, n_iter=_BOW_ITER).select("node")
@@ -8076,13 +8096,8 @@ def _maxcover_sql() -> str:
     marginal gain (its uncovered closed out-neighborhood) and taking the
     argmax under a total order, then folding the winner's neighborhood
     into the covered set."""
-    h_lk = h60_sql("'lk|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")
     cte = [
-        "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
-        f"""raw AS (
-      SELECT d.doc_id AS src, {h_lk} % n.n_docs AS dst
-      FROM documents d CROSS JOIN n
-      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj)""",
+        *_LK_RAW_CTES,
         """nb AS (
       SELECT DISTINCT src, dst FROM raw
       UNION SELECT doc_id, doc_id FROM documents)""",
@@ -8137,27 +8152,9 @@ def crawl_seed_maxcover(spark, sf_dir):
     the pagerank fixpoint); the covered set grows by one neighborhood per
     step via a distinct union. Nothing corpus-sized is collected."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    n = d.agg(F.count("*").alias("n_docs"))
-    i = F.col("doc_id")
-    raw = d.crossJoin(F.broadcast(n)).select(
-        i.alias("src"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(2)),
-                lambda j: F.pmod(
-                    h60(
-                        F.concat(
-                            F.lit("lk|"), i.cast("string"),
-                            F.lit("|"), j.cast("string"),
-                        )
-                    ),
-                    F.col("n_docs"),
-                ),
-            )
-        ).alias("dst"),
-    )
+    raw = _lk_raw(d)
     nb = raw.unionByName(
-        d.select(i.alias("src"), i.alias("dst"))
+        d.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
     ).distinct().localCheckpoint()
     covered = None  # DataFrame of covered nodes
     picks = []
@@ -8166,14 +8163,21 @@ def crawl_seed_maxcover(spark, sf_dir):
             covered.withColumnRenamed("node", "dst"), "dst", "left_anti"
         )
         gain = uncov.groupBy("src").agg(F.count("*").cast("long").alias("gain"))
-        best = gain.orderBy(F.desc("gain"), "src").limit(1).collect()[0]
+        top = gain.orderBy(F.desc("gain"), "src").limit(1).collect()
+        if not top:
+            # coverage saturated before the pick budget: nothing uncovered
+            # remains, so there is no argmax. The twin agrees by
+            # construction — its empty g{r}/p{r} CTEs emit no further pick
+            # rows (same exhaustion shape as tokenizer_bpe_vocab).
+            break
+        best = top[0]
         picks.append((r, best.src, best.gain))
         won = nb.where(F.col("src") == best.src).select(F.col("dst").alias("node"))
         covered = (
             won if covered is None
             else covered.unionByName(won).distinct()
         ).localCheckpoint()
-    covered_total = covered.count()
+    covered_total = covered.count() if covered is not None else 0
     return spark.createDataFrame(
         [(p, s, g, covered_total) for p, s, g in picks],
         "pick int, seed long, gain long, covered_total long",

@@ -2379,10 +2379,13 @@ def test_bpe_pairs_hand_values(spark, tmp_path):
     top-N order is total (count desc, then both symbols)."""
     from dataset_crawler_spark.plans.queries import tokenizer_bpe_pairs
 
-    sf = _docs_fixture(spark, tmp_path, ["low lower", "low low"])
+    sf = _docs_fixture(spark, tmp_path, ["low lower", "low low", "aaa aaa"])
     rows = [tuple(r) for r in tokenizer_bpe_pairs(spark, sf).collect()]
-    # words: low x3, lower x1 → (l,o) and (o,w) weigh 4 across 2 word types
+    # words: low x3, lower x1, aaa x2 → (l,o)/(o,w) weigh 4 across 2 word
+    # types; (a,a) occurs TWICE inside the single word type 'aaa' (weight
+    # 2x2=4) but n_word_types must still count it as ONE type
     assert rows == [
+        ("a", "a", 4, 1),
         ("l", "o", 4, 2),
         ("o", "w", 4, 2),
         ("e", "r", 1, 1),
@@ -2399,7 +2402,9 @@ def test_heavy_hitters_exact_output_and_partition_invariance(spark, tmp_path):
     not luck."""
     from dataset_crawler_spark.plans.queries import sketch_heavy_hitters
 
-    # 50 "the" + 300 singleton fillers → n = 350, threshold 3.5: only "the"
+    # 100 docs x (5 "the" + 3 singleton fillers) → 500 "the", 300
+    # singletons, n = 800, threshold n/100 = 8: only "the" qualifies, and
+    # the 301 distinct tokens exceed the 100-candidate capacity
     texts = ["the " * 5 + f"f{i}a f{i}b f{i}c" for i in range(100)]
     got = {}
     for nfiles, layout in ((1, "one"), (5, "five")):

@@ -471,9 +471,10 @@ def test_bpe_pairs_topk_no_global_sort(spark):
 
 
 def test_heavy_hitters_recount_joins_broadcast_candidates(spark):
-    """sketch_heavy_hitters: the Misra-Gries prune is the ONLY Python stage
-    (Arrow-batched MapInPandas); the exact recount joins the token stream
-    against BROADCAST candidates — the full vocabulary never shuffles."""
+    """sketch_heavy_hitters: the Misra-Gries prune (the only Python stage)
+    runs ONCE inside the materialized summary — the FINAL plan contains no
+    Python stage and scans the corpus exactly once (the recount), joining
+    it against BROADCAST candidates — the full vocabulary never shuffles."""
     import re
 
     from dataset_crawler_spark.plans.queries import sketch_heavy_hitters
@@ -481,7 +482,8 @@ def test_heavy_hitters_recount_joins_broadcast_candidates(spark):
     plan = _plan(sketch_heavy_hitters(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert len(re.findall("MapInPandas", plan)) == 1
+    assert re.search(PY_STAGES, plan) is None  # MG pass already materialized
+    assert plan.count("FileScan parquet") == 1  # only the recount scan
 
 
 def test_zorder_stats_single_bounded_aggregate(spark):

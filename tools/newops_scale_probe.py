@@ -75,10 +75,16 @@ def ensure_tables(spark) -> None:
         ).write.mode("overwrite").parquet(events)
 
 
-def force(df) -> float:
-    agg = df.select(F.count_distinct(*[F.col(c) for c in df.columns]).alias("z"))
+def force(make_df) -> float:
+    """Time CONSTRUCTION + evaluation with output values forced. The
+    callable runs inside the timed region: several queries do eager work at
+    construction (localCheckpoint materialization, per-iteration argmax
+    collects), and timing only the returned frame would exclude it — that
+    bug once published a 0.3 s number for a query whose corpus aggregate
+    alone costs 1 s."""
     t0 = time.time()
-    agg.collect()
+    df = make_df()
+    df.select(F.count_distinct(*[F.col(c) for c in df.columns]).alias("z")).collect()
     return round(time.time() - t0, 2)
 
 
@@ -102,8 +108,8 @@ def main() -> None:
     print(f"cores={cores} loadavg={os.getloadavg()[0]:.2f}")
     for name in probes:
         fn = qmap[name]
-        force(fn(spark, DIR))  # warm (JIT + shuffle file reuse)
-        t = min(force(fn(spark, DIR)) for _ in range(2))
+        force(lambda: fn(spark, DIR))  # warm (JIT + shuffle file reuse)
+        t = min(force(lambda: fn(spark, DIR)) for _ in range(2))
         n = fn(spark, DIR).count()
         print(f"{name:28s} {t:8.2f}s  rows={n}")
 
