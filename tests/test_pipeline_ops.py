@@ -2766,3 +2766,17 @@ def test_maxcover_greedy_invariants(spark):
     assert [(r.pick, r.seed, r.gain) for r in rows] == expect
     assert all(a.gain >= b.gain for a, b in zip(rows, rows[1:]))
     assert rows[0].covered_total == len(covered)
+
+
+def test_maxcover_stops_at_saturation(spark, tmp_path):
+    """crawl_seed_maxcover on a corpus whose first pick covers everything:
+    the loop must stop (not crash on an empty argmax), emitting exactly
+    the picks that existed — the same shorter row set the unrolled twin
+    produces from its empty g{r}/p{r} CTEs."""
+    from dataset_crawler_spark.plans.queries import crawl_seed_maxcover
+
+    sf = _docs_fixture(spark, tmp_path, ["a b", "c d"])
+    rows = [tuple(r) for r in crawl_seed_maxcover(spark, sf).collect()]
+    # 2 docs: the 'lk|' targets of both land in {0, 1}; one seed's closed
+    # neighborhood covers both nodes, so exactly ONE pick exists
+    assert rows == [(0, 0, 2, 2)]
