@@ -2,15 +2,19 @@
 
 Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``. The LAST stdout line
-is the compact headline JSON (budgeted <1800 chars — the driver tail-captures
+is the compact headline JSON (budgeted <1950 chars — the driver tail-captures
 2000 and parses the final line)::
 
     {"metric": "urls_scheduled_deduped_per_sec", "value": N, "unit": "urls/sec",
-     "queries": {...per-stage seconds...}, "sf": 0.1, ...}
+     "queries": {...ALL per-stage seconds...}, "aliases": "...", "sf": 0.1, ...}
 
-The full two-parallelism scaling blob is printed on its OWN earlier line and
-lives in BENCH/scaling.json; only its two headline efficiencies ride in the
-final line.
+``queries`` carries EVERY stage (no truncation): pipeline stages under their
+full names, analytic queries under deterministic short aliases (see
+``_alias_map``; reverse map rewritten to BENCH/query_aliases.json each run).
+The full-name map is also printed on its OWN earlier stdout line. The full
+two-parallelism scaling blob is printed on its own earlier line and lives in
+BENCH/scaling.json; only its two headline efficiencies ride in the final
+line.
 
 The headline metric is BASELINE.json's north metric: frontier URLs pushed
 through canonicalize → bloom-seen dedup → robots gate → salted politeness
@@ -391,44 +395,63 @@ def main() -> None:
                 out[k] = scaling[k]
 
     # The driver captures the LAST 2000 chars of stdout and parses the final
-    # JSON line — the compact headline must fit or the whole round's metric
-    # is lost (round 3 lost it at 2000+; the round-4 tail queries pushed the
-    # full map past 2100, so trimming "_" keys alone no longer suffices).
-    # Contract: the FULL stats always go on their own earlier stdout line;
-    # the FINAL line carries the headline + crawl-stage keys (which
-    # tools/scaling_bench.py and tools/sf_sweep.py hard-require — they parse
-    # the same final-JSON-line contract as the driver) and only as many
-    # analytic query keys as fit the budget, shortest-named first dropped
-    # last so the trim is deterministic.
-    line = json.dumps(out)
-    if len(line) > 1800:
-        print(line)  # full map, own line — humans and forensics read this
-        stage_keys = [
-            "bloom_build_sec", "schedule_round_sec",
-            "schedule_round_bucketed_sec", "_urls_per_sec_bucketed",
-            "_n_urls", "_n_seen", "_n_scheduled",
-            "diff_bulk_round_sec", "diff_incr_round_sec", "export_shards_sec",
-        ]
-        compact = dict(out)
-        compact["queries"] = {
-            k: out["queries"][k] for k in stage_keys if k in out["queries"]
-        }
-        rest = sorted(
-            (k for k in out["queries"] if k not in compact["queries"]
-             and not k.startswith("_")),
-            key=lambda k: (len(k), k),
-        )
-        for k in rest:
-            trial = dict(compact["queries"])
-            trial[k] = out["queries"][k]
-            if len(json.dumps({**compact, "queries": trial})) > 1700:
-                break
-            compact["queries"] = trial
-        compact["queries_truncated"] = len(out["queries"]) - len(compact["queries"])
-        line = json.dumps(compact)
-    if len(line) > 1800:
-        print(f"WARNING: headline line {len(line)} chars > 1800", file=sys.stderr)
+    # JSON line. Round 3 lost the headline at 2000+ chars; round 4 fit by
+    # truncating 31 analytic timings out of the artifact (queries_truncated).
+    # Round-5 contract (VERDICT r4 #5 — ALL stages in the artifact, no
+    # truncation): the FULL map with full names always goes on its OWN
+    # earlier stdout line; the FINAL compact line carries every stage —
+    # pipeline stages under their full names (tools/scaling_bench.py and
+    # tools/sf_sweep.py hard-require those keys; they parse the same
+    # final-JSON-line contract as the driver) and every analytic query under
+    # a deterministic SHORT alias (initials of its _-words, '2','3',… on
+    # collision in ANALYTIC_QUERIES order — full names alone are ~1500 chars
+    # and can never fit the window). The alias→name map is rewritten to
+    # BENCH/query_aliases.json every run and documented in BENCH/BASELINE.md,
+    # so the artifact is self-describing: parsed.queries holds ALL timings.
+    print(json.dumps(out))  # full map, own line — humans and forensics
+    stage_keys = [
+        "bloom_build_sec", "schedule_round_sec",
+        "schedule_round_bucketed_sec", "_urls_per_sec_bucketed",
+        "_n_urls", "_n_seen", "_n_scheduled",
+        "diff_bulk_round_sec", "diff_incr_round_sec", "export_shards_sec",
+    ]
+    aliases = _alias_map(
+        [k for k in out["queries"] if k not in stage_keys]
+    )
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    if os.path.isdir(bench_dir):
+        with open(os.path.join(bench_dir, "query_aliases.json"), "w") as fh:
+            json.dump({v: k for k, v in aliases.items()}, fh, indent=1, sort_keys=True)
+    compact = dict(out)
+    compact["queries"] = {
+        **{k: out["queries"][k] for k in stage_keys if k in out["queries"]},
+        **{aliases[k]: round(float(v), 2)
+           for k, v in out["queries"].items() if k in aliases},
+    }
+    compact["aliases"] = "BENCH/query_aliases.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:
+        print(f"WARNING: headline line {len(line)} chars > 1950", file=sys.stderr)
     print(line)
+
+
+def _alias_map(names: list[str]) -> dict[str, str]:
+    """Deterministic collision-free short keys for the final bench line:
+    the initials of the name's underscore-words ('dedup_minhash_lsh' →
+    'dml'), suffixing 2, 3, … on collision in list order. Stable as long
+    as ANALYTIC_QUERIES order is append-only, which BENCH/BASELINE.md
+    pins; BENCH/query_aliases.json carries the authoritative reverse map
+    rewritten on every run."""
+    out: dict[str, str] = {}
+    used: set[str] = set()
+    for n in names:
+        base = "".join(w[0] for w in n.split("_") if w)
+        k, i = base, 2
+        while k in used:
+            k, i = f"{base}{i}", i + 1
+        used.add(k)
+        out[n] = k
+    return out
 
 
 if __name__ == "__main__":
