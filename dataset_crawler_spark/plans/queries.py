@@ -28,6 +28,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 
 def register(name: str, sql: str | None):
+    # Registry contract: entries return a LAZY DataFrame — construction
+    # costs nothing until an action. Five documented exceptions run work AT
+    # CONSTRUCTION (ADVICE r4 #2): tokenizer_bpe_vocab and
+    # crawl_seed_maxcover (inherently sequential loops with per-step driver
+    # argmax reads) and sketch_heavy_hitters / text_lm_bigram_ppl /
+    # text_lm_kn_ppl (eager localCheckpoint of a corpus-pass result shared
+    # by multiple broadcast-future consumers — lazy forms were tried and
+    # rejected: they either double-run the corpus pass via racing futures
+    # or run it at construction anyway under AQE's toRdd; see the pc12 note
+    # in text_lm_bigram_ppl). Each carries an "EAGER AT CONSTRUCTION"
+    # docstring banner; don't add more eager entries without one.
     def deco(fn):
         _REGISTRY[name] = (fn, sql)
         return fn
@@ -4411,7 +4422,11 @@ def text_lm_bigram_ppl(spark, sf_dir):
     identically), so they BROADCAST and scoring is two map-side joins over
     the bigram stream plus one per-doc aggregate; document text never
     shuffles — only (doc_id, b1, b2) longs. The model aggregates themselves
-    are map-side-combined exchanges of at most bucket-count rows per task."""
+    are map-side-combined exchanges of at most bucket-count rows per task.
+
+    EAGER AT CONSTRUCTION (ADVICE r4 #2): calling this function runs the
+    model-building corpus pass immediately (eager localCheckpoint of pc12
+    — deliberate; see the inline note) before returning the scoring plan."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
@@ -4435,6 +4450,14 @@ def text_lm_bigram_ppl(spark, sf_dir):
     # bigram types) and derive both marginals from it — otherwise the m1/m2
     # consumers each re-run the corpus explode+aggregate and the plan pays
     # three full corpus passes instead of two
+    # EAGER localCheckpoint, deliberately (ADVICE r4 #2 considered and
+    # rejected the lazy forms): lazy persist() lets the two marginal
+    # broadcast futures race to materialize this table and double-run the
+    # corpus pass (observed: BlockManager "already exists; not re-adding"),
+    # and localCheckpoint(eager=False) still runs the corpus map stage at
+    # construction because AQE materializes shuffle stages inside toRdd.
+    # Eager checkpoint = exactly ONE corpus pass, guaranteed; the
+    # construction-time cost is documented in the docstring banner.
     pc12 = bi.groupBy("b1", "b2").agg(
         F.count("*").alias("c12")
     ).localCheckpoint()
@@ -6932,10 +6955,16 @@ def sketch_heavy_hitters(spark, sf_dir):
     row, so the global n needs no separate count scan) and the exact
     recount. Only ≤ {_HH_K}+1 rows per partition leave the first pass
     (materialized once), and the recount joins the token stream against a
-    BROADCAST candidate list (at most cores × {_HH_K} entries) before a
+    BROADCAST candidate list (at most input-partitions × {_HH_K} entries —
+    for a many-file input, repartition the token stream to a fixed width
+    first if a cores-sized bound is needed) before a
     map-side-combined count. Nothing corpus-sized ever shuffles: the
     alternative exact GROUP BY over all tokens shuffles the full
-    vocabulary; this shuffles ≤ {_HH_K} rows per task."""
+    vocabulary; this shuffles ≤ {_HH_K} rows per task.
+
+    EAGER AT CONSTRUCTION (ADVICE r4 #2): calling this function runs the
+    MG corpus pass immediately (eager localCheckpoint — the deliberate
+    choice; see the mg comment below) before returning the recount plan."""
     import pandas as pd
 
     d = _t(spark, sf_dir, "documents")
@@ -6969,6 +6998,11 @@ def sketch_heavy_hitters(spark, sf_dir):
 
     # ≤ (k + 1) rows per partition — materialize once so the candidate list
     # and the total don't each re-run the corpus MG pass
+    # EAGER localCheckpoint, deliberately: the candidate list and the
+    # n_total scalar are both broadcast futures — lazy materialization lets
+    # them race and duplicate the corpus MG pass (ADVICE r4 #2 considered;
+    # see text_lm_bigram_ppl's pc12 note). Eager-at-construction is in the
+    # docstring banner.
     mg = toks.mapInPandas(
         mg_partition, "tok string, part_total long"
     ).localCheckpoint()
@@ -7126,7 +7160,11 @@ def text_lm_kn_ppl(spark, sf_dir):
     {_KN_B}-bucket space — broadcast; cpc by observed hashed bigram types —
     one shuffle join keyed (p, c)); the type-count scalar folds in as a
     literal-sized broadcast. Per-doc scoring is one map-side-combined
-    aggregate."""
+    aggregate.
+
+    EAGER AT CONSTRUCTION (ADVICE r4 #2): calling this function runs the
+    model-building corpus pass immediately (eager localCheckpoint of cpc —
+    deliberate; see the inline note) before returning the scoring plan."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
@@ -7148,6 +7186,11 @@ def text_lm_kn_ppl(spark, sf_dir):
     # (cp, cw, the type-count scalar, and the scoring join) would otherwise
     # each re-run the corpus explode+aggregate — five full corpus passes
     # instead of two (one cpc build + one scoring stream)
+    # EAGER localCheckpoint, deliberately (see text_lm_bigram_ppl's pc12
+    # note — lazy forms either double-run the corpus pass via racing
+    # broadcast futures or run it at construction anyway under AQE's
+    # toRdd): one guaranteed corpus pass, eager-at-construction documented
+    # in the docstring banner (ADVICE r4 #2)
     cpc = bi.groupBy("p", "c").agg(
         F.count("*").cast("long").alias("cpc")
     ).localCheckpoint()
@@ -7471,7 +7514,13 @@ def tokenizer_bpe_vocab(spark, sf_dir):
     narrow replace projection per step. The per-step argmax is a driver-side
     scalar read (LIMIT 1), the same convergence-read shape as the pagerank/
     CC fixpoints — the merge decision is inherently sequential, the work per
-    decision is fully distributed."""
+    decision is fully distributed.
+
+    EAGER AT CONSTRUCTION (ADVICE r4 #2): unlike most registry entries,
+    calling this function RUNS the full merge loop (per-step LIMIT-1
+    collects) before returning its small result frame — callers building
+    plans without executing them still pay full execution here. Same
+    contract: crawl_seed_maxcover."""
     d = _t(spark, sf_dir, "documents")
     wc = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -8162,7 +8211,12 @@ def crawl_seed_maxcover(spark, sf_dir):
     per-candidate count and a TakeOrdered argmax (driver reads ONE row per
     step — the same scalar convergence-read shape as the BPE merge loop and
     the pagerank fixpoint); the covered set grows by one neighborhood per
-    step via a distinct union. Nothing corpus-sized is collected."""
+    step via a distinct union. Nothing corpus-sized is collected.
+
+    EAGER AT CONSTRUCTION (ADVICE r4 #2): calling this function RUNS the
+    greedy loop (one argmax read per pick) before returning its small
+    result frame — same contract as tokenizer_bpe_vocab; callers that only
+    want the plan shape still pay full execution."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
     raw = _lk_raw(d)
     nb = raw.unionByName(

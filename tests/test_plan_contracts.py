@@ -618,3 +618,30 @@ def test_incremental_quantile_bounded_aggregates(spark):
     assert "SortMergeJoin" not in plan
     assert "Expand" not in plan
     assert re.search(PY_STAGES, plan) is None
+
+
+def test_eager_construction_contract_documented(spark):
+    """Registry contract (ADVICE r4 #2): entries construct lazily — except
+    the five documented eager ones, whose docstrings must carry the
+    "EAGER AT CONSTRUCTION" banner so callers/benchmarks don't mistime or
+    double-run them. Lazy alternatives for the checkpoint trio were tried
+    and rejected: persist() lets concurrent broadcast futures double-run
+    the corpus pass, and localCheckpoint(eager=False) still materializes
+    the shuffle-map stage at construction under AQE's toRdd."""
+    from dataset_crawler_spark.plans import queries as QL
+
+    eager = (
+        "tokenizer_bpe_vocab",
+        "crawl_seed_maxcover",
+        "sketch_heavy_hitters",
+        "text_lm_bigram_ppl",
+        "text_lm_kn_ppl",
+    )
+    for name in eager:
+        fn = QL.queries()[name].__wrapped__ if hasattr(
+            QL.queries()[name], "__wrapped__") else QL.queries()[name]
+        assert "EAGER AT CONSTRUCTION" in (fn.__doc__ or ""), name
+    # and nothing else claims the banner without being on the list
+    for name, fn in QL.queries().items():
+        if name not in eager:
+            assert "EAGER AT CONSTRUCTION" not in (fn.__doc__ or ""), name
