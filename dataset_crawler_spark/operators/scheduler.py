@@ -430,6 +430,13 @@ def refresh_priorities(
     and lineage is already hash-partitioned by doc_id on write
     (snapshot_diff's partition_id), so the shuffle is cheap or free.
 
+    Determinism (round-5 float-sum audit): with the default decay 0.5 the
+    per-row terms decay^(as_of − r) are DYADIC rationals (0.5, 1.0, 0.25,
+    …) whose sums over a bounded round history are exact in binary floating
+    point — the Σ is order-independent at any partitioning. A non-dyadic
+    decay would reintroduce accumulation-order drift; keep decay a power of
+    two (or quantize the terms) if the score feeds a hashed comparison.
+
     Returns (doc_id, n_changes, last_change_round, change_score).
     """
     upto = lineage.where(F.col("crawl_id") <= as_of)

@@ -157,26 +157,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 2) AS sum_qty,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_base_price,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+             AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 4)
+             AS avg_qty,
+           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / (COUNT(*) * 100.0), 4)
+             AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q1_pricing_summary(spark, sf_dir):
+    # Exact-integer money algebra (round-5 determinism audit): every TPC-H
+    # money column is a 2-dp decimal stored as double — ROUND(x*100) recovers
+    # the exact cent count per row (verified 0.0 round-trip error on the
+    # fixtures), so the per-group sums are BIGINT arithmetic with NO
+    # cross-row float accumulation; the only FP ops left are one division
+    # and one round per output cell. disc_price = cents × (100 − disc%) is
+    # a pure integer product. Order-independent at any partitioning — the
+    # mix_source_token_shares class cannot occur here.
     li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    discp = F.round(F.col("l_discount") * 100).cast("long")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "sum_disc_price"
-        ),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum(cents) / 100.0, 2).alias("sum_base_price"),
+        F.round(F.sum(cents * (100 - discp)) / 10000.0, 2).alias("sum_disc_price"),
+        F.round(F.sum(qty).cast("double") / F.count("*"), 4).alias("avg_qty"),
+        F.round(F.sum(discp) / (F.count("*") * 100.0), 4).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -184,7 +198,10 @@ def q1_pricing_summary(spark, sf_dir):
 @register(
     "q3_shipping_priority",
     """
-    SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT o_orderkey,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+             AS revenue,
            CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -195,18 +212,20 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
+    # revenue as exact cents×(100−disc%) integer sums — see q1's note; also
+    # makes the ORDER BY revenue ties/ranking partitioning-independent
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    rev_q = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(F.round(F.sum(rev_q) / 10000.0, 2).alias("revenue"))
         .select(
             "o_orderkey",
             "revenue",
@@ -220,7 +239,10 @@ def q3_shipping_priority(spark, sf_dir):
 @register(
     "q5_local_supplier_volume",
     """
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+             AS revenue
     FROM region JOIN nation ON n_regionkey = r_regionkey
                 JOIN customer ON c_nationkey = n_nationkey
                 JOIN orders ON o_custkey = c_custkey
@@ -245,9 +267,15 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # exact cents×(100−disc%) integer sum — see q1's determinism note
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue")
         )
     )
 
@@ -394,7 +422,8 @@ def p7_seen_anti_join(spark, sf_dir):
 @register(
     "j1_dim_join_3way",
     """
-    SELECT r_name, n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_bal
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0, 2) AS total_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name
@@ -409,14 +438,21 @@ def j1_dim_join_3way(spark, sf_dir):
         c.join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            # exact cents sum — see q1's determinism note
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0, 2
+            ).alias("total_bal"),
+        )
     )
 
 
 @register(
     "j8_crawl_range_filter",
     """
-    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS total
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
     GROUP BY event_type
@@ -432,7 +468,13 @@ def j8_crawl_range_filter(spark, sf_dir):
             & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
         )
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            # exact cents sum (value is 2-dp) — see q1's determinism note
+            F.round(F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2).alias(
+                "total"
+            ),
+        )
     )
 
 
@@ -528,7 +570,8 @@ def j14_equivalence_self_join(spark, sf_dir):
     "k2_upsert_merge",
     """
     WITH delta AS (
-      SELECT o_custkey AS c_custkey, ROUND(SUM(o_totalprice), 2) AS new_bal
+      SELECT o_custkey AS c_custkey,
+             ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS new_bal
       FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 25
       UNION ALL
       SELECT c_custkey + 1000000 AS c_custkey, 0.0 AS new_bal
@@ -553,7 +596,13 @@ def k2_upsert_merge(spark, sf_dir):
     upd = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("new_bal"), F.count("*").alias("_n"))
+        .agg(
+            # exact cents sum — see q1's determinism note
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+            ).alias("new_bal"),
+            F.count("*").alias("_n"),
+        )
         .where(F.col("_n") >= 25)
         .drop("_n")
     )
@@ -577,7 +626,8 @@ def k2_upsert_merge(spark, sf_dir):
     "j2_history_6way",
     """
     SELECT r_name, n_name, o_orderpriority,
-           COUNT(*) AS n_li, ROUND(SUM(l_extendedprice), 2) AS volume
+           COUNT(*) AS n_li,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS volume
     FROM region
       JOIN nation   ON n_regionkey = r_regionkey
       JOIN customer ON c_nationkey = n_nationkey
@@ -608,7 +658,10 @@ def j2_history_6way(spark, sf_dir):
         .groupBy("r_name", "n_name", "o_orderpriority")
         .agg(
             F.count("*").alias("n_li"),
-            F.round(F.sum("l_extendedprice"), 2).alias("volume"),
+            # exact cents sum — see q1's determinism note
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 2
+            ).alias("volume"),
         )
     )
 
@@ -806,16 +859,23 @@ def f_string_suite(spark, sf_dir):
     "f7_time_bucket_counts",
     """
     SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS total
     FROM events GROUP BY day_epoch
     """,
 )
 def f7_time_bucket_counts(spark, sf_dir):
-    # timestamp bucketing (F7) — deterministic round stamps, never wall-clock
+    # timestamp bucketing (F7) — deterministic round stamps, never wall-clock;
+    # exact cents sum per bucket (see q1's determinism note)
     return (
         _t(spark, sf_dir, "events")
         .groupBy(F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2).alias(
+                "total"
+            ),
+        )
     )
 
 
@@ -2578,7 +2638,7 @@ _SESSION_GAP = "30 minutes"
            epoch_us(MIN(ts)) AS session_start_us,
            epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS total
     FROM g GROUP BY user_id, sid
     """,
 )
@@ -2593,7 +2653,13 @@ def temporal_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     s = ev.groupBy(
         "user_id", F.session_window("ts", _SESSION_GAP).alias("w")
-    ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+    ).agg(
+        F.count("*").alias("n_events"),
+        # exact cents sum per session — see q1's determinism note
+        F.round(F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2).alias(
+            "total"
+        ),
+    )
     return s.select(
         "user_id",
         F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
@@ -3441,6 +3507,13 @@ def engine_incremental_substr(spark, sf_dir):
 #: word unigrams hashed into _DSIR_B buckets with the cross-engine h60.
 _DSIR_B = 256
 _DSIR_TARGET = ("src0", "src1", "src2", "src3")
+#: shared fixed-point scale for per-term log values (dsir / bigram-ppl /
+#: kn-ppl): model-table log terms are quantized to ROUND(term × _LOGQ)
+#: BIGINTs so per-doc scores are exact integer sums — the
+#: text_classifier_quality discipline applied to every hashed log-sum
+#: (round-5 determinism audit). 1e-6 per-term quantization error is far
+#: below the 4-dp output round.
+_LOGQ = 1_000_000
 
 
 @register(
@@ -3455,13 +3528,16 @@ _DSIR_TARGET = ("src0", "src1", "src2", "src3")
                   CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
                   CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
            FROM tok GROUP BY b),
-    tot AS (SELECT SUM(ct) AS t_total, SUM(cr) AS r_total FROM bs)
+    tot AS (SELECT SUM(ct) AS t_total, SUM(cr) AS r_total FROM bs),
+    bq AS (SELECT b,
+                  CAST(ROUND((  ln((ct + 1.0) / (t_total + {_DSIR_B}))
+                              - ln((cr + 1.0) / (r_total + {_DSIR_B})))
+                             * {_LOGQ}) AS BIGINT) AS term_q
+           FROM bs CROSS JOIN tot)
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           ROUND(SUM(  ln((ct + 1.0) / (t_total + {_DSIR_B}))
-                     - ln((cr + 1.0) / (r_total + {_DSIR_B}))) / COUNT(*), 4)
-             AS dsir_logratio
-    FROM tok JOIN bs USING (b) CROSS JOIN tot
+           ROUND(SUM(term_q) / (COUNT(*) * {_LOGQ}.0), 4) AS dsir_logratio
+    FROM tok JOIN bq USING (b)
     WHERE NOT is_target
     GROUP BY doc_id
     """,
@@ -3494,13 +3570,21 @@ def dsir_importance_weights(spark, sf_dir):
     term = F.log((F.col("ct") + 1.0) / (F.col("t_total") + _DSIR_B)) - F.log(
         (F.col("cr") + 1.0) / (F.col("r_total") + _DSIR_B)
     )
+    # per-bucket log-ratio QUANTIZED to integer fixed-point (×_LOGQ) in the
+    # dimension-sized model table, so the per-doc score is an exact BIGINT
+    # sum — no cross-row float accumulation (round-5 determinism audit; the
+    # text_classifier_quality precedent). Inputs to ln are exact integers,
+    # so the quantized term is identical in both engines.
+    bq = bs.select("b", F.round(term * _LOGQ).cast("long").alias("term_q"))
     return (
         tok.where(~F.col("is_target"))
-        .join(F.broadcast(bs), "b")
+        .join(F.broadcast(bq), "b")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.sum(term) / F.count("*"), 4).alias("dsir_logratio"),
+            F.round(F.sum("term_q") / (F.count("*") * float(_LOGQ)), 4).alias(
+                "dsir_logratio"
+            ),
         )
     )
 
@@ -4398,9 +4482,11 @@ _LM_PPL_KEEP = 7.685
     m1 AS (SELECT b1, COUNT(*) AS c1 FROM bi GROUP BY b1)
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(-SUM(ln((c2 + 1.0) / (c1 + {_LM_B2}))) / COUNT(*), 4)
+           ROUND(-SUM(CAST(ROUND(ln((c2 + 1.0) / (c1 + {_LM_B2})) * {_LOGQ})
+                           AS BIGINT)) / (COUNT(*) * {_LOGQ}.0), 4)
              AS nll_per_bigram,
-           -SUM(ln((c2 + 1.0) / (c1 + {_LM_B2}))) / COUNT(*) <= {_LM_PPL_KEEP}
+           -SUM(CAST(ROUND(ln((c2 + 1.0) / (c1 + {_LM_B2})) * {_LOGQ}) AS BIGINT))
+             / (COUNT(*) * {_LOGQ}.0) <= {_LM_PPL_KEEP}
              AS keep
     FROM bi JOIN m2 USING (b2) JOIN m1 USING (b1)
     GROUP BY doc_id
@@ -4465,7 +4551,12 @@ def text_lm_bigram_ppl(spark, sf_dir):
     m1 = pc12.groupBy("b1").agg(F.sum("c12").alias("c1"))
     scored = bi.join(F.broadcast(m2), "b2").join(F.broadcast(m1), "b1")
     lnp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(_LM_B2))))
-    nll = -F.sum(lnp) / F.count("*")
+    # per-bigram log-prob quantized to ×_LOGQ BIGINT: the per-doc NLL is an
+    # exact integer sum (no cross-row float accumulation — round-5
+    # determinism audit); ln inputs are exact integer counts so the
+    # quantized value is identical in both engines.
+    lnp_q = F.round(lnp * _LOGQ).cast("long")
+    nll = -F.sum(lnp_q) / (F.count("*") * float(_LOGQ))
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(nll, 4).alias("nll_per_bigram"),
@@ -7129,14 +7220,15 @@ _KN_KEEP = 3.43
     cw AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n1p_left FROM cpc GROUP BY c),
     tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM cpc)
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(-SUM(ln(
+           ROUND(-SUM(CAST(ROUND(ln(
              (greatest(cpc - {_KN_D}, 0.0)
               + {_KN_D} * n1p_ctx * (n1p_left * 1.0 / (SELECT n_types FROM tt)))
-             / cp)) / COUNT(*), 4) AS nll_kn,
-           -SUM(ln(
+             / cp) * {_LOGQ}) AS BIGINT)) / (COUNT(*) * {_LOGQ}.0), 4) AS nll_kn,
+           -SUM(CAST(ROUND(ln(
              (greatest(cpc - {_KN_D}, 0.0)
               + {_KN_D} * n1p_ctx * (n1p_left * 1.0 / (SELECT n_types FROM tt)))
-             / cp)) / COUNT(*) <= {_KN_KEEP} AS keep
+             / cp) * {_LOGQ}) AS BIGINT))
+             / (COUNT(*) * {_LOGQ}.0) <= {_KN_KEEP} AS keep
     FROM bi JOIN cpc USING (p, c) JOIN cp USING (p) JOIN cw USING (c)
     GROUP BY doc_id
     """,
@@ -7210,7 +7302,11 @@ def text_lm_kn_ppl(spark, sf_dir):
         F.greatest(F.col("cpc") - _KN_D, F.lit(0.0))
         + _KN_D * F.col("n1p_ctx") * (F.col("n1p_left") * 1.0 / F.col("n_types"))
     ) / F.col("cp")
-    nll = -F.sum(F.log(prob)) / F.count("*")
+    # per-bigram KN log-prob quantized to ×_LOGQ BIGINT — exact integer
+    # per-doc sum, no cross-row float accumulation (round-5 determinism
+    # audit; same discipline as text_lm_bigram_ppl / dsir)
+    logp_q = F.round(F.log(prob) * _LOGQ).cast("long")
+    nll = -F.sum(logp_q) / (F.count("*") * float(_LOGQ))
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(nll, 4).alias("nll_kn"),
