@@ -45,8 +45,16 @@ def run(cpus: int, sf_dir: str, crawl_only: bool) -> dict:
         text=True,
         timeout=3000,
     )
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    # bench.py prints the FULL-name map on its own line, then the compact
+    # driver line (analytic queries under short aliases). Prefer the full
+    # line so per-stage tables keep full query names.
+    cand = [
+        json.loads(ln)
+        for ln in out.stdout.strip().splitlines()
+        if ln.startswith('{"metric"')
+    ]
+    full = [c for c in cand if "aliases" not in c]
+    return (full or cand)[-1]
 
 
 REPS = 2  # full sweep repetitions: per-width spread = the noise evidence
@@ -154,6 +162,15 @@ throughput column):
 ```json
 {json.dumps(reps[32][0]["queries"], indent=2)}
 ```
+
+Driver-artifact alias contract: bench.py's FINAL stdout line (the one the
+round driver tail-captures and parses into BENCH_r{{N}}.json) carries EVERY
+stage with no truncation — pipeline stages under the full names above,
+analytic queries under deterministic short aliases (initials of the
+underscore-words, '2','3',… on collision in bench.py ANALYTIC_QUERIES
+order). The authoritative alias→name map is rewritten to
+BENCH/query_aliases.json on every bench run; this file's per-stage table
+plus that map fully decode the driver artifact.
 
 Hardware: 32-core Linux sandbox VM, single JVM (local mode), 24g heap.
 Determinism: outputs at every width are identical by construction (no

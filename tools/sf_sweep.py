@@ -42,10 +42,13 @@ def run(sf: float, probe: str) -> dict:
         text=True,
         timeout=7200,
     )
-    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith('{"metric"')]
     if not lines:
         raise RuntimeError(f"bench failed at sf={sf}: {out.stderr[-2000:]}")
-    return json.loads(lines[-1])
+    # prefer the full-name map line over the alias-compacted driver line
+    cand = [json.loads(ln) for ln in lines]
+    full = [c for c in cand if "aliases" not in c]
+    return (full or cand)[-1]
 
 
 def main() -> None:
