@@ -236,9 +236,18 @@ def pagerank(
         ranks = joined.select(
             "node",
             "has_out",
-            (
+            # per-iteration 9-dp quantization (round-5 determinism): the
+            # dangling-mass scalar and contribution aggregates are float
+            # sums whose last ulp depends on accumulation order; rounding
+            # the iterate resets that sub-ulp drift far below the 9-dp grid
+            # each round, so Spark and the SQL twin (same ROUND in
+            # _pagerank_sql / _incr_pagerank_sql) compute bit-identical
+            # rank sequences at any partitioning. The 1e-9 perturbation is
+            # three orders below the hashed 6-dp output round.
+            F.round(
                 F.lit(1.0 - damping) / n
-                + damping * (F.coalesce("contrib", F.lit(0.0)) + mass / n)
+                + damping * (F.coalesce("contrib", F.lit(0.0)) + mass / n),
+                9,
             ).alias("rank"),
         ).localCheckpoint(eager=False)
     # pin the result to local blocks, then release the static-side caches —

@@ -1491,8 +1491,8 @@ def _pagerank_sql(
         cte.append(
             f"""r{i} AS (
       SELECT h.node,
-             (1.0 - {d}) / (SELECT n FROM nn)
-             + {d} * (COALESCE(c.contrib, 0) + (SELECT m FROM d{i}) / (SELECT n FROM nn)) AS rank
+             ROUND((1.0 - {d}) / (SELECT n FROM nn)
+             + {d} * (COALESCE(c.contrib, 0) + (SELECT m FROM d{i}) / (SELECT n FROM nn)), 9) AS rank
       FROM hosts h LEFT JOIN c{i} c USING (node))"""
         )
     return (
@@ -3536,7 +3536,7 @@ _LOGQ = 1_000_000
            FROM bs CROSS JOIN tot)
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           ROUND(SUM(term_q) / (COUNT(*) * {_LOGQ}.0), 4) AS dsir_logratio
+           ROUND(SUM(term_q) / (COUNT(*) * {_LOGQ}.0), 4) + 0.0 AS dsir_logratio
     FROM tok JOIN bq USING (b)
     WHERE NOT is_target
     GROUP BY doc_id
@@ -3582,9 +3582,13 @@ def dsir_importance_weights(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.sum("term_q") / (F.count("*") * float(_LOGQ)), 4).alias(
-                "dsir_logratio"
-            ),
+            # + 0.0 signed-zero normalize: a doc whose quantized score sum
+            # is a tiny negative rounds to -0.0 in DuckDB but +0.0 under
+            # Spark's HALF_UP (the graph_doc_modularity class; bit at sf0.1)
+            (
+                F.round(F.sum("term_q") / (F.count("*") * float(_LOGQ)), 4)
+                + F.lit(0.0)
+            ).alias("dsir_logratio"),
         )
     )
 
@@ -5799,8 +5803,8 @@ def _incr_pagerank_sql() -> str:
             cte.append(
                 f"""{p}r{i} AS (
       SELECT h.node,
-             (1.0 - {d}) / (SELECT n FROM nn)
-             + {d} * (COALESCE(c.contrib, 0) + (SELECT m FROM {p}d{i}) / (SELECT n FROM nn)) AS rank
+             ROUND((1.0 - {d}) / (SELECT n FROM nn)
+             + {d} * (COALESCE(c.contrib, 0) + (SELECT m FROM {p}d{i}) / (SELECT n FROM nn)), 9) AS rank
       FROM hosts h LEFT JOIN {p}c{i} c USING (node))"""
             )
         return f"{p}r{n_iter}"
